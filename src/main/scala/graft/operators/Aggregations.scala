@@ -1,0 +1,195 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Det._
+
+/** Grouped / global aggregations — SURVEY.md §2.4 generalized to the star
+  * schema. Every aggregate is expressible as partial+final combine
+  * (map-side partial aggregation), so each query is one shuffle on its
+  * group key at any scale. Sums over doubles go through [[graft.functions.Det]]
+  * for order-independent (and cross-engine reproducible) results.
+  */
+object Aggregations {
+
+  /** O-28/O-29 mean/sum block (analyze_insta_enhanced.py:444-452) in its
+    * classic relational form: TPC-H Q1-style pricing summary. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val hi = java.time.LocalDateTime.of(1998, 9, 2, 0, 0)
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") <= lit(hi))
+    li.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 2).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** O-28/O-29 per-entity means + engagement-rate-style ratio
+    * (analyze_insta_enhanced.py:444-452). */
+  def customerValue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_spent"),
+           davg(col("o_totalprice")).as("avg_order_value"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_orders"),
+              col("sum_spent"), col("avg_order_value"))
+      .orderBy("c_custkey")
+  }
+
+  /** O-30 consistency score (analyze_insta_enhanced.py:432-458):
+    * `max(0, 100 − stdev/max(mean, 0.1) × 100)` with sample stddev,
+    * computed from exact decimal sums for cross-engine determinism. */
+  def consistencyScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           davg(col("o_totalprice")).as("mean_price"),
+           dstddevSamp(col("o_totalprice")).as("sd_price"))
+      .filter(col("n_orders") >= 2)
+      .withColumn("consistency_score",
+        greatest(lit(0.0), lit(100.0) - col("sd_price") / greatest(col("mean_price"), lit(0.1)) * lit(100.0)))
+      .orderBy("o_custkey")
+
+  /** O-31 viral count (analyze_insta_enhanced.py:460-462): rows scoring
+    * above 2× their group mean, via a window mean (one shuffle, no
+    * self-join). */
+  def viralOrdersCount(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("o_custkey")
+    Tables.orders(spark, dir)
+      .withColumn("cust_mean",
+        sum(col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))).over(w).cast("double")
+          / count(lit(1)).over(w))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           count(when(col("o_totalprice") > lit(2.0) * col("cust_mean"), 1)).as("viral_orders"))
+      .orderBy("o_custkey")
+  }
+
+  /** O-39 sponsored-vs-organic split (analyze_insta_enhanced.py:575-657):
+    * binary classification + per-class conditional means + ratio. */
+  def conditionalSplitEngagement(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    val dec = org.apache.spark.sql.types.DecimalType(18, 2)
+    val isSponsored = col("event_type") === "purchase" || col("value") > 150.0
+    e.groupBy("user_id")
+      .agg(
+        count(when(isSponsored, 1)).as("n_sponsored"),
+        count(when(!isSponsored, 1)).as("n_organic"),
+        (sum(when(isSponsored, col("value").cast(dec))).cast("double")
+          / count(when(isSponsored, 1))).as("avg_sponsored"),
+        (sum(when(!isSponsored, col("value").cast(dec))).cast("double")
+          / count(when(!isSponsored, 1))).as("avg_organic"))
+      .withColumn("sponsored_vs_organic_ratio",
+        col("avg_sponsored") / nullif(col("avg_organic"), lit(0.0)))
+      .orderBy("user_id")
+  }
+
+  /** O-44/O-45 global one-row summary stats (jsontocsv_enhanced.py:323-340,
+    * insta_scraper_enhanced.py:554-604). */
+  def globalSummaryStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_purchasers"),
+        count(when(col("event_type") === "error", 1)).as("n_errors"))
+      .withColumn("pct_purchasers",
+        col("n_purchasers") * lit(100.0) / col("n_users"))
+
+  /** O-43 posting-hour histogram (analyze_insta_enhanced.py:221-237),
+    * global flavor: events per hour-of-day. */
+  def histogramHours(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("h")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pricing_summary"     -> pricingSummary _,
+    "agg_customer_value"      -> customerValue _,
+    "agg_consistency_score"   -> consistencyScore _,
+    "agg_viral_orders"        -> viralOrdersCount _,
+    "agg_conditional_split"   -> conditionalSplitEngagement _,
+    "agg_global_summary"      -> globalSummaryStats _,
+    "agg_histogram_hours"     -> histogramHours _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "agg_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(l_extendedprice) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc,
+           count(*) AS count_order
+         FROM lineitem
+         WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+    "agg_customer_value" ->
+      """SELECT c_custkey, c_name, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_spent,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(o_totalprice) AS avg_order_value
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY c_custkey, c_name ORDER BY c_custkey""",
+    "agg_consistency_score" ->
+      """WITH s AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS sx,
+             CAST(SUM(CAST(round(o_totalprice * 100.0) AS BIGINT)
+                    * CAST(round(o_totalprice * 100.0) AS BIGINT)) AS DOUBLE) / 10000.0 AS sq
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, n_orders,
+           sx / n_orders AS mean_price,
+           sqrt((sq - sx*sx/n_orders) / (n_orders - 1.0)) AS sd_price,
+           greatest(0.0, 100.0 - sqrt((sq - sx*sx/n_orders) / (n_orders - 1.0))
+                                 / greatest(sx / n_orders, 0.1) * 100.0) AS consistency_score
+         FROM s WHERE n_orders >= 2 ORDER BY o_custkey""",
+    "agg_viral_orders" ->
+      """WITH m AS (
+           SELECT o_custkey AS k,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS cust_mean
+           FROM orders GROUP BY o_custkey)
+         SELECT o_custkey, count(*) AS n_orders,
+           count(CASE WHEN o_totalprice > 2.0 * cust_mean THEN 1 END) AS viral_orders
+         FROM orders JOIN m ON o_custkey = k
+         GROUP BY o_custkey ORDER BY o_custkey""",
+    "agg_conditional_split" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'purchase' OR value > 150.0 THEN 1 END) AS n_sponsored,
+           count(CASE WHEN NOT (event_type = 'purchase' OR value > 150.0) THEN 1 END) AS n_organic,
+           CAST(SUM(CASE WHEN event_type = 'purchase' OR value > 150.0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / count(CASE WHEN event_type = 'purchase' OR value > 150.0 THEN 1 END) AS avg_sponsored,
+           CAST(SUM(CASE WHEN NOT (event_type = 'purchase' OR value > 150.0) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / count(CASE WHEN NOT (event_type = 'purchase' OR value > 150.0) THEN 1 END) AS avg_organic,
+           (CAST(SUM(CASE WHEN event_type = 'purchase' OR value > 150.0 THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / count(CASE WHEN event_type = 'purchase' OR value > 150.0 THEN 1 END))
+           / nullif(CAST(SUM(CASE WHEN NOT (event_type = 'purchase' OR value > 150.0) THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+             / count(CASE WHEN NOT (event_type = 'purchase' OR value > 150.0) THEN 1 END), 0.0) AS sponsored_vs_organic_ratio
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_global_summary" ->
+      """SELECT count(*) AS total_events,
+           count(DISTINCT user_id) AS n_users,
+           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_purchasers,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+           count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) * 100.0
+             / count(DISTINCT user_id) AS pct_purchasers
+         FROM events""",
+    "agg_histogram_hours" ->
+      """SELECT hour(ts) AS h, count(*) AS n FROM events GROUP BY 1 ORDER BY h""",
+  )
+}

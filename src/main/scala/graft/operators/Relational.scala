@@ -1,0 +1,209 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+import graft.functions.Det._
+
+/** Scans, filters, routers, joins and set operations — the generic
+  * relational forms of SURVEY.md §2.1–§2.3 / §2.6, expressed over the
+  * driver's star schema so each has a DuckDB oracle.
+  *
+  * Scale notes (100 TB north star):
+  *  - every filter/projection here is declarative → Catalyst pushes
+  *    predicates + prunes columns into the parquet scan;
+  *  - small dimensions (region/nation/supplier, literal keyword dims) are
+  *    broadcast — no shuffle of the fact side;
+  *  - the only theta join (O-25 fuzzy lookup) is an intentional
+  *    BroadcastNestedLoopJoin against a tiny dim, the honest physical
+  *    plan for a containment predicate.
+  */
+object Relational {
+
+  /** O-1/O-3/O-4 scan + projection (reference: insta_scraper_enhanced.py:474-485,
+    * analyze_insta_enhanced.py:63-70). */
+  def scanProjectRegion(spark: SparkSession, dir: String): DataFrame =
+    Tables.region(spark, dir)
+      .select(col("r_regionkey"), col("r_name"))
+      .orderBy("r_regionkey")
+
+  /** O-16/O-17 fixed time-range filter + grouped rollup (reference 90-day
+    * cutoff, analyze_insta_enhanced.py:1502-1514; clock injected as a fixed
+    * literal so results are reproducible). */
+  def filterTimerangeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val lo = java.time.LocalDateTime.of(1996, 1, 1, 0, 0)
+    val hi = java.time.LocalDateTime.of(1997, 1, 1, 0, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit(lo) && col("o_orderdate") < lit(hi))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** O-2/O-23/O-55 resume anti-join: inputs minus already-done keys
+    * (insta_scraper_enhanced.py:487-509). */
+  def antiJoinResume(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+    val o = Tables.orders(spark, dir)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** O-14 response-type router: classify rows by shape/type
+    * (insta_scraper_enhanced.py:153-168). */
+  def routerTypeCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("route",
+        when(col("event_type").isin("purchase", "signup"), lit("conversion"))
+          .when(col("event_type") === "error", lit("failure"))
+          .otherwise(lit("engagement")))
+      .groupBy("route")
+      .agg(count(lit(1)).as("n_events"),
+           countDistinct(col("user_id")).as("n_users"))
+      .orderBy("route")
+
+  /** O-25 fuzzy containment lookup: the reference's nested-loop city match
+    * (analyze_insta_enhanced.py:197-218) — a theta join against a broadcast
+    * dim; physical plan is BroadcastNestedLoopJoin by design. */
+  def thetaContainsJoin(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val kws = Seq("scan", "join", "filter", "window", "merge").toDF("kw")
+    Tables.documents(spark, dir)
+      .join(broadcast(kws), col("text").contains(col("kw")))
+      .groupBy("kw")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("kw")
+  }
+
+  /** O-54 page-merge: union of overlapping slices + dedup by id
+    * (insta_scraper_enhanced.py:299-322). */
+  def unionDedupEvents(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select("event_id", "event_type", "user_id", "value")
+    val page1 = e.filter(col("user_id") < 30)
+    val page2 = e.filter(col("value") > 50)
+    page1.union(page2)
+      .dropDuplicates("event_id")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  /** O-27 implicit self-compare: fact row whose owner differs from the
+    * grouping entity (analyze_insta_enhanced.py:1350-1362) — here: lineitems
+    * whose supplier sits in a different nation than the ordering customer. */
+  def selfCompareCrossNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val o  = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val c  = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val s  = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val n  = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(s), li("l_suppkey") === s("s_suppkey"))
+      .filter(c("c_nationkey") =!= s("s_nationkey"))
+      .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+      .groupBy(col("n_name").as("supp_nation"))
+      .agg(count(lit(1)).as("n_items"),
+           dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"))
+      .orderBy("supp_nation")
+  }
+
+  /** O-24/O-10 delete-by-key as anti-join (insta_scraper_enhanced.py:381-393):
+    * remove all orders belonging to a keyed delete-set. */
+  def deleteByKey(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val delKeys = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    o.join(delKeys, o("o_custkey") === delKeys("c_custkey"), "left_anti")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** O-26 equi-join through the dim hierarchy (file-pair join generalized):
+    * revenue per region; nation/region broadcast. */
+  def starJoinRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("r_name")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_scan_project_region"    -> scanProjectRegion _,
+    "rel_filter_timerange"       -> filterTimerangeOrders _,
+    "rel_anti_join_resume"       -> antiJoinResume _,
+    "rel_router_type_counts"     -> routerTypeCounts _,
+    "rel_theta_contains_join"    -> thetaContainsJoin _,
+    "rel_union_dedup"            -> unionDedupEvents _,
+    "rel_self_compare_crossnation" -> selfCompareCrossNation _,
+    "rel_delete_by_key"          -> deleteByKey _,
+    "rel_star_join_revenue"      -> starJoinRevenue _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_scan_project_region" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "rel_filter_timerange" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "rel_anti_join_resume" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+         ORDER BY c_custkey""",
+    "rel_router_type_counts" ->
+      """SELECT CASE WHEN event_type IN ('purchase','signup') THEN 'conversion'
+                     WHEN event_type = 'error' THEN 'failure'
+                     ELSE 'engagement' END AS route,
+                count(*) AS n_events, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY route""",
+    "rel_theta_contains_join" ->
+      """SELECT kw, count(*) AS n_docs
+         FROM documents
+         JOIN (VALUES ('scan'),('join'),('filter'),('window'),('merge')) AS dim(kw)
+           ON contains(text, kw)
+         GROUP BY kw ORDER BY kw""",
+    "rel_union_dedup" ->
+      """SELECT event_type, count(*) AS n FROM (
+           SELECT DISTINCT event_id, event_type FROM (
+             SELECT event_id, event_type FROM events WHERE user_id < 30
+             UNION ALL
+             SELECT event_id, event_type FROM events WHERE value > 50))
+         GROUP BY event_type ORDER BY event_type""",
+    "rel_self_compare_crossnation" ->
+      """SELECT n_name AS supp_nation, count(*) AS n_items,
+                CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+         FROM lineitem
+         JOIN orders   ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey  = c_custkey
+         JOIN supplier ON l_suppkey  = s_suppkey
+         JOIN nation   ON s_nationkey = n_nationkey
+         WHERE c_nationkey <> s_nationkey
+         GROUP BY n_name ORDER BY supp_nation""",
+    "rel_delete_by_key" ->
+      """SELECT o_orderstatus, count(*) AS n_orders FROM orders
+         WHERE NOT EXISTS (SELECT 1 FROM customer
+                           WHERE c_custkey = o_custkey AND c_mktsegment = 'BUILDING')
+         GROUP BY o_orderstatus ORDER BY o_orderstatus""",
+    "rel_star_join_revenue" ->
+      """SELECT r_name, count(*) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation   ON c_nationkey = n_nationkey
+         JOIN region   ON n_regionkey = r_regionkey
+         GROUP BY r_name ORDER BY r_name""",
+  )
+}

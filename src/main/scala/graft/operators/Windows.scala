@@ -1,0 +1,264 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.sources.Tables
+
+/** Window functions / sorts / top-k / order-dependent semantics —
+  * SURVEY.md §2.5 (+ the order-sensitive aggs of §2.4) generalized to the
+  * star schema.
+  *
+  * All reference "first match" / "head N" / "split half" semantics depend
+  * on a concrete total order (SURVEY §7.4 risk 1) — every window here
+  * carries an explicit deterministic tie-break key.
+  *
+  * Scale: each window partitions by a high-cardinality entity key
+  * (customer / user), so partitions are small and the shuffle is the
+  * same hash shuffle the grouped aggregations already pay; top-k per
+  * group never materializes unbounded state. The only global sort is the
+  * final `ORDER BY ... LIMIT k`, which Spark executes as
+  * TakeOrderedAndProject (no full sort at scale).
+  */
+object Windows {
+
+  private val dec2 = DecimalType(18, 2)
+
+  /** O-36/O-48 top-k by score per group (analyze_insta_enhanced.py:1489-1543). */
+  def topkOrdersPerCustomer(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("o_custkey"), col("rnk"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** O-35/O-49 latest-k by time per group (analyze_insta_enhanced.py:513-533). */
+  def latestEventsPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns").desc, col("event_id").desc)
+    Tables.events(spark, dir)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("user_id"), col("rnk"), col("event_id"), col("value"))
+      .orderBy("user_id", "rnk")
+  }
+
+  /** O-32/O-51 consecutive-gap posting frequency
+    * (analyze_insta_enhanced.py:464-485): lag over time order → mean gap →
+    * label ladder. */
+  def lagGapFrequency(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+      .withColumn("gap_days", datediff(col("o_orderdate").cast("date"), col("prev_date").cast("date")))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           (sum(col("gap_days")).cast("double") / count(col("gap_days"))).as("avg_gap_days"))
+      .filter(col("n_orders") >= 2)
+      .withColumn("order_frequency",
+        when(col("avg_gap_days") <= 7, lit("Weekly or more"))
+          .when(col("avg_gap_days") <= 30, lit("Monthly"))
+          .when(col("avg_gap_days") <= 90, lit("Quarterly"))
+          .otherwise(lit("Rare")))
+      .orderBy("o_custkey")
+  }
+
+  /** O-33 best-posting-time mode (analyze_insta_enhanced.py:487-498): modal
+    * hour per user (tie → smallest hour) + day-part label. */
+  def modeEventHour(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("user_id"), hour(col("ts")).as("h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("user_id").orderBy(col("n").desc, col("h").asc)
+    counts.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("user_id"), col("h").as("best_hour"), col("n").as("n_at_best"))
+      .withColumn("daypart",
+        when(col("best_hour").between(6, 11), lit("Morning"))
+          .when(col("best_hour").between(12, 17), lit("Afternoon"))
+          .when(col("best_hour").between(18, 23), lit("Evening"))
+          .otherwise(lit("Night")))
+      .orderBy("user_id")
+  }
+
+  /** O-34/O-52 split-half trend (analyze_insta_enhanced.py:500-511): newest
+    * half vs older half means; ratio > 1.15 Growing, < 0.85 Declining.
+    * Mirrors the reference's `edges[:n//2]` (newest-first) split — with an
+    * explicit key tie-break instead of implicit array order. */
+  def splitHalfTrend(spark: SparkSession, dir: String): DataFrame = {
+    val w  = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    val wp = Window.partitionBy("o_custkey")
+    val recent = col("rn") * 2 <= col("n")
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wp))
+      .filter(col("n") >= 2)
+      .groupBy("o_custkey")
+      .agg(
+        count(lit(1)).as("n_orders"),
+        (sum(when(recent, col("o_totalprice").cast(dec2))).cast("double")
+          / count(when(recent, 1))).as("avg_recent"),
+        (sum(when(!recent, col("o_totalprice").cast(dec2))).cast("double")
+          / count(when(!recent, 1))).as("avg_older"))
+      .withColumn("ratio", col("avg_recent") / col("avg_older"))
+      .withColumn("trend",
+        when(col("ratio") > 1.15, lit("Growing"))
+          .when(col("ratio") < 0.85, lit("Declining"))
+          .otherwise(lit("Stable")))
+      .orderBy("o_custkey")
+  }
+
+  /** O-19 head-N in scan order (analyze_insta_enhanced.py:269 — "first 20
+    * posts"): first 2 orders per customer in time order. */
+  def headNWindow(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_head"),
+           (sum(col("o_totalprice").cast(dec2)).cast("double") / count(lit(1))).as("head_avg_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** O-47/O-50 global sort + limit (analyze_insta_enhanced.py:2005):
+    * top-25 customers by balance. Executed as TakeOrderedAndProject —
+    * no cluster-wide sort. */
+  def globalSortLimit(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.customer(spark, dir)
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+      .limit(25)
+    val w = Window.orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    top.withColumn("rnk", row_number().over(w))
+      .select(col("rnk"), col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy("rnk")
+  }
+
+  /** O-53 first-match-by-priority cascade (analyze_insta_enhanced.py:1316-1376
+    * collab source priority): first event per user by source priority then
+    * time. */
+  def firstMatchCascade(spark: SparkSession, dir: String): DataFrame = {
+    val prio = when(col("event_type") === "purchase", 1)
+      .when(col("event_type") === "signup", 2)
+      .when(col("event_type") === "error", 3)
+      .when(col("event_type") === "view", 4)
+      .otherwise(5)
+    val w = Window.partitionBy("user_id").orderBy(col("prio").asc, col("ts_ns").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("prio", prio)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_topk_per_customer"  -> topkOrdersPerCustomer _,
+    "win_latest_k_per_user"  -> latestEventsPerUser _,
+    "win_lag_gap_frequency"  -> lagGapFrequency _,
+    "win_mode_event_hour"    -> modeEventHour _,
+    "win_split_half_trend"   -> splitHalfTrend _,
+    "win_head_n"             -> headNWindow _,
+    "win_global_sort_limit"  -> globalSortLimit _,
+    "win_first_match_cascade" -> firstMatchCascade _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "win_topk_per_customer" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    "win_latest_k_per_user" ->
+      """SELECT user_id, rnk, event_id, value FROM (
+           SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rnk
+           FROM events)
+         WHERE rnk <= 3 ORDER BY user_id, rnk""",
+    "win_lag_gap_frequency" ->
+      """WITH g AS (
+           SELECT o_custkey,
+             date_diff('day',
+               CAST(lag(o_orderdate) OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate ASC, o_orderkey ASC) AS DATE),
+               CAST(o_orderdate AS DATE)) AS gap_days
+           FROM orders),
+         a AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(gap_days) AS DOUBLE) / count(gap_days) AS avg_gap_days
+           FROM g GROUP BY o_custkey HAVING count(*) >= 2)
+         SELECT o_custkey, n_orders, avg_gap_days,
+           CASE WHEN avg_gap_days <= 7 THEN 'Weekly or more'
+                WHEN avg_gap_days <= 30 THEN 'Monthly'
+                WHEN avg_gap_days <= 90 THEN 'Quarterly'
+                ELSE 'Rare' END AS order_frequency
+         FROM a ORDER BY o_custkey""",
+    "win_mode_event_hour" ->
+      """WITH c AS (
+           SELECT user_id, hour(ts) AS h, count(*) AS n
+           FROM events GROUP BY user_id, hour(ts)),
+         r AS (
+           SELECT user_id, h, n,
+             row_number() OVER (PARTITION BY user_id ORDER BY n DESC, h ASC) AS rnk
+           FROM c)
+         SELECT user_id, h AS best_hour, n AS n_at_best,
+           CASE WHEN h BETWEEN 6 AND 11 THEN 'Morning'
+                WHEN h BETWEEN 12 AND 17 THEN 'Afternoon'
+                WHEN h BETWEEN 18 AND 23 THEN 'Evening'
+                ELSE 'Night' END AS daypart
+         FROM r WHERE rnk = 1 ORDER BY user_id""",
+    "win_split_half_trend" ->
+      """WITH r AS (
+           SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn,
+             count(*) OVER (PARTITION BY o_custkey) AS n
+           FROM orders),
+         a AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(CASE WHEN rn*2 <= n THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               / count(CASE WHEN rn*2 <= n THEN 1 END) AS avg_recent,
+             CAST(SUM(CASE WHEN NOT (rn*2 <= n) THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+               / count(CASE WHEN NOT (rn*2 <= n) THEN 1 END) AS avg_older
+           FROM r WHERE n >= 2 GROUP BY o_custkey)
+         SELECT o_custkey, n_orders, avg_recent, avg_older,
+           avg_recent / avg_older AS ratio,
+           CASE WHEN avg_recent / avg_older > 1.15 THEN 'Growing'
+                WHEN avg_recent / avg_older < 0.85 THEN 'Declining'
+                ELSE 'Stable' END AS trend
+         FROM a ORDER BY o_custkey""",
+    "win_head_n" ->
+      """WITH r AS (
+           SELECT o_custkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+           FROM orders)
+         SELECT o_custkey, count(*) AS n_head,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS head_avg_price
+         FROM r WHERE rn <= 2 GROUP BY o_custkey ORDER BY o_custkey""",
+    "win_global_sort_limit" ->
+      """SELECT row_number() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk,
+                c_custkey, c_name, c_acctbal
+         FROM customer
+         ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 25""",
+    "win_first_match_cascade" ->
+      """WITH p AS (
+           SELECT user_id, event_type, event_id, ts,
+             CASE event_type WHEN 'purchase' THEN 1 WHEN 'signup' THEN 2
+                             WHEN 'error' THEN 3 WHEN 'view' THEN 4
+                             ELSE 5 END AS prio
+           FROM events),
+         r AS (
+           SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY prio ASC, ts ASC, event_id ASC) AS rn
+           FROM p)
+         SELECT user_id, event_type, event_id FROM r WHERE rn = 1
+         ORDER BY user_id""",
+  )
+}
