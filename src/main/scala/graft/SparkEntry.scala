@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Aggregations, Relational, Windows}
+import graft.functions.{TextAnalysis, TextFunctions}
+import graft.operators.{Aggregations, Dedup, Multimodal, Relational, Similarity, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,10 +20,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ Aggregations.queries ++ Windows.queries
+    Relational.queries ++ Aggregations.queries ++ Windows.queries ++
+      TextFunctions.queries ++ TextAnalysis.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ Aggregations.oracles ++ Windows.oracles
+    Relational.oracles ++ Aggregations.oracles ++ Windows.oracles ++
+      TextFunctions.oracles ++ TextAnalysis.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
 }

@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Beyond-reference text-analysis operators for a training-data pipeline
+  * (builder brief): language-ID, quality scoring, token counting,
+  * document fingerprinting. All pure built-in expressions — one narrow
+  * projection per document, no shuffle except the explicit grouped steps,
+  * so each scales linearly with document count.
+  */
+object TextAnalysis {
+
+  /** n-gram/stopword-profile language ID: score each language profile by
+    * token hits, argmax (deterministic tie-break on language). On the
+    * synthetic corpus the vocabularies overlap — the heuristic structure,
+    * not the accuracy, is the operator under test. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val profile = Seq(
+      ("en", "the"), ("en", "a"), ("en", "fast"),
+      ("de", "und"), ("de", "der"), ("de", "hash"),
+      ("es", "el"), ("es", "la"), ("es", "join"),
+      ("fr", "le"), ("fr", "et"), ("fr", "merge"),
+      ("zh", "stream"), ("zh", "scan"),
+    ).toDF("plang", "pword")
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(split(lower(col("text")), " ")).as("tok"))
+    val scored = toks.join(broadcast(profile), col("tok") === col("pword"))
+      .groupBy("doc_id", "lang", "plang")
+      .agg(count(lit(1)).as("hits"))
+    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("plang").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("doc_id"), col("plang").as("pred_lang"), col("hits"),
+              col("lang").as("actual_lang"),
+              (col("plang") === col("lang")).as("correct"))
+      .orderBy("doc_id")
+  }
+
+  /** Document quality scoring: token/stopword/length statistics + a
+    * bounded composite score. Integer counts + double arithmetic only —
+    * deterministic at any parallelism. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("n_stop",
+        size(expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and'))")))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - (col("n_tokens") - lit(1))).cast("double") / col("n_tokens"))
+      .withColumn("quality_score",
+        greatest(lit(0.0), least(lit(100.0),
+          lit(100.0) - lit(120.0) * abs(col("stop_ratio") - lit(0.18))
+                     - lit(8.0) * abs(col("avg_token_len") - lit(4.5)))))
+      .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_token_len", "quality_score")
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokenizer vs BPE-ish regex tokenizer
+    * (word / number / other-symbol pieces). */
+  def tokenCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("n_ws_tokens", size(split(col("text"), " ")))
+      .withColumn("n_re_tokens",
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))))
+      .select("doc_id", "n_chars", "n_ws_tokens", "n_re_tokens")
+      .orderBy("doc_id")
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content signature (bag-of-words fingerprint). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("fp",
+        md5(array_join(array_sort(array_distinct(split(lower(col("text")), " "))), " ")))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_langid_ngram" -> langIdNgram _,
+    "ta_quality_score" -> qualityScore _,
+    "ta_token_count"  -> tokenCount _,
+    "ta_fingerprint"  -> fingerprint _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "ta_langid_ngram" ->
+      """WITH profile(plang, pword) AS (VALUES
+           ('en','the'),('en','a'),('en','fast'),
+           ('de','und'),('de','der'),('de','hash'),
+           ('es','el'),('es','la'),('es','join'),
+           ('fr','le'),('fr','et'),('fr','merge'),
+           ('zh','stream'),('zh','scan')),
+         t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
+         s AS (SELECT doc_id, lang, plang, count(*) AS hits
+               FROM t JOIN profile ON tok = pword GROUP BY doc_id, lang, plang),
+         r AS (SELECT doc_id, lang, plang, hits,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang ASC) AS rnk
+               FROM s)
+         SELECT doc_id, plang AS pred_lang, hits, lang AS actual_lang,
+                plang = lang AS correct
+         FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    "ta_quality_score" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(lower(text), ' '),
+                             t -> t IN ('the','a','and'))) AS n_stop
+           FROM documents)
+         SELECT doc_id, n_tokens, n_stop,
+           CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+           CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+           greatest(0.0, least(100.0,
+             100.0 - 120.0 * abs(CAST(n_stop AS DOUBLE) / n_tokens - 0.18)
+                   - 8.0 * abs(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens - 4.5))) AS quality_score
+         FROM b ORDER BY doc_id""",
+    "ta_token_count" ->
+      """SELECT doc_id, n_chars,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_re_tokens
+         FROM documents ORDER BY doc_id""",
+    "ta_fingerprint" ->
+      """SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
+         FROM documents ORDER BY doc_id""",
+  )
+}

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Deduplication operators for a large-scale training-data pipeline
+  * (builder brief): exact, n-gram Jaccard, MinHash+LSH, SimHash.
+  *
+  * Scale design:
+  *  - exact dedup is one hash-groupBy — a single shuffle on the content
+  *    hash, partial counts map-side;
+  *  - MinHash signatures are a per-row projection + one (doc, band)
+  *    aggregation; candidate generation joins on (band, bucket) so only
+  *    docs sharing a bucket are ever paired — never the O(n²) cross
+  *    product. At 100 TB the band-bucket join is the standard LSH
+  *    shuffle-bounded plan;
+  *  - SimHash is a per-row signature (bucket-join or bit-sampling pairs
+  *    it downstream);
+  *  - the only intentionally quadratic oracle query pairs *adjacent*
+  *    doc_ids (a bounded self-join) to hash-check the Jaccard math
+  *    itself.
+  *
+  * MinHash here uses md5-based hash families (min over lexicographic md5
+  * of seed|shingle) — engine-portable, so the whole pipeline is
+  * hash-checked against DuckDB rather than rows-only.
+  */
+object Dedup {
+
+  /** Distinct 3-gram (token shingle) array per document. */
+  private def withShingles(df: DataFrame): DataFrame =
+    df.withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+
+  /** Exact dedup summary: hash-groupBy on content hash. */
+  def exactSummary(spark: SparkSession, dir: String): DataFrame = {
+    val groups = Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    groups.agg(
+      sum(col("c")).as("n_docs"),
+      count(lit(1)).as("n_distinct"),
+      count(when(col("c") > 1, 1)).as("dup_groups"),
+      coalesce(sum(when(col("c") > 1, col("c"))), lit(0)).as("dup_rows"))
+  }
+
+  /** n-gram Jaccard similarity on adjacent doc pairs — bounded self-join
+    * exercising the shingle/Jaccard math end-to-end. */
+  def jaccardAdjacent(spark: SparkSession, dir: String): DataFrame = {
+    val d = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"))
+    val a = d.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
+    a.join(b, col("doc_b") === col("doc_a") + 1)
+      .withColumn("n_a", size(col("sh_a")))
+      .withColumn("n_b", size(col("sh_b")))
+      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
+      .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")
+      .orderBy("doc_a")
+  }
+
+  /** MinHash signatures: 8 md5-family min-hashes per doc, folded into 4
+    * LSH bands of 2 rows each. Returns (doc_id, band, bucket). */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val mh = sh
+      .withColumn("seed", explode(sequence(lit(0), lit(7))))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("sh")))).as("mh"))
+    mh.withColumn("band", expr("seed div 2"))
+      .groupBy("doc_id", "band")
+      .agg(md5(concat(
+        max(when(col("seed") % 2 === 0, col("mh"))),
+        max(when(col("seed") % 2 === 1, col("mh"))))).as("bucket"))
+  }
+
+  /** MinHash+LSH near-dup candidate pairs: docs sharing any band bucket.
+    * Join is on (band, bucket) — shuffle-bounded, no cross product. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
+    val bands = minhashBands(spark, dir)
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** 16-bit SimHash per document from distinct tokens: token hash = first
+    * 4 hex digits of md5; bit b of the signature is the sign of the
+    * ±1 vote sum across tokens. */
+  def simhash16(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
+    val votes = toks
+      .withColumn("j", explode(sequence(lit(0), lit(15))))
+      .withColumn("contrib", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
+      .groupBy("doc_id", "j")
+      .agg(sum(col("contrib")).as("s"))
+    votes.groupBy("doc_id")
+      .agg(sum(expr("CASE WHEN s > 0 THEN cast(shiftleft(1, j) as bigint) ELSE 0 END")).as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact_summary"     -> exactSummary _,
+    "dd_jaccard_adjacent"  -> jaccardAdjacent _,
+    "dd_minhash_lsh_pairs" -> minhashLshPairs _,
+    "dd_simhash16"         -> simhash16 _,
+  )
+
+  // Shared oracle fragment: distinct 3-gram shingles per doc (DuckDB lists
+  // are 1-based, like Spark element_at).
+  private val shingleCte =
+    """sh AS (
+         SELECT doc_id,
+           list_distinct(list_transform(range(1, len(t) - 1),
+             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         WHERE len(t) >= 3)"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_summary" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
+         SELECT SUM(c) AS n_docs, count(*) AS n_distinct,
+                count(CASE WHEN c > 1 THEN 1 END) AS dup_groups,
+                coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_rows
+         FROM g""",
+    "dd_jaccard_adjacent" ->
+      s"""WITH $shingleCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(a.shingles) AS n_a, len(b.shingles) AS n_b,
+           len(list_intersect(a.shingles, b.shingles)) AS n_common,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY doc_a""",
+    "dd_minhash_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+         m AS (SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || '|' || s)) AS mh
+               FROM e CROSS JOIN (SELECT unnest(range(0, 8)) AS seed)
+               GROUP BY doc_id, seed),
+         bands AS (SELECT doc_id, seed // 2 AS band,
+                     md5(max(CASE WHEN seed % 2 = 0 THEN mh END)
+                         || max(CASE WHEN seed % 2 = 1 THEN mh END)) AS bucket
+                   FROM m GROUP BY doc_id, seed // 2)
+         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+         WHERE a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "dd_simhash16" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         h AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS h
+               FROM toks WHERE length(tok) > 0),
+         votes AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+                   GROUP BY doc_id, j)
+         SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 << j AS BIGINT) ELSE 0 END) AS simhash
+         FROM votes GROUP BY doc_id ORDER BY doc_id""",
+  )
+}

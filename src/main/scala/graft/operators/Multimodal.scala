@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Multimodal (binary) column plumbing (builder brief): images/audio/video
+  * are opaque `binary` columns plus typed metadata; decode / feature
+  * extraction runs per-partition over batches.
+  *
+  * The container has no codec libraries, so [[decodeStub]] is a
+  * clearly-marked deterministic fake — the Spark-side contract (schema,
+  * binary handling, per-partition batching, deterministic output) is the
+  * real, tested part. At scale: binary payloads ride in their own column
+  * (parquet keeps them out of unrelated scans via column pruning), and
+  * decode parallelism is per-partition with no shuffle.
+  */
+object Multimodal {
+
+  /** Materialize a binary column + metadata from text payloads —
+    * stand-in for reading image/audio bytes (`binaryFile` format in
+    * production; reference stores profile JPEGs per creator,
+    * insta_scraper_enhanced.py:395-432). */
+  def binaryized(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media_type", lit("text/plain"))
+
+  /** Oracle-checkable binary metadata extraction: byte length, SHA-256,
+    * leading-bytes signature ("magic number" probe). */
+  def binaryMeta(spark: SparkSession, dir: String): DataFrame =
+    binaryized(spark, dir)
+      .select(
+        col("doc_id"),
+        length(col("payload")).as("n_bytes"),
+        sha2(col("payload"), 256).as("sha256"),
+        lower(hex(expr("substring(payload, 1, 4)"))).as("magic_hex"))
+      .orderBy("doc_id")
+
+  /** STUB decode (no codec libs in this container): deterministically
+    * derives fake (width, height, n_frames) from the payload hash.
+    * Replace the body with a real codec call in production; everything
+    * around it — schema, batching, partition layout — is real. */
+  val decodedSchema = "struct<width:int,height:int,n_frames:int>"
+  def decodeStub(df: DataFrame): DataFrame =
+    df.withColumn("decoded", expr(
+      """named_struct(
+           'width',    16 + pmod(cast(conv(substring(md5(payload), 1, 4), 16, 10) as int), 1024),
+           'height',   16 + pmod(cast(conv(substring(md5(payload), 5, 4), 16, 10) as int), 1024),
+           'n_frames', 1 + pmod(cast(conv(substring(md5(payload), 9, 2), 16, 10) as int), 32))"""))
+
+  /** Frame-sampling over the stubbed decode: one row per sampled frame —
+    * the explode pattern a video pipeline uses (sample every k-th frame). */
+  def frameSample(df: DataFrame, everyK: Int): DataFrame =
+    df.withColumn("frame_idx",
+      explode(sequence(lit(0), col("decoded.n_frames") - 1, lit(everyK))))
+
+  /** Feature-extraction stub: fixed-width feature vector per payload,
+    * derived from content hash — stands in for an image embedding. */
+  def featureStub(df: DataFrame, dims: Int = 8): DataFrame =
+    df.withColumn("features", expr(
+      s"""transform(sequence(1, $dims), i ->
+            cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) as float) / 65535.0)"""))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_binary_meta" -> binaryMeta _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_meta" ->
+      """SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           sha256(text) AS sha256,
+           lower(substr(hex(encode(text)), 1, 8)) AS magic_hex
+         FROM documents ORDER BY doc_id""",
+  )
+}

