@@ -1,0 +1,41 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Python-`round` semantics as a Catalyst expression.
+  *
+  * Spark's `round`/`bround` convert the double through its SHORTEST
+  * decimal representation (`BigDecimal.valueOf`), so bround(0.685, 2)
+  * sees exactly "0.685" and half-even ties to 0.68. CPython rounds the
+  * EXACT binary value (0.68500000000000005…), giving 0.69. The reference
+  * pipeline is full of `round(x, n)` calls whose goldens were produced by
+  * CPython, so replicating its semantics needs `new BigDecimal(d)` (exact
+  * expansion) + HALF_EVEN. Reference rounding sites:
+  * analyze_insta_enhanced.py:445-447,451-452,458,526,531,1529,1543.
+  */
+case class PyRound(child: Expression, scale: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(v: Any): Any = {
+    val d = v.asInstanceOf[Double]
+    if (d.isNaN || d.isInfinite) d
+    else new java.math.BigDecimal(d)
+      .setScale(scale, java.math.RoundingMode.HALF_EVEN).doubleValue()
+  }
+  override protected def withNewChildInternal(c: Expression): PyRound = copy(child = c)
+  override def prettyName: String = "pyround"
+}
+
+object PyRound {
+  import org.apache.spark.sql.GraftColumnBridge
+
+  /** round(x, scale) with CPython semantics; input cast to double. */
+  def pyround(c: Column, scale: Int): Column =
+    GraftColumnBridge.column(PyRound(GraftColumnBridge.expression(c.cast("double")), scale))
+
+  /** Python round(x) → int semantics (half-even on exact value). */
+  def pyroundLong(c: Column): Column = pyround(c, 0).cast("long")
+}
