@@ -54,7 +54,14 @@ object Instagram {
     StructField("product_type", StringType),
     StructField("media_type", LongType),
     StructField("sponsor_tags", ArrayType(StructType(Seq(
-      StructField("sponsor", StructType(Seq(StructField("username", StringType)))),
+      StructField("sponsor", StructType(Seq(
+        StructField("pk", StringType), StructField("username", StringType),
+        StructField("id", StringType), StructField("full_name", StringType)))),
+      // top-level username does NOT exist in the data — parsed as null on
+      // purpose: detect_paid_partnerships reads tag['username'] (not
+      // tag.sponsor.username), so sponsor_frequency is always empty
+      // (analyze_insta_enhanced.py:598-603); we replicate that faithfully.
+      StructField("username", StringType),
       StructField("is_pending", BooleanType))))),
     StructField("location", StructType(Seq(
       StructField("pk", StringType), StructField("lat", DoubleType),
@@ -100,6 +107,7 @@ object Instagram {
         col("col.node.media_type").as("media_type"),
         expr("transform(coalesce(col.node.sponsor_tags, array()), t -> t.sponsor.username)")
           .as("sponsor_usernames"),
+        col("col.node.sponsor_tags").as("sponsor_tags"),
         col("col.node.location").as("location"),
         col("col.node.user.username").as("user_username"),
         col("col.node.owner.username").as("owner_username"),
