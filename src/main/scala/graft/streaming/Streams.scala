@@ -1,0 +1,128 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+
+/** Structured Streaming surface — SURVEY §2.8.
+  *
+  * The reference is batch-only; its only incremental semantics are the
+  * scraper's url done-log resume (O-10: append a url to inputdone.csv,
+  * skip urls already done — insta_scraper_enhanced.py:363-393,487-509)
+  * and page-merge dedup (O-54: union + drop duplicate post ids,
+  * :299-322). Both are stateful-stream shapes, so the engine exposes
+  * them — plus the watermarked windowed aggregation and a session
+  * operator the BASELINE north star asks the posts pipeline to support —
+  * as readStream-composable transforms.
+  *
+  * Scale: all operators are keyed stateful aggregations — state is
+  * per-key and bounded (dedup keys TTL'd by watermark, windows pruned by
+  * watermark, sessions timeout), so a 1000-executor cluster shards state
+  * by key hash; no global state, no driver accumulation.
+  */
+object Streams {
+
+  /** O-2/O-10 as a streaming stage: normalize urls
+    * (`strip().rstrip('/')`), drop ones already seen. With a watermark
+    * the dedup state is pruned; exactly-once replaces the reference's
+    * append-log + in-place CSV rewrite. */
+  def resumeDedup(urls: DataFrame, tsCol: String = "ingest_ts",
+                  watermark: String = "1 hour"): DataFrame =
+    urls
+      .withColumn("url_norm", expr("rtrim('/', trim(url))"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("url_norm")
+
+  /** O-54 as a streaming stage: merge timeline pages, keep the first
+    * occurrence of each post id per creator. */
+  def pageMergeDedup(posts: DataFrame, tsCol: String = "ingest_ts",
+                     watermark: String = "1 hour"): DataFrame =
+    posts.withWatermark(tsCol, watermark).dropDuplicates("creator_key", "id")
+
+  /** Watermarked tumbling-window count/value aggregation over the events
+    * stream — the Structured Streaming shape of O-33/O-43's histograms.
+    * Late data beyond the watermark is dropped; state is pruned. */
+  def windowedEventCounts(events: DataFrame, window_ : String = "1 hour",
+                          watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Per-creator engagement aggregation as a streaming stateful agg —
+    * the BASELINE north-star requirement that the posts pipeline's
+    * per-creator metrics be expressible incrementally. All metrics here
+    * are algebraic (sum/count/max), so partial state is O(1) per key. */
+  def streamingCreatorMetrics(posts: DataFrame, tsCol: String = "post_ts",
+                              watermark: String = "1 day"): DataFrame =
+    posts
+      .withWatermark(tsCol, watermark)
+      .groupBy(col("creator_key"))
+      .agg(
+        count(lit(1)).as("total_posts"),
+        sum("like_count").as("sum_likes"),
+        sum("comment_count").as("sum_comments"),
+        max("taken_at").as("latest_post_ts"))
+
+  // ------------------------------------------------------- sessionize
+
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
+  case class Session(user_id: Long, session_start: java.sql.Timestamp,
+                     session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
+
+  /** Gap-based sessionization via flatMapGroupsWithState: a session per
+    * user closes after `gapMs` of inactivity (event-time timeout). The
+    * custom-state shape SURVEY §2.8 reserves for incremental per-creator
+    * pipelines. */
+  def sessionize(events: Dataset[Event], gapMs: Long = 30L * 60 * 1000)
+                (implicit spark: SparkSession): Dataset[Session] = {
+    import spark.implicits._
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(Session(userId, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.lastSeen), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var st = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              st match {
+                case Some(s) if t - s.lastSeen <= gapMs =>
+                  st = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    n = s.n + 1, total = s.total + e.value))
+                case Some(s) =>
+                  closed += Session(userId, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.lastSeen), s.n, s.total)
+                  st = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  st = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastSeen + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  /** Convenience: drive any of the above to an in-memory sink (tests,
+    * interactive inspection). */
+  def toMemorySink(df: DataFrame, name: String): StreamingQuery =
+    df.writeStream.format("memory").queryName(name)
+      .outputMode(if (df.isStreaming) OutputMode.Update() else OutputMode.Append())
+      .start()
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MemoryStream-driven checks for the Structured Streaming surface. */
+class StreamsSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-streaming-test")
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+  implicit def sparkImplicit: org.apache.spark.sql.SparkSession = spark
+
+  private def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("resumeDedup drops already-seen normalized urls across batches") {
+    val in = MemoryStream[(String, java.sql.Timestamp)]
+    val urls = in.toDF().toDF("url", "ingest_ts")
+    val q = Streams.resumeDedup(urls).writeStream
+      .format("memory").queryName("resume_out").outputMode(OutputMode.Append()).start()
+    in.addData(("https://x.com/a/", ts(0)), ("https://x.com/b", ts(1)))
+    q.processAllAvailable()
+    in.addData((" https://x.com/a", ts(2)), ("https://x.com/c", ts(3)))
+    q.processAllAvailable()
+    val urlsOut = spark.table("resume_out").select("url_norm")
+      .as[String].collect().sorted
+    q.stop()
+    assert(urlsOut.toSeq == Seq("https://x.com/a", "https://x.com/b", "https://x.com/c"))
+  }
+
+  test("windowedEventCounts aggregates per tumbling window with watermark") {
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedEventCounts(events, "10 minutes", "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Update()).start()
+    in.addData((ts(0), "click", 1.0), (ts(5), "click", 2.0), (ts(12), "view", 5.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_out")
+      .groupBy("event_type").agg(sum("n").as("n"), sum("total_value").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).sorted
+    q.stop()
+    assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 5.0)))
+  }
+
+  test("streamingCreatorMetrics maintains algebraic per-creator state") {
+    val in = MemoryStream[(String, Long, Long, Long, java.sql.Timestamp)]
+    val posts = in.toDF().toDF("creator_key", "like_count", "comment_count", "taken_at", "post_ts")
+    val q = Streams.streamingCreatorMetrics(posts).writeStream
+      .format("memory").queryName("creator_out").outputMode(OutputMode.Update()).start()
+    in.addData(("a", 10L, 1L, 100L, ts(0)), ("a", 20L, 2L, 200L, ts(1)), ("b", 5L, 0L, 50L, ts(2)))
+    q.processAllAvailable()
+    val m = spark.table("creator_out").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    q.stop()
+    assert(m("a") == ((2L, 30L, 3L, 200L)))
+    assert(m("b") == ((1L, 5L, 0L, 50L)))
+  }
+
+  test("sessionize closes a session after the inactivity gap") {
+    import Streams.{Event, Session}
+    val in = MemoryStream[Event]
+    val q = Streams.sessionize(in.toDS(), gapMs = 10 * 60000L).writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    // session 1: events at t0, t5; then a 20-min gap; session 2 at t25
+    in.addData(Event(1L, ts(0), "click", 1.0), Event(1L, ts(5), "click", 2.0))
+    q.processAllAvailable()
+    in.addData(Event(1L, ts(25), "click", 4.0))
+    q.processAllAvailable()
+    // push the watermark far ahead so session 2 times out too
+    in.addData(Event(2L, ts(300), "click", 0.0))
+    q.processAllAvailable()
+    in.addData(Event(2L, ts(400), "click", 0.0))
+    q.processAllAvailable()
+    val sessions = spark.table("sess_out").as[Session].collect()
+      .filter(_.user_id == 1L).sortBy(_.session_start.getTime)
+    q.stop()
+    assert(sessions.length == 2, s"got ${sessions.toSeq}")
+    assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
+    assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
+  }
+}
