@@ -133,7 +133,30 @@ object TextFunctions {
       .select(col("doc_id"), md5(col("clean")).as("clean_hash"))
       .orderBy("doc_id")
 
+  /** O-60/O-61/O-70/O-72 classification ladders + url synthesis
+    * (analyze_insta_enhanced.py:1655-1678,1814-1852;
+    * jsontocsv_enhanced.py:342-400): tier bucket from a numeric ladder,
+    * type from keyword predicates, synthesized asset url. */
+  def bucketLadder(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.sources.Tables.customer(spark, dir)
+    c.select(col("c_custkey"), col("c_acctbal"), col("c_mktsegment"),
+        when(col("c_acctbal") < 0, lit("Debtor"))
+          .when(col("c_acctbal") < 1000, lit("Nano"))
+          .when(col("c_acctbal") < 5000, lit("Micro"))
+          .when(col("c_acctbal") < 8000, lit("Mid-Tier"))
+          .otherwise(lit("Macro")).as("tier"),
+        when(lower(col("c_mktsegment")).contains("build") ||
+          lower(col("c_mktsegment")).contains("machine"), lit("industrial"))
+          .when(lower(col("c_mktsegment")).contains("auto"), lit("consumer"))
+          .otherwise(lit("general")).as("segment_type"),
+        concat(lit("https://assets.example.com/"),
+          lower(translate(col("c_mktsegment"), " ", "_")), lit("/"),
+          col("c_custkey"), lit(".jpg")).as("asset_url"))
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "txt_bucket_ladder"   -> bucketLadder _,
     "txt_token_topk"      -> tokenTopK _,
     "txt_stopword_tokens" -> stopwordTokens _,
     "txt_keyword_niche"   -> keywordNiche _,
@@ -145,6 +168,20 @@ object TextFunctions {
   )
 
   val oracles: Map[String, String] = Map(
+    "txt_bucket_ladder" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment,
+           CASE WHEN c_acctbal < 0 THEN 'Debtor'
+                WHEN c_acctbal < 1000 THEN 'Nano'
+                WHEN c_acctbal < 5000 THEN 'Micro'
+                WHEN c_acctbal < 8000 THEN 'Mid-Tier'
+                ELSE 'Macro' END AS tier,
+           CASE WHEN contains(lower(c_mktsegment), 'build')
+                  OR contains(lower(c_mktsegment), 'machine') THEN 'industrial'
+                WHEN contains(lower(c_mktsegment), 'auto') THEN 'consumer'
+                ELSE 'general' END AS segment_type,
+           concat('https://assets.example.com/',
+             replace(lower(c_mktsegment), ' ', '_'), '/', c_custkey, '.jpg') AS asset_url
+         FROM customer ORDER BY c_custkey""",
     "txt_token_topk" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
          c AS (SELECT tok, count(*) AS n FROM t WHERE length(tok) >= 4 GROUP BY tok),

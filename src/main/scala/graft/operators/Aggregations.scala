@@ -115,7 +115,36 @@ object Aggregations {
       .agg(count(lit(1)).as("n"))
       .orderBy("h")
 
+  /** O-40/O-41 capped-contribution scoring ladder
+    * (analyze_insta_enhanced.py:672-679, 283-303): per-entity score from
+    * min-capped indicator contributions, indicator list, authenticity
+    * complement and a quality label ladder. */
+  def scoringLadder(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    o.groupBy("o_custkey")
+      .agg(count(lit(1)).as("n_orders"),
+           davg(col("o_totalprice")).as("avg_price"),
+           max(col("o_totalprice")).as("max_price"))
+      .withColumn("i_low_avg", col("avg_price") < 50000.0)
+      .withColumn("i_big_single", col("max_price") > 400000.0)
+      .withColumn("score",
+        least(col("n_orders") * 10, lit(40L)) +
+          when(col("i_low_avg"), 25L).otherwise(0L) +
+          when(col("i_big_single"), 20L).otherwise(0L))
+      .withColumn("indicators", concat_ws(" | ",
+        when(col("i_low_avg"), lit("Low average order value")),
+        when(col("i_big_single"), lit("Single outsized order"))))
+      .withColumn("authenticity", greatest(lit(0L), lit(100L) - col("score")))
+      .withColumn("quality",
+        when(col("score") > 50, lit("Poor"))
+          .when(col("score") > 25, lit("Moderate"))
+          .otherwise(lit("Good")))
+      .select("o_custkey", "n_orders", "score", "indicators", "authenticity", "quality")
+      .orderBy("o_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
     "agg_customer_value"      -> customerValue _,
     "agg_consistency_score"   -> consistencyScore _,
@@ -126,6 +155,27 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_scoring_ladder" ->
+      """WITH s AS (
+           SELECT o_custkey, count(*) AS n_orders,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+             max(o_totalprice) AS max_price
+           FROM orders GROUP BY o_custkey),
+         sc AS (
+           SELECT o_custkey, n_orders,
+             avg_price < 50000.0 AS i_low_avg, max_price > 400000.0 AS i_big_single,
+             least(n_orders * 10, 40)
+               + CASE WHEN avg_price < 50000.0 THEN 25 ELSE 0 END
+               + CASE WHEN max_price > 400000.0 THEN 20 ELSE 0 END AS score
+           FROM s)
+         SELECT o_custkey, n_orders, score,
+           concat_ws(' | ',
+             CASE WHEN i_low_avg THEN 'Low average order value' END,
+             CASE WHEN i_big_single THEN 'Single outsized order' END) AS indicators,
+           greatest(0, 100 - score) AS authenticity,
+           CASE WHEN score > 50 THEN 'Poor' WHEN score > 25 THEN 'Moderate'
+                ELSE 'Good' END AS quality
+         FROM sc ORDER BY o_custkey""",
     "agg_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
