@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the scale contract, not just results.
+  * Locks in: parquet filter pushdown + column pruning, broadcast joins
+  * for small dimensions, whole-stage codegen on hot aggregations, and
+  * the absence of accidental cartesian products.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-plan-test")
+  val dir = "/root/testdata/sf0.01"
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filter + projection push into the parquet scan") {
+    val df = graft.sources.Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") > 30)
+      .select("l_orderkey", "l_quantity")
+    val plan = planOf(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30"),
+      s"no pushdown:\n$plan")
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"no column pruning:\n$plan")
+  }
+
+  test("star join broadcasts the small dimension side") {
+    val plan = planOf(Relational.starJoinRevenue(spark, dir))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
+  test("pricing summary is a partial+final hash aggregate inside codegen") {
+    val df = Aggregations.pricingSummary(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n$plan")
+    // partial before final: map-side partial_sum before the exchange
+    assert(plan.contains("partial_sum"), s"no partial aggregation:\n$plan")
+    // AQE finalizes the plan only on execution; `*(n)` marks a
+    // whole-stage-codegen stage in the final plan string
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan.toString
+    assert("\\*\\(\\d+\\) HashAggregate".r.findFirstIn(finalPlan).isDefined,
+      s"hash aggregate not inside a codegen stage:\n${finalPlan.take(2000)}")
+  }
+
+  test("anti-join resume does not build a cartesian product") {
+    val plan = planOf(Relational.antiJoinResume(spark, dir))
+    assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("theta contains-join is the only nested-loop plan and broadcasts the dim") {
+    val plan = planOf(Relational.thetaContainsJoin(spark, dir))
+    // no equi key exists — BroadcastNestedLoopJoin with the tiny dim
+    // broadcast is the honest plan (SURVEY O-25)
+    assert(plan.contains("BroadcastNestedLoopJoin"), s"expected BNLJ:\n$plan")
+  }
+
+  test("minhash signature computation stays map-side before the band join") {
+    val df = Dedup.minhashLshPairs(spark, dir)
+    val plan = planOf(df)
+    // exactly the LSH band-bucket shuffle + pair aggregation — the
+    // signature step itself must not introduce an explode+groupBy shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 4, s"too many shuffles ($exchanges) in LSH plan:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("IG report assembly joins on the creator key without cartesian products") {
+    val profiles = graft.ig.Instagram.readProfiles(spark, graft.ig.Instagram.profilesGlob())
+    val posts = graft.ig.Instagram.readPosts(spark, graft.ig.Instagram.postsGlob())
+    val plan = planOf(graft.ig.Report.assemble(profiles, posts, graft.ig.IgClock.golden))
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product in report DAG")
+  }
+}
