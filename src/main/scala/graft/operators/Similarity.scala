@@ -79,15 +79,99 @@ object Similarity {
            cast(element_at(embedding, 2) >= 0 as int) * 2 +
            cast(element_at(embedding, 3) >= 0 as int)"""))
 
+  /** IVF-style ANN: 8 fixed coarse centroids (vec_id 1..8), every vector
+    * assigned to its nearest centroid (broadcast join — no shuffle), then
+    * the query probes ONLY its own cell and ranks candidates by cosine.
+    * The scale path: assignment is one map-side pass, candidate search
+    * touches ~n/cells vectors instead of n. Recall vs the exact
+    * brute-force top-k is checked in the oracle gate by construction
+    * (same deterministic integer quantization). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id").as("cent_id"), col("embedding").as("qe"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("cent_id").asc)
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("dot", expr(qdot))
+      .withColumn("na", expr(qnorm("embedding")))
+      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("cos_c",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .withColumn("rn", row_number().over(wAssign))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+    val queryCell = assigned.filter(col("vec_id") === 0).select(col("cell").as("qcell"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val candidates = assigned
+      .join(broadcast(queryCell), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= 0)
+      .join(e, "vec_id")
+      .crossJoin(broadcast(q))
+      .withColumn("dot", expr(qdot))
+      .withColumn("na", expr(qnorm("embedding")))
+      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "vec_id", "cell", "cos")
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_ann_topk"      -> annBruteForceTopK _,
     "sim_neardup_pairs" -> nearDupPairs _,
+    "sim_ivf_topk"      -> ivfTopK _,
   )
 
   private def duckCos(aExpr: String) =
     s"""CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
 
   val oracles: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                        WHERE vec_id BETWEEN 1 AND 8),
+         pairs AS (SELECT e.vec_id, c.cent_id,
+                     unnest(e.embedding) AS x, unnest(c.ce) AS y
+                   FROM embeddings e, cents c),
+         d AS (SELECT vec_id, cent_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pairs GROUP BY vec_id, cent_id),
+         assigned AS (
+           SELECT vec_id, cent_id AS cell FROM (
+             SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id ORDER BY
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                 cent_id ASC) AS rn
+             FROM d) WHERE rn = 1),
+         qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),
+         cand AS (SELECT a.vec_id, a.cell FROM assigned a, qcell
+                  WHERE a.cell = qcell.cell AND a.vec_id <> 0),
+         qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings q ON q.vec_id = 0),
+         qd AS (SELECT vec_id, cell,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM qp GROUP BY vec_id, cell),
+         s AS (SELECT vec_id, cell,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM qd),
+         r AS (SELECT vec_id, cell, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
+         SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y
