@@ -60,7 +60,7 @@ object Multimodal {
   def featureStub(df: DataFrame, dims: Int = 8): DataFrame =
     df.withColumn("features", expr(
       s"""transform(sequence(1, $dims), i ->
-            cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) as float) / 65535.0)"""))
+            cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) / 65535.0 as float))"""))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta" -> binaryMeta _,

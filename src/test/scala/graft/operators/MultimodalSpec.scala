@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The multimodal plumbing contract: binary payloads, deterministic stub
+  * decode, frame sampling, feature vectors (builder brief — the codec
+  * call itself is stubbed, everything around it is real and tested). */
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-mm-test")
+  val dir = "/root/testdata/sf0.001"
+
+  lazy val decoded = Multimodal.decodeStub(Multimodal.binaryized(spark, dir)).cache()
+
+  test("binaryized: payload bytes round-trip the source text") {
+    val r = Multimodal.binaryized(spark, dir)
+      .select(col("doc_id"), col("text"), decode(col("payload"), "UTF-8").as("back"))
+      .filter(col("text") =!= col("back"))
+    assert(r.count() == 0)
+  }
+
+  test("decodeStub is deterministic and in-range") {
+    val rows = decoded.select("decoded.width", "decoded.height", "decoded.n_frames").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getInt(0) >= 16 && r.getInt(0) < 16 + 1024)
+      assert(r.getInt(1) >= 16 && r.getInt(1) < 16 + 1024)
+      assert(r.getInt(2) >= 1 && r.getInt(2) <= 33)
+    }
+    // deterministic: a second evaluation produces identical values
+    val again = Multimodal.decodeStub(Multimodal.binaryized(spark, dir))
+      .select("doc_id", "decoded.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    decoded.select("doc_id", "decoded.width").collect()
+      .foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
+  }
+
+  test("frameSample emits ceil(n_frames/k) rows per doc, stride k") {
+    val k = 4
+    val sampled = Multimodal.frameSample(decoded, k)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sampled"),
+        max("frame_idx").as("max_idx"), first("decoded.n_frames").as("nf"))
+      .collect()
+    sampled.foreach { r =>
+      val nf = r.getAs[Int]("nf"); val n = r.getAs[Long]("n_sampled")
+      assert(n == (nf + k - 1) / k, s"doc ${r.get(0)}: $n sampled for $nf frames")
+      assert(r.getAs[Int]("max_idx") < nf)
+    }
+  }
+
+  test("featureStub yields fixed-width unit-range vectors") {
+    val rows = Multimodal.featureStub(decoded, dims = 8).select("features").collect()
+    rows.foreach { r =>
+      val f = r.getSeq[Float](0)
+      assert(f.length == 8)
+      assert(f.forall(v => v >= 0.0f && v <= 1.0f))
+    }
+  }
+}
