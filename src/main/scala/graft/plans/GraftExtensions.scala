@@ -1,0 +1,38 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import graft.functions.PyRound
+
+/** Engine extension point (SURVEY §7.3): registers graft's custom
+  * Catalyst expressions with the session's FunctionRegistry so they are
+  * callable from SQL. Enable via
+  * `spark.sql.extensions=graft.plans.GraftExtensions` (done by
+  * [[graft.Sessions.local]]).
+  *
+  * Currently: `pyround(x, scale)` — CPython round semantics
+  * ([[graft.functions.PyRound]], codegen'd).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def buildPyRound(args: Seq[Expression]): Expression = args match {
+    case Seq(x) => PyRound(Cast(x, DoubleType), 0)
+    case Seq(x, s) => s match {
+      case Literal(i: Int, IntegerType) => PyRound(Cast(x, DoubleType), i)
+      case _ => throw new IllegalArgumentException(
+        "pyround scale must be an integer literal")
+    }
+    case _ => throw new IllegalArgumentException(
+      s"pyround expects 1 or 2 arguments, got ${args.length}")
+  }
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("pyround"),
+      new ExpressionInfo(classOf[PyRound].getCanonicalName, "pyround"),
+      (args: Seq[Expression]) => buildPyRound(args)))
+  }
+}
