@@ -168,19 +168,24 @@ object Extraction {
       ("Social Media Influencer", "10K-50K",   ("6×–10×", "300K", 200, 300, 500, 666, 1000)),
       ("Social Media Influencer", "50K-500K",  ("4×–7×", "1M", 1000, 1500, 2500, 3332, 5000)),
       ("Social Media Influencer", "500K-1M+",  ("3×–6×", "3.2M", 1600, 2400, 4000, 5332, 8000)))
-    def pick[T](get: ((String, String, Int, Int, Int, Int, Int)) => Any): Column =
+    def pickS(get: ((String, String, Int, Int, Int, Int, Int)) => String): Column =
       matrix.foldLeft(lit("N/A").cast("string")) { case (acc, (t, tr, v)) =>
-        when(col("creator_type") === t && col("tier") === tr, lit(String.valueOf(get(v)))).otherwise(acc)
+        when(col("creator_type") === t && col("tier") === tr, lit(get(v))).otherwise(acc)
+      }
+    // the five duration prices are NUMBERS in the report (json ints)
+    def pickN(get: ((String, String, Int, Int, Int, Int, Int)) => Int): Column =
+      matrix.foldLeft(lit(null).cast("long")) { case (acc, (t, tr, v)) =>
+        when(col("creator_type") === t && col("tier") === tr, lit(get(v).toLong)).otherwise(acc)
       }
     withType
       .withColumn("creator_pricing_metrics", struct(
-        pick(_._1).as("estimated_roi"),
-        pick(_._2).as("impressions_visibility"),
-        pick(_._3).as("time_15_seconds"),
-        pick(_._4).as("time_30_seconds"),
-        pick(_._5).as("time_60_seconds"),
-        pick(_._6).as("time_1_to_5_minutes"),
-        pick(_._7).as("time_greater_than_5_minutes")))
+        pickS(_._1).as("estimated_roi"),
+        pickS(_._2).as("impressions_visibility"),
+        pickN(_._3).as("time_15_seconds"),
+        pickN(_._4).as("time_30_seconds"),
+        pickN(_._5).as("time_60_seconds"),
+        pickN(_._6).as("time_1_to_5_minutes"),
+        pickN(_._7).as("time_greater_than_5_minutes")))
       .drop("ugc0")
   }
 
