@@ -22,7 +22,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregations.queries ++ Windows.queries ++
       TextFunctions.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      graft.ig.SynthIg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

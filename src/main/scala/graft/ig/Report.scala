@@ -16,7 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Report {
 
-  /** One row per creator with the full analyzed.json field set. */
+  /** One row per creator with the full analyzed.json field set.
+    *
+    * Shuffle shape (measured at sf0.1-scale synthesis, 15 k creators /
+    * 150 k posts): each analysis block shuffles its OWN pruned columns
+    * on the creator key rather than sharing one wide repartition —
+    * column pruning below the exchange moves less data in total than a
+    * single shared full-width exchange would, and the blocks'
+    * aggregations are partial+final so map-side combine shrinks each
+    * shuffle further. A shared up-front repartition was benchmarked and
+    * is not faster (pruning pushes through it, defeating reuse). */
   def assemble(profiles: DataFrame, posts: DataFrame, clock: IgClock): DataFrame = {
     val enriched = Extraction.enrich(profiles, posts)
     val metrics = Engagement.metrics(posts, profiles, clock)
