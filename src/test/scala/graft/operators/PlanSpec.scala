@@ -71,6 +71,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("bucketed tables co-locate the join: no exchange on either side") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_customer")
+    graft.sources.Tables.orders(spark, dir)
+      .write.option("path", s"$tmp/b_orders")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey").saveAsTable("b_orders")
+    graft.sources.Tables.customer(spark, dir)
+      .write.option("path", s"$tmp/b_customer")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey").saveAsTable("b_customer")
+    // force the shuffle-family join path (the broadcast plan would hide
+    // whether bucketing removed the exchanges)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val plan = try {
+      val joined = spark.table("b_orders")
+        .join(spark.table("b_customer"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment").count()
+      joined.collect()
+      joined.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+      s"expected a shuffle-family join over bucketed tables:\n$plan")
+    // co-located: the ONLY exchange allowed is the post-join aggregation's
+    val joinPart = plan.split("Join").tail.mkString("Join")
+    assert(!joinPart.contains("Exchange hashpartitioning(o_custkey") &&
+      !joinPart.contains("Exchange hashpartitioning(c_custkey"),
+      s"join sides re-shuffled despite bucketing:\n$plan")
+  }
+
   test("IG report assembly joins on the creator key without cartesian products") {
     val profiles = graft.ig.Instagram.readProfiles(spark, graft.ig.Instagram.profilesGlob())
     val posts = graft.ig.Instagram.readPosts(spark, graft.ig.Instagram.postsGlob())
