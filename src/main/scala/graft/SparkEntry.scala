@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.{TextAnalysis, TextFunctions}
-import graft.operators.{Aggregations, Dedup, Multimodal, Relational, Similarity, Windows}
+import graft.operators.{Aggregations, Dedup, Multimodal, Relational, Similarity, Skew, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Aggregations.queries ++ Windows.queries ++
       TextFunctions.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
       graft.ig.SynthIg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,5 +30,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregations.oracles ++ Windows.oracles ++
       TextFunctions.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles
 }
