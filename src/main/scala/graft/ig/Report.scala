@@ -114,8 +114,26 @@ object Report {
       .orderBy(desc("average_engagement_rate"))
   }
 
+  /** Distributed report sink for large creator sets: sorted JSON-lines
+    * (one creator per line) plus a one-row `_meta` document. The
+    * single-document contract below collects every creator into one row
+    * — correct for the reference's report sizes, unbounded at 100 TB;
+    * this is the shape that scales. */
+  def writeAnalyzedJsonl(report: DataFrame, path: String, clock: IgClock): Unit = {
+    report.orderBy(desc("average_engagement_rate"))
+      .drop("creator_key")
+      .write.mode("overwrite").json(s"$path/creators")
+    val spark = report.sparkSession
+    import spark.implicits._
+    Seq((clock.todayStr, report.count()))
+      .toDF("analysis_date", "total_creators_analyzed")
+      .coalesce(1).write.mode("overwrite").json(s"$path/_meta")
+  }
+
   /** analyzed.json sink (:2003-2022): a single JSON document
-    * `{analysis_date, total_creators_analyzed, creators:[sorted]}`. */
+    * `{analysis_date, total_creators_analyzed, creators:[sorted]}` —
+    * the reference's exact contract (use [[writeAnalyzedJsonl]] for
+    * unbounded creator counts). */
   def writeAnalyzedJson(report: DataFrame, path: String, clock: IgClock): Unit = {
     val doc = report.orderBy(desc("average_engagement_rate"))
       .drop("creator_key")
