@@ -52,10 +52,11 @@ object Partnerships {
         col("sponsor_tags").isNotNull && size(col("sponsor_tags")) > 0)
       .withColumn("is_sponsored", col("is_cap_sponsored") || col("is_tag_sponsored"))
       .withColumn("total_engagement", col("like_count") + col("comment_count"))
+      // (?U): Python's str \w is unicode-aware, Java's default is ASCII
       .withColumn("hashtags",
-        expr("regexp_extract_all(caption_text, '#(\\\\w+)', 1)"))
+        expr("regexp_extract_all(caption_text, '(?U)#(\\\\w+)', 1)"))
       .withColumn("mentions",
-        expr("regexp_extract_all(caption_text, '@(\\\\w+)', 1)"))
+        expr("regexp_extract_all(caption_text, '(?U)@(\\\\w+)', 1)"))
 
     val agg = p.groupBy("creator_key").agg(
       count(when(col("is_sponsored"), 1)).as("total_sponsored_posts"),
@@ -98,7 +99,7 @@ object Partnerships {
       // as sets)
       array_distinct(flatten(array_sort(collect_list(
         struct(col("ordinal"), expr(
-          "filter(regexp_extract_all(coalesce(caption_text, ''), '@(\\\\w+)', 1)," +
+          "filter(regexp_extract_all(coalesce(caption_text, ''), '(?U)@(\\\\w+)', 1)," +
             " m -> lower(m) NOT IN ('instagram','facebook','twitter'))").as("ms"))))
         .getField("ms"))).as("brand_mentions"))
 
