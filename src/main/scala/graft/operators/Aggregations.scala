@@ -143,7 +143,22 @@ object Aggregations {
       .orderBy("o_custkey")
   }
 
+  /** Sketch-based distinct counting — the 100 TB path for the exact
+    * `countDistinct`s in O-42/O-44 (travel_frequency, platform stats):
+    * HLL++ partial sketches merge associatively, so the count costs one
+    * map-side pass + tiny sketch shuffle instead of a full distinct
+    * shuffle. Spark-only (sketch differs from DuckDB's); accuracy is
+    * asserted against the exact count in `ApproxDistinctSpec`. */
+  def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_distinct"     -> approxDistinct _, // rows-only (sketch ≠ DuckDB's)
     "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
     "agg_customer_value"      -> customerValue _,
