@@ -152,7 +152,9 @@ object Report {
   def txtSummaries(report: DataFrame): DataFrame = {
     val bar = "=" * 120
     val sub = "-" * 60
-    def na(c: Column): Column = coalesce(c.cast("string"), lit("N/A"))
+    // dict.get(k, 'N/A') returns None — printed "None" — when the key
+    // exists with a null value, which is always the case here (:1866-1899)
+    def na(c: Column): Column = coalesce(c.cast("string"), lit("None"))
     val header = concat_ws("\n",
       lit(bar), lit("COMPREHENSIVE INSTAGRAM PROFILE ANALYSIS & INSIGHTS REPORT "),
       lit(bar), lit(""),
@@ -166,8 +168,11 @@ object Report {
       concat(lit("Email: "), na(col("email"))),
       concat(lit("Phone: "), na(col("phone_number"))), lit(""),
       lit("📈 ENGAGEMENT METRICS"), lit(sub),
+      // the no-recent-posts path returns the INT 0 (round(0, 2) stays
+      // int, :1496-1543), printed "0" not "0.0"
       concat(lit("Average Engagement Rate: "),
-        coalesce(col("average_engagement_rate").cast("string"), lit("0")), lit("%")),
+        when(col("total_posts_last_3_months") === 0, lit("0"))
+          .otherwise(col("average_engagement_rate").cast("string")), lit("%")),
       concat(lit("Total Posts (Last 3 Months): "),
         coalesce(col("total_posts_last_3_months").cast("string"), lit("0"))),
       concat(lit("Collaboration Status: "), coalesce(col("collaboration_status"), lit("None"))),
