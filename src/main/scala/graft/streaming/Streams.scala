@@ -119,6 +119,22 @@ object Streams {
       }
   }
 
+  /** File-source stream over the driver's `events.parquet` (TESTDATA):
+    * the batch reader's nanos-as-long handling applied to readStream —
+    * schema must be declared up front for file streams. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   /** Convenience: drive any of the above to an in-memory sink (tests,
     * interactive inspection). */
   def toMemorySink(df: DataFrame, name: String): StreamingQuery =

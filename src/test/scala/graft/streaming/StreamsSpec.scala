@@ -58,6 +58,23 @@ class StreamsSpec extends AnyFunSuite {
     assert(m("b") == ((1L, 5L, 0L, 50L)))
   }
 
+  test("file-source stream over events.parquet matches the batch aggregation") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = Streams.windowedEventCounts(
+      Streams.readEventsStream(spark, dir), "1 day", "0 seconds")
+    val q = stream.writeStream.format("memory").queryName("file_stream_out")
+      .outputMode(OutputMode.Update()).start()
+    q.processAllAvailable()
+    val streamed = spark.table("file_stream_out")
+      .groupBy("event_type").agg(sum("n").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    q.stop()
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import Streams.{Event, Session}
     val in = MemoryStream[Event]
