@@ -35,9 +35,14 @@ object ProfileAnalysis {
       .join(agg, Seq("creator_key"), "left")
       .withColumn("computed", coalesce(col("post_count"), lit(0L)) > 0 && col("f") > 0)
     joined
-      .withColumn("avg_l", col("tl").cast("double") / col("post_count"))
-      .withColumn("avg_c", col("tc").cast("double") / col("post_count"))
-      .withColumn("er", (col("tl") + col("tc")).cast("double") / col("post_count") / col("f") * 100.0)
+      // guarded by `computed`: the default path (no posts / 0 followers,
+      // :262-263) must not evaluate the divisions (ANSI divide-by-zero)
+      .withColumn("avg_l",
+        when(col("computed"), col("tl").cast("double") / col("post_count")))
+      .withColumn("avg_c",
+        when(col("computed"), col("tc").cast("double") / col("post_count")))
+      .withColumn("er", when(col("computed"),
+        (col("tl") + col("tc")).cast("double") / col("post_count") / col("f") * 100.0))
       .withColumn("i1", col("computed") && col("er") < 0.5)
       .withColumn("i2", col("computed") && col("f") > 10000 && col("fg") < 100 && col("er") < 1)
       .withColumn("i3", col("computed") && col("avg_l") > 100 && col("avg_c") < col("avg_l") * 0.01)
