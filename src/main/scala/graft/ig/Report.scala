@@ -227,9 +227,13 @@ object Report {
           when(col("social_links.youtube").isNotNull && col("social_links.youtube") =!= "", 1).otherwise(0) +
           when(col("social_links.linktree").isNotNull && col("social_links.linktree") =!= "", 1).otherwise(0)) > 1, 1))
         .as("multi_platform_count"))
-      .withColumn("tiktok_pct", round(col("tiktok_count") * 100.0 / col("total_creators"), 1))
-      .withColumn("youtube_pct", round(col("youtube_count") * 100.0 / col("total_creators"), 1))
-      .withColumn("linktree_pct", round(col("linktree_count") * 100.0 / col("total_creators"), 1))
-      .withColumn("multi_platform_pct", round(col("multi_platform_count") * 100.0 / col("total_creators"), 1))
+      .withColumn("tiktok_pct",
+        round(col("tiktok_count") * 100.0 / nullif(col("total_creators"), lit(0)), 1))
+      .withColumn("youtube_pct",
+        round(col("youtube_count") * 100.0 / nullif(col("total_creators"), lit(0)), 1))
+      .withColumn("linktree_pct",
+        round(col("linktree_count") * 100.0 / nullif(col("total_creators"), lit(0)), 1))
+      .withColumn("multi_platform_pct",
+        round(col("multi_platform_count") * 100.0 / nullif(col("total_creators"), lit(0)), 1))
   }
 }
