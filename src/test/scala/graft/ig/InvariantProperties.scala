@@ -118,6 +118,52 @@ object InvariantProperties extends Properties("graft-invariants") {
         }
     }
 
+  private val edgeCaption = Gen.oneOf(caption, Gen.const(""), Gen.const("#ad"),
+    Gen.const("@x @ab"), Gen.const("émoji ünïcode #perché @caffè.it"))
+
+  private def edgePostsGen(nCreators: Int) = for {
+    counts <- Gen.listOfN(nCreators, Gen.choose(0, 6))
+    posts <- Gen.sequence[List[List[GenPost]], List[GenPost]](
+      counts.zipWithIndex.map { case (n, ci) =>
+        Gen.listOfN(n, for {
+          l <- Gen.oneOf(Gen.const(0L), Gen.choose(0L, 5000L))
+          t <- Gen.oneOf(Gen.const(0L), Gen.choose(clock.cutoff(400), clock.nowEpoch))
+          cap <- edgeCaption
+          paid <- Gen.oneOf(true, false)
+          owner <- Gen.oneOf(s"creator$ci", "someoneelse", "")
+        } yield GenPost(s"creator$ci", 0, l, 0L, t, cap, s"creator$ci",
+          owner, Seq("coauth1"), paid, "clips", "c")).map(
+          _.zipWithIndex.map { case (p, i) => p.copy(ordinal = i, code = s"c${ci}_$i") })
+      })
+  } yield posts.flatten
+
+  property("full report assembly never throws on edge-heavy data") =
+    Prop.forAll(Gen.choose(1, 3).flatMap(n => Gen.zip(edgePostsGen(n), profilesGen(n)))) {
+      case (ps, prs) =>
+        val posts = ps.toDF()
+          .withColumn("pk", col("code")).withColumn("id", col("code"))
+          .withColumn("is_video", lit(true)).withColumn("media_type", lit(1L))
+          .withColumn("sponsor_usernames", expr("cast(array() as array<string>)"))
+          .withColumn("sponsor_tags", expr("cast(null as array<struct<" +
+            "sponsor:struct<pk:string,username:string,id:string,full_name:string>," +
+            "username:string,is_pending:boolean>>)"))
+          .withColumn("location",
+            expr("cast(null as struct<pk:string,lat:double,lng:double,name:string>)"))
+        val profiles = prs.toDF("creator_key", "follower_count", "following_count",
+          "biography", "username", "full_name")
+          .withColumn("media_count", lit(null).cast("long"))
+          .withColumn("category", lit(null).cast("string"))
+          .withColumn("is_private", lit(false))
+          .withColumn("is_verified", lit(false))
+          .withColumn("is_business", lit(false))
+          .withColumn("external_url", lit(null).cast("string"))
+          .withColumn("pronouns", lit(null).cast("array<string>"))
+          .withColumn("bio_links",
+            expr("cast(null as array<struct<title:string,url:string,link_type:string>>)"))
+        val rows = Report.assemble(profiles, posts, clock).collect()
+        rows.length == prs.length
+    }
+
   property("top-6 posts: bounded size, ER formula, desc interaction order") =
     Prop.forAll(Gen.choose(1, 3).flatMap(n => Gen.zip(postsGen(n), profilesGen(n)))) {
       case (ps, prs) =>
