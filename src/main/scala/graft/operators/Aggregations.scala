@@ -157,7 +157,24 @@ object Aggregations {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Hierarchical rollup (beyond the reference's flat groupBys): order
+    * counts per (region, nation) with nation and grand totals — one
+    * shuffle, the expanded grouping handled map-side. */
+  def rollupRegionNation(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(spark, dir).select("n_nationkey", "n_name", "n_regionkey")
+    val r = Tables.region(spark, dir).select("r_regionkey", "r_name")
+    Tables.orders(spark, dir)
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinct _, // rows-only (sketch ≠ DuckDB's)
     "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
@@ -170,6 +187,15 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY ROLLUP (r_name, n_name)
+         ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""",
     "agg_scoring_ladder" ->
       """WITH s AS (
            SELECT o_custkey, count(*) AS n_orders,
