@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 import graft.sources.Tables
+import graft.functions.Det._
 
 /** Window functions / sorts / top-k / order-dependent semantics —
   * SURVEY.md §2.5 (+ the order-sensitive aggs of §2.4) generalized to the
@@ -154,7 +155,33 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Batch gap-sessionization (the oracle-checkable complement to
+    * streaming/Streams.sessionize): a new session starts after >30 min
+    * of inactivity; session id = running count of session starts (lag +
+    * cumulative sum — two windows over one user partition, one shuffle). */
+  def sessionizeEvents(spark: SparkSession, dir: String): DataFrame = {
+    // micros, not nanos: DuckDB truncates parquet TIMESTAMP(NANOS) to
+    // microsecond TIMESTAMP, so the cross-engine contract is micros
+    val gapUs = 30L * 60 * 1000 * 1000
+    val wU = Window.partitionBy("user_id").orderBy(col("ts_us").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .withColumn("ts_us", expr("ts_ns div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wU))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        wU.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        dsum(col("value")).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
     "win_latest_k_per_user"  -> latestEventsPerUser _,
     "win_lag_gap_frequency"  -> lagGapFrequency _,
@@ -166,6 +193,25 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_sessionize" ->
+      """WITH g AS (
+           SELECT user_id, event_id, ts, value,
+             epoch_us(ts) AS ts_us,
+             lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+           FROM events),
+         m AS (
+           SELECT user_id, event_id, ts_us, value,
+             CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000 THEN 1 ELSE 0 END AS new_session
+           FROM g),
+         sess AS (
+           SELECT user_id, event_id, ts_us, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+           FROM m)
+         SELECT user_id, session_id, count(*) AS n_events,
+           min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+         FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id""",
     "win_topk_per_customer" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,
