@@ -77,7 +77,45 @@ object TextAnalysis {
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
+  /** Deterministic train/val/test split assignment: bucket by content-id
+    * hash (md5 — engine-portable), 90/5/5. The standard reproducible
+    * split for training corpora — no RNG, stable under re-partitioning
+    * and re-runs. */
+  def splitAssign(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"))
+      .orderBy("split")
+
+  /** Composed corpus-cleaning recipe (the C4-style shape): stopword-ratio
+    * quality gate → exact dedup keep-first → per-language counts. Every
+    * stage is one of the already-gated operators; this checks their
+    * composition end-to-end. */
+  def cleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("stop_ratio",
+        size(expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and'))"))
+          .cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 10 && col("stop_ratio") <= 0.4)
+    val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens_total"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_split_assign" -> splitAssign _,
+    "ta_clean_corpus" -> cleanCorpus _,
     "ta_langid_ngram" -> langIdNgram _,
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
@@ -85,6 +123,29 @@ object TextAnalysis {
   )
 
   val oracles: Map[String, String] = Map(
+    "ta_split_assign" ->
+      """WITH b AS (
+           SELECT doc_id, n_chars,
+             list_reduce([strpos('0123456789abcdef', c) - 1
+                          FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+                         (a, v) -> a * 16 + v) % 100 AS bucket
+           FROM documents)
+         SELECT CASE WHEN bucket < 90 THEN 'train'
+                     WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, sum(n_chars) AS n_chars
+         FROM b GROUP BY 1 ORDER BY split""",
+    "ta_clean_corpus" ->
+      """WITH s AS (
+           SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the','a','and'))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS stop_ratio
+           FROM documents),
+         f AS (SELECT * FROM s WHERE n_tokens >= 10 AND stop_ratio <= 0.4),
+         d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
+         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens_total
+         FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang""",
     "ta_langid_ngram" ->
       """WITH profile(plang, pword) AS (VALUES
            ('en','the'),('en','a'),('en','fast'),
