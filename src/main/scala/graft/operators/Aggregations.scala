@@ -173,7 +173,35 @@ object Aggregations {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Wide pivot: per-user event counts, one column per event type
+    * (Spark's groupBy().pivot() with the value set pinned — no extra
+    * distinct-values job, fixed output schema at any scale). */
+  def pivotEventTypes(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("user_id")
+
+  /** Corpus profiling percentiles (training-data QA): interpolated
+    * quantiles of document length — `percentile` matches DuckDB's
+    * quantile_cont definition exactly. */
+  def docLengthPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50"),
+        expr("percentile(n_chars, 0.9)").as("p90"),
+        expr("percentile(n_chars, 0.99)").as("p99"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_pivot_event_types"   -> pivotEventTypes _,
+    "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinct _, // rows-only (sketch ≠ DuckDB's)
     "agg_scoring_ladder"      -> scoringLadder _,
@@ -187,6 +215,21 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_pivot_event_types" ->
+      """SELECT user_id,
+           count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+           count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+           count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+           count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+         FROM events GROUP BY user_id ORDER BY user_id""",
+    "agg_doc_percentiles" ->
+      """SELECT lang, count(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50,
+           quantile_cont(n_chars, 0.9) AS p90,
+           quantile_cont(n_chars, 0.99) AS p99,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     "agg_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
