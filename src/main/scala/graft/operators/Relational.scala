@@ -137,7 +137,20 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** Set intersection (completes the set-op family beyond the
+    * reference's union/except): customers appearing in BOTH the
+    * high-value and recent-order key sets. */
+  def intersectKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val highValue = o.filter(col("o_totalprice") > 300000.0).select("o_custkey")
+    val recent = o.filter(col("o_orderdate") >=
+      lit(java.time.LocalDateTime.of(1997, 1, 1, 0, 0))).select("o_custkey")
+    highValue.intersect(recent)
+      .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_intersect"            -> intersectKeys _,
     "rel_scan_project_region"    -> scanProjectRegion _,
     "rel_filter_timerange"       -> filterTimerangeOrders _,
     "rel_anti_join_resume"       -> antiJoinResume _,
@@ -150,6 +163,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
+         INTERSECT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+         ORDER BY custkey""",
     "rel_scan_project_region" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "rel_filter_timerange" ->

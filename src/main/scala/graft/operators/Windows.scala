@@ -180,7 +180,21 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Analytic-function family in one pass: quartile (ntile), dense rank
+    * and cumulative distribution of customer balances per market segment. */
+  def analyticRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("c_acctbal").desc, col("c_custkey").asc)
+    Tables.customer(spark, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("drank", dense_rank().over(w))
+      .withColumn("cdist", cume_dist().over(w))
+      .select("c_custkey", "c_mktsegment", "c_acctbal", "quartile", "drank", "cdist")
+      .orderBy("c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
     "win_latest_k_per_user"  -> latestEventsPerUser _,
@@ -193,6 +207,12 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_analytic_ranks" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+           ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
+           dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS drank,
+           cume_dist() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS cdist
+         FROM customer ORDER BY c_custkey""",
     "win_sessionize" ->
       """WITH g AS (
            SELECT user_id, event_id, ts, value,
