@@ -67,24 +67,41 @@ class GoldenFullDiffSpec extends AnyFunSuite {
     }
   }
 
-  test("every field of every creator matches golden analyzed.json") {
+  private lazy val goldenByUser = {
     val goldenDoc = mapper.readTree(
       java.nio.file.Files.readString(java.nio.file.Paths.get("/root/reference/analyzed.json")))
-    val goldenByUser = goldenDoc.get("creators").elements().asScala
+    goldenDoc.get("creators").elements().asScala
       .map(c => c.get("username").asText() -> c).toMap
+  }
 
+  private def diffAll(mine: Map[String, JsonNode]): Seq[String] = {
+    assert(mine.keySet.subsetOf(goldenByUser.keySet),
+      s"unexpected creators: ${mine.keySet -- goldenByUser.keySet}")
+    assert(mine.size == 9)
+    mine.toSeq.sortBy(_._1).flatMap { case (user, m) => diff(user, goldenByUser(user), m) }
+  }
+
+  test("every field of every creator matches golden analyzed.json") {
     val mine = Report.assemble(profiles, posts, IgClock.golden).drop("creator_key")
       .toJSON.collect().map(mapper.readTree)
       .map(c => c.get("username").asText() -> c).toMap
 
-    assert(mine.keySet.subsetOf(goldenByUser.keySet),
-      s"unexpected creators: ${mine.keySet -- goldenByUser.keySet}")
-    assert(mine.size == 9)
-
-    val problems = mine.toSeq.sortBy(_._1).flatMap { case (user, m) =>
-      diff(user, goldenByUser(user), m)
-    }
+    val problems = diffAll(mine)
     assert(problems.isEmpty,
       s"${problems.length} field mismatches:\n${problems.take(40).mkString("\n")}")
+  }
+
+  test("the WRITTEN analyzed.json document also matches golden") {
+    val out = "/tmp/graft_fulldiff_json"
+    val report = Report.assemble(profiles, posts, IgClock.golden)
+    Report.writeAnalyzedJson(report, out, IgClock.golden)
+    val doc = spark.read.option("multiLine", true).json(out)
+    import org.apache.spark.sql.functions._
+    val mine = doc.select(explode(col("creators")).as("c")).select("c.*")
+      .toJSON.collect().map(mapper.readTree)
+      .map(c => c.get("username").asText() -> c).toMap
+    val problems = diffAll(mine)
+    assert(problems.isEmpty,
+      s"${problems.length} field mismatches in written doc:\n${problems.take(40).mkString("\n")}")
   }
 }
