@@ -135,6 +135,18 @@ object Streams {
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
 
+  /** Durable sink: drive a streaming DataFrame to parquet via
+    * foreachBatch with a checkpoint — restart-safe micro-batch delivery
+    * (the batch id makes retried batches idempotent overwrites). */
+  def toParquetSink(df: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode(OutputMode.Update())
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        batch.write.mode("overwrite").parquet(s"$outDir/batch_$batchId")
+      }
+      .start()
+
   /** Convenience: drive any of the above to an in-memory sink (tests,
     * interactive inspection). */
   def toMemorySink(df: DataFrame, name: String): StreamingQuery =

@@ -75,6 +75,21 @@ class StreamsSpec extends AnyFunSuite {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("foreachBatch parquet sink persists micro-batches with a checkpoint") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val in = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = Streams.windowedEventCounts(
+      in.toDF().toDF("ts", "event_type", "value"), "10 minutes", "30 minutes")
+    val q = Streams.toParquetSink(agg, s"$base/out", s"$base/ckpt")
+    in.addData((ts(0), "click", 1.0), (ts(2), "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$base/out/batch_*")
+    assert(written.count() >= 2)
+    assert(written.columns.contains("event_type"))
+    assert(new java.io.File(s"$base/ckpt/offsets").exists, "no checkpoint written")
+  }
+
   test("sessionize closes a session after the inactivity gap") {
     import Streams.{Event, Session}
     val in = MemoryStream[Event]
