@@ -55,6 +55,18 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("decoded.n_frames") - 1, lit(everyK))))
 
+  /** Resize stub: clamps the stubbed dimensions to a bounding box
+    * preserving aspect ratio (integer arithmetic; the real pixel work
+    * would live in the decode library). */
+  def resizeStub(df: DataFrame, maxSide: Int = 256): DataFrame =
+    df.withColumn("resized", expr(
+      s"""CASE WHEN greatest(decoded.width, decoded.height) <= $maxSide THEN
+            named_struct('width', decoded.width, 'height', decoded.height)
+          ELSE named_struct(
+            'width',  greatest(1, cast(decoded.width  * $maxSide / greatest(decoded.width, decoded.height) as int)),
+            'height', greatest(1, cast(decoded.height * $maxSide / greatest(decoded.width, decoded.height) as int)))
+          END"""))
+
   /** Feature-extraction stub: fixed-width feature vector per payload,
     * derived from content hash — stands in for an image embedding. */
   def featureStub(df: DataFrame, dims: Int = 8): DataFrame =

@@ -47,6 +47,19 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("resizeStub clamps to the bounding box preserving aspect") {
+    val rows = Multimodal.resizeStub(decoded, 256)
+      .select("decoded.width", "decoded.height", "resized.width", "resized.height")
+      .collect()
+    rows.foreach { r =>
+      val (w, h, rw, rh) = (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(rw <= 256 && rh <= 256 && rw >= 1 && rh >= 1)
+      if (math.max(w, h) <= 256) assert(rw == w && rh == h)
+      else assert(math.max(rw, rh) == 256 ||
+        math.abs(math.max(rw, rh) - 256) <= 1) // integer truncation
+    }
+  }
+
   test("featureStub yields fixed-width unit-range vectors") {
     val rows = Multimodal.featureStub(decoded, dims = 8).select("features").collect()
     rows.foreach { r =>
