@@ -88,6 +88,29 @@ object CollabDifferentialSpec extends Properties("collab-differential") {
     (finalStatus, all.toSeq, recent)
   }
 
+  /** Direct port of extract_ugc_examples (:1114-1251), test oracle only. */
+  private def referenceUgc(posts: Seq[GenPost]): String = {
+    if (posts.isEmpty) return ""
+    val uname = Option(posts.head.user_username).filter(_ != null)
+    val codes = scala.collection.mutable.ArrayBuffer[String]()
+    def clips = posts.filter(p => p.product_type == "clips" &&
+      p.code != null && p.code.nonEmpty)
+    def add(code: String): Unit =
+      if (codes.size < 3 && !codes.contains(code)) codes += code
+    clips.filter(_.is_paid_partnership).foreach(p => add(p.code))
+    if (codes.size < 3) clips.filter { p =>
+      val cl = Option(p.caption_text).getOrElse("").toLowerCase
+      cl.contains("#ad") || cl.contains("#collab")
+    }.foreach(p => add(p.code))
+    if (codes.size < 3 && uname.isDefined) clips.filter(p =>
+      Option(p.owner_username).exists(o => o.nonEmpty && o != uname.get))
+      .foreach(p => add(p.code))
+    if (codes.size < 3 && uname.isDefined) clips.filter(_.coauthor_usernames
+      .exists(c => c != null && c.nonEmpty && c != uname.get))
+      .foreach(p => add(p.code))
+    codes.map(c => s"https://www.instagram.com/p/$c").mkString(" | ")
+  }
+
   private val capGen = Gen.oneOf(
     "say hi to @brand.one and @an #ad", "#collab with @second_brand ok",
     "plain caption", "@xy too-short @the stopword", "#adventure time @trailmix",
@@ -99,8 +122,9 @@ object CollabDifferentialSpec extends Properties("collab-differential") {
       t <- Gen.oneOf(Gen.const(0L), Gen.choose(clock.cutoff(400), clock.nowEpoch))
       owner <- Gen.oneOf(s"c$ci", "other_owner", "")
       coas <- Gen.oneOf(Seq(), Seq("coa1"), Seq("coa1", s"c$ci"))
+      pt <- Gen.oneOf("clips", "clips", "feed")
     } yield GenPost(s"c$ci", 0, 1L, 1L, t, cap, s"c$ci", owner, coas,
-      paid, "feed", "k")).map(
+      paid, pt, "k")).map(
       _.zipWithIndex.map { case (p, i) => p.copy(ordinal = i, code = s"k$i") }))
 
   property("spark cascade equals the imperative reference port") =
@@ -125,12 +149,16 @@ object CollabDifferentialSpec extends Properties("collab-differential") {
                 c.getAs[String]("source"))),
             r.getAs[Long]("recent_collaborations")))
         }.toMap
+        val gotUgc = Partnerships.ugcExamples(df).collect()
+          .map(r => r.getAs[String]("creator_key") -> r.getAs[String]("ugc_examples")).toMap
         pss.filter(_.nonEmpty).forall { ps =>
           val key = ps.head.creator_key
           val want = reference(ps)
           val have = got(key)
-          val ok = have == ((want._1, want._2, want._3))
-          if (!ok) println(s"MISMATCH $key:\n want=$want\n have=$have\n posts=${ps.map(p => (p.ordinal, p.caption_text, p.is_paid_partnership, p.owner_username, p.coauthor_usernames, p.taken_at != 0))}")
+          val wantUgc = referenceUgc(ps)
+          val haveUgc = gotUgc.getOrElse(key, "")
+          val ok = have == ((want._1, want._2, want._3)) && haveUgc == wantUgc
+          if (!ok) println(s"MISMATCH $key:\n want=$want ugc=[$wantUgc]\n have=$have ugc=[$haveUgc]\n posts=${ps.map(p => (p.ordinal, p.caption_text, p.is_paid_partnership, p.owner_username, p.coauthor_usernames, p.product_type, p.taken_at != 0))}")
           ok
         }
       }
