@@ -149,7 +149,19 @@ object Relational {
       .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
   }
 
+  /** O-55's set-difference as EXCEPT (distinct semantics, vs the
+    * row-preserving left-anti join of rel_anti_join_resume). */
+  def exceptKeys(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    val all = o.select("o_custkey")
+    val recent = o.filter(col("o_orderdate") >=
+      lit(java.time.LocalDateTime.of(1998, 1, 1, 0, 0))).select("o_custkey")
+    all.except(recent)
+      .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_except"               -> exceptKeys _,
     "rel_intersect"            -> intersectKeys _,
     "rel_scan_project_region"    -> scanProjectRegion _,
     "rel_filter_timerange"       -> filterTimerangeOrders _,
@@ -163,6 +175,11 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "rel_except" ->
+      """SELECT o_custkey AS custkey FROM orders
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+         ORDER BY custkey""",
     "rel_intersect" ->
       """SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000.0
          INTERSECT
