@@ -132,7 +132,7 @@ object TextAnalysis {
            FROM documents)
          SELECT CASE WHEN bucket < 90 THEN 'train'
                      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
-           count(*) AS n_docs, sum(n_chars) AS n_chars
+           count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_chars
          FROM b GROUP BY 1 ORDER BY split""",
     "ta_clean_corpus" ->
       """WITH s AS (
@@ -144,7 +144,7 @@ object TextAnalysis {
            FROM documents),
          f AS (SELECT * FROM s WHERE n_tokens >= 10 AND stop_ratio <= 0.4),
          d AS (SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM f)
-         SELECT lang, count(*) AS n_docs, sum(n_tokens) AS n_tokens_total
+         SELECT lang, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
          FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang""",
     "ta_langid_ngram" ->
       """WITH profile(plang, pword) AS (VALUES

@@ -200,7 +200,7 @@ object TextFunctions {
            ('storage','table',2),('storage','column',2),('storage','row',1),('storage','batch',1),
            ('perf','fast',2),('perf','slow',2),('perf','big',1),('perf','small',1)),
          t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok FROM documents),
-         s AS (SELECT doc_id, category, sum(weight) AS score
+         s AS (SELECT doc_id, category, CAST(sum(weight) AS BIGINT) AS score
                FROM t JOIN dim ON tok = kw GROUP BY doc_id, category),
          r AS (SELECT doc_id, category, score,
                  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, category ASC) AS rnk
@@ -226,7 +226,7 @@ object TextFunctions {
          FROM customer ORDER BY c_custkey""",
     "txt_json_get" ->
       """SELECT event_type, count(*) AS n,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DOUBLE)
              / count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS avg_k
          FROM events GROUP BY event_type ORDER BY event_type""",

@@ -145,9 +145,9 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_exact_summary" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
-         SELECT SUM(c) AS n_docs, count(*) AS n_distinct,
+         SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
                 count(CASE WHEN c > 1 THEN 1 END) AS dup_groups,
-                coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS dup_rows
+                CAST(coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_rows
          FROM g""",
     "dd_jaccard_adjacent" ->
       s"""WITH $shingleCte
@@ -197,7 +197,7 @@ object Dedup {
                    FROM h CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
                    GROUP BY doc_id, j)
          SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(1 << j AS BIGINT) ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
   )
 }

@@ -225,8 +225,8 @@ object Windows {
            FROM g),
          sess AS (
            SELECT user_id, event_id, ts_us, value,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+             CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
            FROM m)
          SELECT user_id, session_id, count(*) AS n_events,
            min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,

@@ -70,6 +70,26 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: schema mismatch spark={sc} oracle={oc}")
             n_fail += 1
             continue
+        # Typed check: driver hashes pandas-converted values. All <=64-bit int
+        # types stringify identically, but HUGEINT converts to float64
+        # ("123.0" != "123"), so SUM(int) oracles must be CAST to BIGINT.
+        # Round-1 evidence: INTEGER-vs-BIGINT queries were hash-green, the 7
+        # HUGEINT ones were not.
+        def tclass(t):
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int64ish"
+            return t
+        otypes = {r[0]: r[1] for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+        stypes = {r[0]: r[1] for r in con.execute(
+            f"DESCRIBE SELECT * FROM read_parquet({spark_glob!r})").fetchall()}
+        tbad = [(c, otypes.get(c), stypes.get(c)) for c in oc
+                if tclass(otypes.get(c)) != tclass(stypes.get(c))]
+        if tbad:
+            c, ot, st = tbad[0]
+            print(f"FAIL {name}: TYPE col {c}: oracle={ot} spark={st}")
+            n_fail += 1
+            continue
         if len(orr) != len(srr):
             print(f"FAIL {name}: rowcount spark={len(srr)} oracle={len(orr)}")
             n_fail += 1
