@@ -80,37 +80,56 @@ object Similarity {
            cast(element_at(embedding, 3) >= 0 as int)"""))
 
   /** IVF-style ANN: 8 fixed coarse centroids (vec_id 1..8), every vector
-    * assigned to its nearest centroid (broadcast join — no shuffle), then
-    * the query probes ONLY its own cell and ranks candidates by cosine.
-    * The scale path: assignment is one map-side pass, candidate search
-    * touches ~n/cells vectors instead of n. Recall vs the exact
-    * brute-force top-k is checked in the oracle gate by construction
-    * (same deterministic integer quantization). */
+    * assigned to its nearest centroid, then the query probes ONLY its own
+    * cell and ranks candidates by cosine.
+    *
+    * Scale path: real IVF fits centroids offline (sampled k-means) and
+    * ships them to workers as metadata, so the 8-row collect here is the
+    * broadcast step, not a data-path collect. With centroids inlined as
+    * literals, assignment is a pure per-row argmax projection — the
+    * 8x crossJoin + Window.partitionBy(vec_id) shuffle of the expanded
+    * table (the round-1 formulation) disappears entirely, and because the
+    * projection keeps the quantized vector, the candidate scoring needs no
+    * re-join with the source either. Zero Exchange before the final
+    * top-k. Tie-break matches the old window (cos desc, cent_id asc):
+    * centroids are folded in ascending cent_id order with a strict `>`. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id").as("cent_id"), col("embedding").as("qe"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("cos_c").desc, col("cent_id").asc)
-    val assigned = e.crossJoin(broadcast(cents))
-      .withColumn("dot", expr(qdot))
-      .withColumn("na", expr(qnorm("embedding")))
-      .withColumn("nb", expr(qnorm("qe")))
-      .withColumn("cos_c",
-        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-      .withColumn("rn", row_number().over(wAssign))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cent_id").as("cell"))
+    val cents: Array[(Long, Array[Long])] = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .sortBy(_._1)
+    val centsLit = cents.map { case (id, qv) =>
+      val nb = qv.map(v => v * v).sum
+      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array(${qv.mkString("L,")}L))"
+    }.mkString("array(", ", ", ")")
+    val assigned = e
+      .withColumn("qv",
+        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
+      .withColumn("na", expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("cell", expr(
+        s"""aggregate(
+              transform($centsLit, c -> named_struct(
+                'cos', cast(aggregate(zip_with(qv, c.ce, (x, y) -> x * y), 0L,
+                            (acc, v) -> acc + v) as double)
+                       / (sqrt(cast(na as double)) * sqrt(cast(c.nb as double))),
+                'cell', c.cell)),
+              named_struct('cos', cast('-Infinity' as double), 'cell', -1L),
+              (best, s) -> if(s.cos > best.cos, s, best)).cell"""))
+      .select(col("vec_id"), col("cell"), col("qv"), col("na"))
     val queryCell = assigned.filter(col("vec_id") === 0).select(col("cell").as("qcell"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val candidates = assigned
       .join(broadcast(queryCell), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= 0)
-      .join(e, "vec_id")
       .crossJoin(broadcast(q))
-      .withColumn("dot", expr(qdot))
-      .withColumn("na", expr(qnorm("embedding")))
-      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("qe2",
+        expr("transform(qe, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
+      .withColumn("dot",
+        expr("aggregate(zip_with(qv, qe2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("nb", expr("aggregate(qe2, 0L, (acc, v) -> acc + v * v)"))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.orderBy(col("cos").desc, col("vec_id").asc)

@@ -102,6 +102,18 @@ class PlanSpec extends AnyFunSuite {
       s"join sides re-shuffled despite bucketing:\n$plan")
   }
 
+  test("IVF assignment is a per-row projection: no hash-partition exchange anywhere") {
+    val df = Similarity.ivfTopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // centroid argmax is a literal-array fold, candidate filter is a
+    // broadcast join — the only exchanges allowed are the broadcast ones
+    // and the final global top-k ordering
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF path re-shuffles the embeddings table:\n$plan")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+  }
+
   test("IG report assembly joins on the creator key without cartesian products") {
     val profiles = graft.ig.Instagram.readProfiles(spark, graft.ig.Instagram.profilesGlob())
     val posts = graft.ig.Instagram.readPosts(spark, graft.ig.Instagram.postsGlob())
