@@ -109,19 +109,29 @@ object Dedup {
 
   /** 16-bit SimHash per document from distinct tokens: token hash = first
     * 4 hex digits of md5; bit b of the signature is the sign of the
-    * ±1 vote sum across tokens. */
+    * ±1 vote sum across tokens.
+    *
+    * Entirely per-row: one fold over the token-hash array accumulates all
+    * 16 vote counters at once, a second fold turns the signs into the
+    * signature — no explode, no groupBy, zero shuffles (the round-1
+    * explode×16 + two groupBys shuffled a 16×-expanded token table).
+    * Docs with no qualifying tokens are dropped, matching the explode
+    * formulation and the oracle's unnest. */
   def simhash16(spark: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(split(lower(col("text")), " "))).as("tok"))
-      .filter(length(col("tok")) > 0)
-      .withColumn("h", conv(substring(md5(col("tok")), 1, 4), 16, 10).cast("int"))
-    val votes = toks
-      .withColumn("j", explode(sequence(lit(0), lit(15))))
-      .withColumn("contrib", expr("CASE WHEN (shiftright(h, j) & 1) = 1 THEN 1 ELSE -1 END"))
-      .groupBy("doc_id", "j")
-      .agg(sum(col("contrib")).as("s"))
-    votes.groupBy("doc_id")
-      .agg(sum(expr("CASE WHEN s > 0 THEN cast(shiftleft(1, j) as bigint) ELSE 0 END")).as("simhash"))
+    Tables.documents(spark, dir)
+      .withColumn("hs", expr(
+        """transform(filter(array_distinct(split(lower(text), ' ')), t -> length(t) > 0),
+                     t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"""))
+      .filter(size(col("hs")) > 0)
+      .withColumn("votes", expr(
+        """aggregate(hs, array_repeat(0, 16),
+                     (acc, h) -> zip_with(acc, sequence(0, 15),
+                       (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)))"""))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(votes, sequence(0, 15),
+                       (s, j) -> if(s > 0, cast(shiftleft(1, j) as bigint), cast(0 as bigint))),
+                     cast(0 as bigint), (acc, v) -> acc + v)"""))
+      .select("doc_id", "simhash")
       .orderBy("doc_id")
   }
 

@@ -102,6 +102,14 @@ class PlanSpec extends AnyFunSuite {
       s"join sides re-shuffled despite bucketing:\n$plan")
   }
 
+  test("simhash signature is a per-row fold: no hash-partition exchange") {
+    val df = Dedup.simhash16(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"simhash path shuffles a token expansion:\n$plan")
+  }
+
   test("IVF assignment is a per-row projection: no hash-partition exchange anywhere") {
     val df = Similarity.ivfTopK(spark, dir)
     df.collect()
