@@ -33,6 +33,14 @@ final case class IgClock(nowEpoch: Long, zone: String = "UTC") {
   /** Local date string of "now" (analyzed_date / scraped_date). */
   def todayStr: String = fmt(nowEpoch)
 
+  /** Local date-time string of "now" (analysis_date header — the
+    * reference formats `datetime.now()` as `%Y-%m-%d %H:%M:%S`,
+    * analyze_insta_enhanced.py:2009). */
+  def nowStr: String =
+    java.time.Instant.ofEpochSecond(nowEpoch).atZone(java.time.ZoneId.of(zone))
+      .toLocalDateTime.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+
   /** Local date string of the cutoff (hashtag_analysis_date_range). */
   def cutoffStr(days: Int): String = fmt(cutoff(days))
 }

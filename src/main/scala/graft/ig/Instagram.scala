@@ -53,16 +53,21 @@ object Instagram {
     StructField("is_video", BooleanType),
     StructField("product_type", StringType),
     StructField("media_type", LongType),
+    // full raw tag contract in document key order (the reference dumps
+    // `node['sponsor_tags']` verbatim into sponsored_posts, so the byte
+    // contract needs every key: analyze_insta_enhanced.py:621)
     StructField("sponsor_tags", ArrayType(StructType(Seq(
+      StructField("is_pending", BooleanType),
       StructField("sponsor", StructType(Seq(
         StructField("pk", StringType), StructField("username", StringType),
-        StructField("id", StringType), StructField("full_name", StringType)))),
+        StructField("id", StringType), StructField("full_name", StringType),
+        StructField("profile_pic_url", StringType),
+        StructField("is_unpublished", BooleanType)))),
       // top-level username does NOT exist in the data — parsed as null on
       // purpose: detect_paid_partnerships reads tag['username'] (not
       // tag.sponsor.username), so sponsor_frequency is always empty
       // (analyze_insta_enhanced.py:598-603); we replicate that faithfully.
-      StructField("username", StringType),
-      StructField("is_pending", BooleanType))))),
+      StructField("username", StringType))))),
     StructField("location", StructType(Seq(
       StructField("pk", StringType), StructField("lat", DoubleType),
       StructField("lng", DoubleType), StructField("name", StringType)))),

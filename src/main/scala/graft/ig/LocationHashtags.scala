@@ -116,8 +116,10 @@ object LocationHashtags {
     val hourAgg = hours
       .withColumn("rk", row_number().over(wHour))
       .groupBy("creator_key").agg(
+        // Counter(posting_times) keeps first-occurrence order (:222-223)
         map_from_entries(expr(
-          "array_sort(collect_list(struct(cast(h as string), n_h)))"))
+          "transform(array_sort(collect_list(struct(first_ord, " +
+            "struct(cast(h as string) as k, n_h as v) as e))), x -> x.e)"))
           .as("posting_timezone_pattern"),
         avg(when(col("rk") <= 5, col("h"))).as("avg_top5_hour"))
       .withColumn("timezone_estimate",

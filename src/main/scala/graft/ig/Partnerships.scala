@@ -77,7 +77,10 @@ object Partnerships {
           col("like_count"), col("comment_count"),
           coalesce(col("taken_at"), lit(0L)).as("taken_at"),
           col("is_video"), col("hashtags"), col("mentions"),
-          col("sponsor_tags"),
+          // raw tag minus the phantom `username` probe field (document
+          // key order: is_pending, sponsor)
+          expr("transform(sponsor_tags, t -> struct(t.is_pending, t.sponsor))")
+            .as("sponsor_tags"),
           lit(0).as("engagement_rate"),
           col("total_engagement")).as("sp"))))).as("sp_ranked"),
       // collaboration_timeline candidates (only reached when no exception)

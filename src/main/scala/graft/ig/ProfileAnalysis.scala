@@ -229,8 +229,12 @@ object ProfileAnalysis {
     val orderedKw = tokRows.groupBy("creator_key").agg(
       expr("transform(array_sort(collect_list(struct(gidx, kw))), s -> s.kw)")
         .as("matched_keywords"))
+    // dict insertion order = first occurrence of each keyword across the
+    // biography→username→full_name scan (:1030-1033)
     val kwSources = kwStats.groupBy("creator_key").agg(
-      map_from_entries(collect_list(struct(col("kw"), col("sources"))))
+      map_from_entries(expr(
+        "transform(array_sort(collect_list(struct(first_idx, " +
+          "struct(kw, sources) as e))), x -> x.e)"))
         .as("keyword_sources"))
 
     val catArray = "array(" + nicheCategories.map(c => sq(c._1)).mkString(",") + ")"
@@ -262,8 +266,12 @@ object ProfileAnalysis {
       .withColumn("confidence_scores", expr(
         "map_from_entries(transform(scores_all, " +
           "s -> struct(s.cat, least(100, cast(s.score / max_score * 100 as int)))))"))
+      // dict(sorted_niches) — score desc, ties stable in category order
+      // (:1072,1108)
       .withColumn("niche_scores", expr(
-        "map_from_entries(transform(scores_all, s -> struct(s.cat, s.score)))"))
+        "map_from_entries(transform(array_sort(transform(scores_all, " +
+          "(s, i) -> struct(-s.score as k1, i as k2, s.cat as cat, s.score as score)))," +
+          " x -> struct(x.cat, x.score)))"))
       .withColumn("detailed_matches", expr(
         s"map_from_entries(transform($catArray, " +
           s"c -> struct(c, coalesce(detailed_map[c], $emptyDetailed))))"))

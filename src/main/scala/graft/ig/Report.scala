@@ -133,18 +133,72 @@ object Report {
   /** analyzed.json sink (:2003-2022): a single JSON document
     * `{analysis_date, total_creators_analyzed, creators:[sorted]}` —
     * the reference's exact contract (use [[writeAnalyzedJsonl]] for
-    * unbounded creator counts). */
+    * unbounded creator counts).
+    *
+    * Creator order is enforced INSIDE the aggregation: `collect_list`
+    * does not preserve the upstream sort across shuffle fetches, so the
+    * collected structs carry explicit sort keys (-rate, username) and are
+    * `sort_array`-ed before the keys are projected away. The username
+    * tie-break reproduces the reference's observed order (its
+    * `sorted(..., reverse=True)` is stable over an alphabetical
+    * directory listing, :2005). */
   def writeAnalyzedJson(report: DataFrame, path: String, clock: IgClock): Unit = {
-    val doc = report.orderBy(desc("average_engagement_rate"))
+    val doc = report
       .drop("creator_key")
-      .agg(collect_list(struct(col("*"))).as("creators"))
+      .agg(collect_list(struct(
+        col("average_engagement_rate").as("_rate"),
+        col("username").as("_user"),
+        struct(col("*")).as("c"))).as("keyed"))
+      // explicit comparator: the payload struct holds maps, which Spark's
+      // natural struct ordering (sort_array) refuses to order
+      .withColumn("keyed", expr(
+        """array_sort(keyed, (a, b) -> CASE
+             WHEN a._rate > b._rate THEN -1 WHEN a._rate < b._rate THEN 1
+             WHEN a._user < b._user THEN -1 WHEN a._user > b._user THEN 1
+             ELSE 0 END)"""))
       .select(
         lit(clock.todayStr).as("analysis_date"),
-        size(col("creators")).cast("long").as("total_creators_analyzed"),
-        col("creators"))
+        size(col("keyed")).cast("long").as("total_creators_analyzed"),
+        transform(col("keyed"), k => k.getField("c")).as("creators"))
     // one document → one file; the coalesce(1) is the report contract,
     // not a scale hazard (one row per creator upstream stays distributed)
     doc.coalesce(1).write.mode("overwrite").json(path)
+  }
+
+  /** Byte-exact analyzed.json sink: reproduces the reference artifact's
+    * serialization — CPython `json.dump(..., indent=2, ensure_ascii=
+    * False)` (analyze_insta_enhanced.py:2014-2017) — via [[PyJson]]:
+    * insertion-order fields, explicit nulls, Python int/float forms, and
+    * the artifact's CRLF line endings (the shipped file was written by
+    * Python text-mode IO on Windows).
+    *
+    * Driver-side single-document assembly is the CONTRACT here (one JSON
+    * file, like the reference); it is bounded by the creator count, and
+    * [[writeAnalyzedJsonl]] remains the unbounded-scale sink. */
+  def writeAnalyzedJsonPy(report: DataFrame, path: String, clock: IgClock,
+                          eol: String = "\r\n"): Unit = {
+    val sorted = report.orderBy(desc("average_engagement_rate"), asc("username"))
+      .drop("creator_key")
+    val schema = sorted.schema
+    // executeCollect returns InternalRows whose MapData keeps entry order
+    // (the external Row converter would rebuild >4-entry maps as HashMap)
+    val rows = sorted.queryExecution.executedPlan.executeCollect()
+    val sb = new StringBuilder(1 << 20)
+    sb.append("{\n")
+    sb.append("  \"analysis_date\": ").append(PyJson.pyString(clock.nowStr)).append(",\n")
+    sb.append("  \"total_creators_analyzed\": ").append(rows.length).append(",\n")
+    sb.append("  \"creators\": [")
+    var i = 0
+    while (i < rows.length) {
+      sb.append(if (i == 0) "\n    " else ",\n    ")
+      sb.append(PyJson.renderRow(rows(i), schema, 4))
+      i += 1
+    }
+    if (rows.nonEmpty) sb.append("\n  ")
+    sb.append("]\n}")
+    val text = if (eol == "\n") sb.toString else sb.toString.replace("\n", eol)
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** Per-creator *_analysis.txt content (:1854-1934) as (creator_key,
