@@ -26,6 +26,23 @@ object Multimodal {
       .withColumn("payload", encode(col("text"), "UTF-8"))
       .withColumn("media_type", lit("text/plain"))
 
+  /** O-11 real binary ingestion: one profile JPEG per creator directory
+    * (reference insta_scraper_enhanced.py:395-432 stores
+    * `output/<user>/<user>.jpg`). `binaryFile` is the production path for
+    * opaque media: the scan carries (path, length, content) and prunes
+    * `content` when only metadata is selected. The creator key comes from
+    * the directory name, mirroring [[graft.ig.Instagram]]'s layout. */
+  def profilePictures(spark: SparkSession, root: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.jpg")
+      .load(s"$root/*")
+      .select(
+        regexp_extract(col("path"), ".*/([^/]+)/[^/]+\\.jpg$", 1).as("creator_key"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("sha256"),
+        lower(hex(expr("substring(content, 1, 4)"))).as("magic_hex"),
+        col("content").as("payload"))
+
   /** Oracle-checkable binary metadata extraction: byte length, SHA-256,
     * leading-bytes signature ("magic number" probe). */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =

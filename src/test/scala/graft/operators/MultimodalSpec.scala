@@ -60,6 +60,37 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("profilePictures ingests the 9 shipped JPEGs with exact bytes") {
+    import java.nio.file.{Files, Paths}
+    val rows = Multimodal.profilePictures(spark, "/root/reference")
+      .collect().map(r => r.getAs[String]("creator_key") -> r).toMap
+    assert(rows.size == 9, s"expected 9 creators, got ${rows.keySet}")
+    rows.foreach { case (user, r) =>
+      val f = Paths.get(s"/root/reference/$user/$user.jpg")
+      val bytes = Files.readAllBytes(f)
+      assert(r.getAs[Long]("n_bytes") == bytes.length, s"$user length")
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val expected = md.digest(bytes).map("%02x".format(_)).mkString
+      assert(r.getAs[String]("sha256") == expected, s"$user sha256")
+      assert(r.getAs[String]("magic_hex").startsWith("ffd8"), s"$user JPEG magic")
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("payload"), bytes), s"$user payload")
+    }
+  }
+
+  test("the stub decode pipeline runs over real JPEG payloads") {
+    val out = Multimodal.featureStub(
+      Multimodal.resizeStub(
+        Multimodal.decodeStub(Multimodal.profilePictures(spark, "/root/reference"))))
+      .select("creator_key", "decoded.n_frames", "resized.width", "features")
+    val rows = out.collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_frames") >= 1)
+      assert(r.getAs[Int]("width") <= 256)
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == 8)
+    }
+  }
+
   test("featureStub yields fixed-width unit-range vectors") {
     val rows = Multimodal.featureStub(decoded, dims = 8).select("features").collect()
     rows.foreach { r =>
