@@ -30,5 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Aggregations.oracles ++ Windows.oracles ++
       TextFunctions.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++
+      graft.ig.SynthIg.oracles
 }

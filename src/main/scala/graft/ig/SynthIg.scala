@@ -66,9 +66,10 @@ object SynthIg {
           .as("product_type"),
         lit(1L).as("media_type"),
         expr("cast(array() as array<string>)").as("sponsor_usernames"),
-        expr("cast(null as array<struct<" +
-          "sponsor:struct<pk:string,username:string,id:string,full_name:string>," +
-          "username:string,is_pending:boolean>>)").as("sponsor_tags"),
+        expr("cast(null as array<struct<is_pending:boolean," +
+          "sponsor:struct<pk:string,username:string,id:string,full_name:string," +
+          "profile_pic_url:string,is_unpublished:boolean>," +
+          "username:string>>)").as("sponsor_tags"),
         expr("cast(null as struct<pk:string,lat:double,lng:double,name:string>)")
           .as("location"),
         concat(lit("c"), col("o_custkey")).as("user_username"),
@@ -86,9 +87,81 @@ object SynthIg {
         "collaboration_status", "total_collaborations",
         "posts_analyzed_for_hashtags")
 
-  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "ig_report_synth" -> igReportSynth _)
+  /** SQL-expressible core of the synthesized report — the ladder/window
+    * fields whose derivation from customer/orders IS plain SQL, gated
+    * hash-exact against DuckDB (the full document stays rows-only in
+    * [[igReportSynth]], which runs the entire 10-join assembly).
+    *
+    * Built from the SAME operator blocks the full report uses
+    * (Extraction.pricing/creatorSize ladders, the topPosts 90-day window,
+    * the hashtag-window count) over pruned inputs: Spark cannot eliminate
+    * the report's unused left joins, so benching the full DAG for a
+    * 7-column projection would measure 31 dead columns. */
+  def igReportSynthCore(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = syntheticProfiles(spark, dir)
+    val posts = syntheticPosts(spark, dir)
+      .select("creator_key", "ordinal", "taken_at", "like_count",
+        "comment_count", "code", "caption_text")
+    val enriched = Extraction.pricing(
+      profiles.join(Extraction.ugcCaptionFlag(posts), Seq("creator_key"), "left"))
+      .withColumn("creator_size", Extraction.creatorSize(col("follower_count")))
+    val top = Engagement.topPosts(posts, profiles, synthClock)
+      .select("creator_key", "total_posts_last_3_months")
+    val ht = LocationHashtags.hashtagsMentions(posts, synthClock)
+      .select("creator_key", "posts_analyzed_for_hashtags")
+    enriched
+      .join(top, Seq("creator_key"), "left")
+      .join(ht, Seq("creator_key"), "left")
+      .select(col("username"), col("follower_count"), col("creator_size"),
+        col("creator_type"), col("tier"),
+        coalesce(col("total_posts_last_3_months"), lit(0L))
+          .as("total_posts_last_3_months"),
+        coalesce(col("posts_analyzed_for_hashtags"), lit(0L))
+          .as("posts_analyzed_for_hashtags"))
+      .orderBy("username")
+  }
 
-  /** Not ANSI-SQL-expressible as one document query; rows-only check. */
-  val oracles: Map[String, String] = Map.empty
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ig_report_synth" -> igReportSynth _,
+    "ig_report_synth_core" -> igReportSynthCore _)
+
+  /** The full document is not ANSI-SQL-expressible (rows-only check);
+    * the core projection re-derives the ladders and 90-day window counts
+    * from the same star tables in DuckDB. No profile/caption in the
+    * synthesis contains a UGC keyword, so creator_type reduces to the
+    * follower threshold (Extraction.pricing :850-870). */
+  val oracles: Map[String, String] = Map(
+    "ig_report_synth_core" -> s"""
+      WITH prof AS (
+        SELECT 'c' || c_custkey AS username,
+               CAST(trunc(abs(c_acctbal) * 100) AS BIGINT) AS follower_count
+        FROM customer
+      ),
+      cnt AS (
+        SELECT 'c' || o_custkey AS username,
+               CAST(count(*) AS BIGINT) AS n_recent
+        FROM orders
+        WHERE epoch(o_orderdate) >= ${synthClock.cutoff(90)}
+        GROUP BY 1
+      )
+      SELECT p.username,
+             p.follower_count,
+             CASE WHEN p.follower_count = 0 THEN 'Unknown'
+                  WHEN p.follower_count < 5000 THEN 'Nano-Influencer'
+                  WHEN p.follower_count < 50000 THEN 'Micro-Influencer'
+                  WHEN p.follower_count < 500000 THEN 'Mid-Tier Influencer'
+                  WHEN p.follower_count < 1000000 THEN 'Macro-Influencer'
+                  ELSE 'Mega-Influencer' END AS creator_size,
+             CASE WHEN p.follower_count < 1000 THEN 'UGC Creator'
+                  ELSE 'Social Media Influencer' END AS creator_type,
+             CASE WHEN p.follower_count < 1000 THEN 'Beginner'
+                  WHEN p.follower_count < 10000 THEN '1K-10K'
+                  WHEN p.follower_count < 50000 THEN '10K-50K'
+                  WHEN p.follower_count < 500000 THEN '50K-500K'
+                  ELSE '500K-1M+' END AS tier,
+             CASE WHEN p.follower_count > 0 THEN coalesce(c.n_recent, 0) ELSE 0 END
+               AS total_posts_last_3_months,
+             coalesce(c.n_recent, 0) AS posts_analyzed_for_hashtags
+      FROM prof p LEFT JOIN cnt c USING (username)
+      ORDER BY username""")
 }

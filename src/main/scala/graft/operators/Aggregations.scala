@@ -157,6 +157,18 @@ object Aggregations {
         countDistinct(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
+  /** Oracle-gated accuracy contract for the HLL++ sketch: the sketch value
+    * itself cannot be reproduced by another engine, but the CONTRACT —
+    * |approx − exact| ≤ 5%·exact (sketch rsd 2%) — is a boolean DuckDB
+    * can assert blindly as `true`; a drifting sketch flips the column and
+    * fails the hash gate. */
+  def approxDistinctChecked(spark: SparkSession, dir: String): DataFrame =
+    approxDistinct(spark, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("within_tol"))
+      .orderBy("event_type")
+
   /** Hierarchical rollup (beyond the reference's flat groupBys): order
     * counts per (region, nation) with nation and grand totals — one
     * shuffle, the expanded grouping handled map-side. */
@@ -203,7 +215,7 @@ object Aggregations {
     "agg_pivot_event_types"   -> pivotEventTypes _,
     "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
-    "agg_approx_distinct"     -> approxDistinct _, // rows-only (sketch ≠ DuckDB's)
+    "agg_approx_distinct"     -> approxDistinctChecked _,
     "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
     "agg_customer_value"      -> customerValue _,
@@ -215,6 +227,11 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_approx_distinct" ->
+      """SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           true AS within_tol
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "agg_pivot_event_types" ->
       """SELECT user_id,
            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
