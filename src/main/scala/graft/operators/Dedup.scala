@@ -46,14 +46,27 @@ object Dedup {
       coalesce(sum(when(col("c") > 1, col("c"))), lit(0)).as("dup_rows"))
   }
 
-  /** n-gram Jaccard similarity on adjacent doc pairs — bounded self-join
-    * exercising the shingle/Jaccard math end-to-end. */
+  /** n-gram Jaccard similarity on adjacent doc pairs — bounded pairing
+    * exercising the shingle/Jaccard math end-to-end.
+    *
+    * Pairing is explode-to-(pair, side) + one aggregation instead of a
+    * self-join: the join formulation computes the shingle projection
+    * TWICE (the two sides shuffle on different keys, so the exchanges
+    * cannot be reused) and runs two exchanges + a join; this shape
+    * shingles once and runs a single shuffle. */
   def jaccardAdjacent(spark: SparkSession, dir: String): DataFrame = {
     val d = withShingles(Tables.documents(spark, dir))
       .select(col("doc_id"), col("shingles"))
-    val a = d.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a"))
-    val b = d.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b"))
-    a.join(b, col("doc_b") === col("doc_a") + 1)
+    d.select(explode(expr(
+      """array(struct(doc_id as pair, 0 as side, shingles),
+               struct(doc_id - 1 as pair, 1 as side, shingles))""")).as("e"))
+      .select("e.*")
+      .groupBy("pair").agg(
+        first(when(col("side") === 0, col("shingles")), ignoreNulls = true).as("sh_a"),
+        first(when(col("side") === 1, col("shingles")), ignoreNulls = true).as("sh_b"))
+      .filter(col("sh_a").isNotNull && col("sh_b").isNotNull)
+      .withColumn("doc_a", col("pair"))
+      .withColumn("doc_b", col("pair") + 1)
       .withColumn("n_a", size(col("sh_a")))
       .withColumn("n_b", size(col("sh_b")))
       .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
@@ -83,15 +96,20 @@ object Dedup {
     val base = withShingles(Tables.documents(spark, dir))
       .withColumn("hs", expr(
         "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
-    val sig = hashFamily.zipWithIndex.foldLeft(base) { case (df, ((a, b), i)) =>
-      df.withColumn(s"mh$i", expr(s"array_min(transform(hs, h -> ($a * h + $b) % $P))"))
-    }
+    // all 8 family minima in ONE fold over the hash array (the per-column
+    // formulation ran 16 interpreted array passes: 8 transforms + 8 mins)
+    val mins = hashFamily.zipWithIndex
+      .map { case ((a, b), i) => s"least(acc[$i], ($a * h + $b) % $P)" }
+      .mkString(", ")
+    val sig = base.withColumn("mh", expr(
+      s"aggregate(hs, array_repeat(cast($P as bigint), ${hashFamily.size}), " +
+        s"(acc, h) -> array($mins))"))
     sig.select(col("doc_id"), expr(
       """stack(4,
-           0, concat(cast(mh0 as string), '_', cast(mh1 as string)),
-           1, concat(cast(mh2 as string), '_', cast(mh3 as string)),
-           2, concat(cast(mh4 as string), '_', cast(mh5 as string)),
-           3, concat(cast(mh6 as string), '_', cast(mh7 as string))) AS (band, bucket)"""))
+           0, concat(cast(mh[0] as string), '_', cast(mh[1] as string)),
+           1, concat(cast(mh[2] as string), '_', cast(mh[3] as string)),
+           2, concat(cast(mh[4] as string), '_', cast(mh[5] as string)),
+           3, concat(cast(mh[6] as string), '_', cast(mh[7] as string))) AS (band, bucket)"""))
   }
 
   /** MinHash+LSH near-dup candidate pairs: docs sharing any band bucket.
