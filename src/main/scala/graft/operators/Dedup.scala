@@ -79,31 +79,17 @@ object Dedup {
   /** MinHash signatures: 8 md5-family min-hashes per doc, folded into 4
     * LSH bands of 2 rows each. Returns (doc_id, band, bucket).
     *
-    * Each min-hash is `array_min(transform(shingles, …))` — a pure
+    * The signature is ONE codegen'd pass over the shingle array
+    * ([[graft.functions.MinHashSignature]]: md5 → first-4-bytes base
+    * hash → 8 affine minima, mh_i = min((a_i·h + b_i) mod p)) — a pure
     * per-row projection, so signature computation is entirely map-side
     * (no explode, no shuffle); the only shuffle in the whole pipeline is
-    * the downstream (band, bucket) join. ~6× faster than the
-    * explode+groupBy formulation at sf0.1 and shuffle-free at any scale. */
-  /** Affine hash family constants: mh_i = min((a_i·h + b_i) mod p) over
-    * shingle base hashes h (first 32 bits of md5). One md5 per shingle,
-    * 8 cheap integer transforms — the textbook MinHash construction. */
-  private val P = 2147483647L
-  private val hashFamily = Seq(
-    (1103L, 12345L), (2171L, 3571L), (3079L, 8191L), (4397L, 131L),
-    (5641L, 524287L), (6689L, 2053L), (7919L, 40961L), (9173L, 75181L))
-
+    * the downstream (band, bucket) join. The SQL-function formulation
+    * walked the array through interpreted md5/conv lambdas plus a fold
+    * allocating an 8-element array per shingle. */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val base = withShingles(Tables.documents(spark, dir))
-      .withColumn("hs", expr(
-        "transform(shingles, s -> cast(conv(substring(md5(s), 1, 8), 16, 10) as bigint))"))
-    // all 8 family minima in ONE fold over the hash array (the per-column
-    // formulation ran 16 interpreted array passes: 8 transforms + 8 mins)
-    val mins = hashFamily.zipWithIndex
-      .map { case ((a, b), i) => s"least(acc[$i], ($a * h + $b) % $P)" }
-      .mkString(", ")
-    val sig = base.withColumn("mh", expr(
-      s"aggregate(hs, array_repeat(cast($P as bigint), ${hashFamily.size}), " +
-        s"(acc, h) -> array($mins))"))
+    val sig = withShingles(Tables.documents(spark, dir))
+      .withColumn("mh", graft.functions.MinHash.minhashSig(col("shingles")))
     sig.select(col("doc_id"), expr(
       """stack(4,
            0, concat(cast(mh[0] as string), '_', cast(mh[1] as string)),
@@ -129,26 +115,19 @@ object Dedup {
     * 4 hex digits of md5; bit b of the signature is the sign of the
     * ±1 vote sum across tokens.
     *
-    * Entirely per-row: one fold over the token-hash array accumulates all
-    * 16 vote counters at once, a second fold turns the signs into the
-    * signature — no explode, no groupBy, zero shuffles (the round-1
-    * explode×16 + two groupBys shuffled a 16×-expanded token table).
+    * Entirely per-row and codegen'd ([[graft.functions.SimHashSignature]]
+    * folds all 16 vote counters in one primitive pass) — no explode, no
+    * groupBy, zero shuffles (the round-1 explode×16 + two groupBys
+    * shuffled a 16×-expanded token table; the round-1.5 SQL fold was
+    * per-row but interpreted, allocating a 16-element array per token).
     * Docs with no qualifying tokens are dropped, matching the explode
     * formulation and the oracle's unnest. */
   def simhash16(spark: SparkSession, dir: String): DataFrame = {
     Tables.documents(spark, dir)
-      .withColumn("hs", expr(
-        """transform(filter(array_distinct(split(lower(text), ' ')), t -> length(t) > 0),
-                     t -> cast(conv(substring(md5(t), 1, 4), 16, 10) as int))"""))
-      .filter(size(col("hs")) > 0)
-      .withColumn("votes", expr(
-        """aggregate(hs, array_repeat(0, 16),
-                     (acc, h) -> zip_with(acc, sequence(0, 15),
-                       (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)))"""))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(votes, sequence(0, 15),
-                       (s, j) -> if(s > 0, cast(shiftleft(1, j) as bigint), cast(0 as bigint))),
-                     cast(0 as bigint), (acc, v) -> acc + v)"""))
+      .withColumn("toks",
+        expr("filter(array_distinct(split(lower(text), ' ')), t -> length(t) > 0)"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", graft.functions.MinHash.simhashSig(col("toks")))
       .select("doc_id", "simhash")
       .orderBy("doc_id")
   }

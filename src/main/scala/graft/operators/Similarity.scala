@@ -23,13 +23,7 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  private val qdot =
-    """aggregate(zip_with(embedding, qe, (x, y) ->
-       cast(round(cast(x as double) * 1000.0) as bigint) *
-       cast(round(cast(y as double) * 1000.0) as bigint)), 0L, (acc, v) -> acc + v)"""
-  private val qnorm: String => String = c =>
-    s"""aggregate(transform($c, x ->
-        cast(round(cast(x as double) * 1000.0) as bigint)), 0L, (acc, v) -> acc + v * v)"""
+  import graft.functions.VectorOps.{quantDot, quantNormSq}
 
   /** Brute-force cosine top-10 neighbors of the vec_id=0 query vector. */
   def annBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -37,9 +31,9 @@ object Similarity {
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val scored = e.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("dot", expr(qdot))
-      .withColumn("na", expr(qnorm("embedding")))
-      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("dot", quantDot(col("embedding"), col("qe")))
+      .withColumn("na", quantNormSq(col("embedding")))
+      .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
@@ -56,9 +50,9 @@ object Similarity {
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("qe"))
     val scored = a.join(b, col("id_a") < col("id_b"))
-      .withColumn("dot", expr(qdot.replace("embedding", "ea")))
-      .withColumn("na", expr(qnorm("ea")))
-      .withColumn("nb", expr(qnorm("qe")))
+      .withColumn("dot", quantDot(col("ea"), col("qe")))
+      .withColumn("na", quantNormSq(col("ea")))
+      .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
@@ -95,41 +89,41 @@ object Similarity {
     * centroids are folded in ascending cent_id order with a strict `>`. */
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val cents: Array[(Long, Array[Long])] = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray))
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
-    val centsLit = cents.map { case (id, qv) =>
-      val nb = qv.map(v => v * v).sum
-      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array(${qv.mkString("L,")}L))"
+    // float literals round-trip through their shortest repr, so the
+    // codegen'd quantized_dot sees the exact stored components
+    val centsLit = cents.map { case (id, fv) =>
+      val nb = fv.map { v =>
+        val d = v.toDouble * 1000.0
+        val q = if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
+        q * q
+      }.sum
+      val ce = fv.map(f => s"cast('$f' as float)").mkString(",")
+      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array($ce))"
     }.mkString("array(", ", ", ")")
     val assigned = e
-      .withColumn("qv",
-        expr("transform(embedding, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
-      .withColumn("na", expr("aggregate(qv, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("na", quantNormSq(col("embedding")))
       .withColumn("cell", expr(
         s"""aggregate(
               transform($centsLit, c -> named_struct(
-                'cos', cast(aggregate(zip_with(qv, c.ce, (x, y) -> x * y), 0L,
-                            (acc, v) -> acc + v) as double)
+                'cos', cast(quantized_dot(embedding, c.ce) as double)
                        / (sqrt(cast(na as double)) * sqrt(cast(c.nb as double))),
                 'cell', c.cell)),
               named_struct('cos', cast('-Infinity' as double), 'cell', -1L),
               (best, s) -> if(s.cos > best.cos, s, best)).cell"""))
-      .select(col("vec_id"), col("cell"), col("qv"), col("na"))
+      .select(col("vec_id"), col("cell"), col("embedding"), col("na"))
     val queryCell = assigned.filter(col("vec_id") === 0).select(col("cell").as("qcell"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val candidates = assigned
       .join(broadcast(queryCell), col("cell") === col("qcell"))
       .filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .withColumn("qe2",
-        expr("transform(qe, x -> cast(round(cast(x as double) * 1000.0) as bigint))"))
-      .withColumn("dot",
-        expr("aggregate(zip_with(qv, qe2, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
-      .withColumn("nb", expr("aggregate(qe2, 0L, (acc, v) -> acc + v * v)"))
+      .withColumn("dot", quantDot(col("embedding"), col("qe")))
+      .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
     val w = Window.orderBy(col("cos").desc, col("vec_id").asc)

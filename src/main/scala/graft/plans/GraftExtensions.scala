@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.PyRound
+import graft.functions.{PyRound, QuantizedDot}
 
 /** Engine extension point (SURVEY §7.3): registers graft's custom
   * Catalyst expressions with the session's FunctionRegistry so they are
@@ -34,5 +34,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("pyround"),
       new ExpressionInfo(classOf[PyRound].getCanonicalName, "pyround"),
       (args: Seq[Expression]) => buildPyRound(args)))
+    // quantized_dot(a, b) — codegen'd Σ round(aᵢ·1000)·round(bᵢ·1000)
+    // (plain integer dot for array<bigint>); SQL registration makes it
+    // usable inside higher-order-function lambdas too
+    ext.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      new ExpressionInfo(classOf[QuantizedDot].getCanonicalName, "quantized_dot"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => QuantizedDot(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"quantized_dot expects 2 arguments, got ${args.length}")
+      }))
   }
 }
