@@ -67,6 +67,28 @@ object Streams {
         sum("comment_count").as("sum_comments"),
         max("taken_at").as("latest_post_ts"))
 
+  /** Streaming MinHash near-dup suppression: per document, compute the
+    * codegen'd 8-hash MinHash signature over 3-gram shingles
+    * ([[graft.functions.MinHashSignature]] — same family as the batch
+    * [[graft.operators.Dedup]] pipeline) and drop any document whose
+    * full signature was already seen inside the watermark. Full-signature
+    * identity is the STRICT collision predicate (all 4 LSH bands
+    * collide); the batch band-bucket join is the recall-oriented
+    * any-band variant. State is one row per distinct signature, pruned
+    * by the watermark — shards by signature hash at cluster scale. */
+  def minhashDedup(docs: DataFrame, tsCol: String = "ingest_ts",
+                   watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+      .withColumn("sig",
+        concat_ws("_", graft.functions.MinHash.minhashSig(col("shingles"))))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("sig")
+      .drop("toks", "shingles")
+
   // ------------------------------------------------------- sessionize
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

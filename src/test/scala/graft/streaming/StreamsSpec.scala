@@ -29,6 +29,24 @@ class StreamsSpec extends AnyFunSuite {
     assert(urlsOut.toSeq == Seq("https://x.com/a", "https://x.com/b", "https://x.com/c"))
   }
 
+  test("minhashDedup suppresses near-dup documents across batches") {
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.minhashDedup(docs).writeStream
+      .format("memory").queryName("mh_dedup_out").outputMode(OutputMode.Append()).start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    in.addData((1L, base, ts(0)), (2L, "a completely different document about spark engines", ts(1)))
+    q.processAllAvailable()
+    // identical text and a word-order-preserving duplicate share all
+    // shingles → same signature → suppressed; a short doc is filtered
+    in.addData((3L, base, ts(2)), (4L, "tiny doc", ts(3)),
+      (5L, "yet another novel text with its own distinct shingle set entirely", ts(4)))
+    q.processAllAvailable()
+    val ids = spark.table("mh_dedup_out").select("doc_id").as[Long].collect().sorted
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 2L, 5L))
+  }
+
   test("windowedEventCounts aggregates per tumbling window with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
     val events = in.toDF().toDF("ts", "event_type", "value")
