@@ -133,10 +133,35 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
+    * product — only vectors sharing the 3-bit sign bucket are ever
+    * paired (the [[minhashStyleBuckets]] building block, now oracle-
+    * gated). Top-20 by cosine keeps the output bounded. At 100 TB the
+    * bucket join is the shuffle-bounded plan; more planes → smaller
+    * buckets. */
+  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
+    val b = minhashStyleBuckets(spark, dir)
+    val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+    val scored = a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", quantDot(col("ea"), col("eb")))
+      .withColumn("na", quantNormSq(col("ea")))
+      .withColumn("nb", quantNormSq(col("eb")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 20)
+      .select("rnk", "bucket", "id_a", "id_b", "cos")
+      .orderBy("rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "sim_ann_topk"      -> annBruteForceTopK _,
-    "sim_neardup_pairs" -> nearDupPairs _,
-    "sim_ivf_topk"      -> ivfTopK _,
+    "sim_ann_topk"       -> annBruteForceTopK _,
+    "sim_neardup_pairs"  -> nearDupPairs _,
+    "sim_ivf_topk"       -> ivfTopK _,
+    "sim_lsh_neardup"    -> lshNearDup _,
   )
 
   private def duckCos(aExpr: String) =
@@ -203,6 +228,29 @@ object Similarity {
          r AS (SELECT vec_id, cos,
                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
          SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "sim_lsh_neardup" ->
+      """WITH bk AS (SELECT vec_id, embedding,
+                 CAST(embedding[1] >= 0 AS INT) * 4 +
+                 CAST(embedding[2] >= 0 AS INT) * 2 +
+                 CAST(embedding[3] >= 0 AS INT) AS bucket
+               FROM embeddings),
+         pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         d AS (SELECT bucket, id_a, id_b,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pr GROUP BY bucket, id_a, id_b),
+         s AS (SELECT bucket, id_a, id_b,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT bucket, id_a, id_b, cos,
+                 row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
+         SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk""",
     "sim_neardup_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -48,6 +48,29 @@ class PlanSpec extends AnyFunSuite {
       s"hash aggregate not inside a codegen stage:\n${finalPlan.take(2000)}")
   }
 
+  test("jaccard pairing shingles once: a single hash-partition exchange") {
+    val df = Dedup.jaccardAdjacent(spark, dir)
+    df.collect()
+    // AQE's toString appends the initial plan after the final one —
+    // count exchanges only in the final section
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (the pair groupBy), got $exchanges:\n${plan.take(3000)}")
+    // one scan of documents, not two (the self-join formulation read twice)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected a single documents scan, got $scans")
+  }
+
+  test("sign-LSH near-dup joins on the bucket key, never all-pairs") {
+    val plan = planOf(Similarity.lshNearDup(spark, dir))
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
+    assert(!plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"expected an equi-join on bucket:\n${plan.take(3000)}")
+  }
+
   test("anti-join resume does not build a cartesian product") {
     val plan = planOf(Relational.antiJoinResume(spark, dir))
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
