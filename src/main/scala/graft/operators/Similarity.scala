@@ -133,6 +133,61 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** IVF multi-probe (nprobe=2): identical to [[ivfTopK]] except the
+    * QUERY probes its two nearest cells — the standard recall knob (data
+    * vectors stay assigned to one cell; only the candidate filter
+    * widens). Still zero exchanges before the final top-k: assignment is
+    * the same literal-centroid fold, and the probe set is a 2-row
+    * broadcast. */
+  def ivfProbe2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id").between(1, 8))
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val centsLit = cents.map { case (id, fv) =>
+      val nb = fv.map { v =>
+        val d = v.toDouble * 1000.0
+        val q = if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
+        q * q
+      }.sum
+      val ce = fv.map(f => s"cast('$f' as float)").mkString(",")
+      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array($ce))"
+    }.mkString("array(", ", ", ")")
+    // per-row scored cells, sorted by (cos desc, cell asc)
+    val cellScores =
+      s"""array_sort(
+            transform($centsLit, c -> named_struct(
+              'cos', cast(quantized_dot(embedding, c.ce) as double)
+                     / (sqrt(cast(na as double)) * sqrt(cast(c.nb as double))),
+              'cell', c.cell)),
+            (a, b) -> CASE WHEN a.cos > b.cos THEN -1 WHEN a.cos < b.cos THEN 1
+                           WHEN a.cell < b.cell THEN -1 WHEN a.cell > b.cell THEN 1
+                           ELSE 0 END)"""
+    val assigned = e
+      .withColumn("na", quantNormSq(col("embedding")))
+      .withColumn("scored", expr(cellScores))
+      .withColumn("cell", expr("scored[0].cell"))
+      .select(col("vec_id"), col("cell"), col("scored"), col("embedding"), col("na"))
+    val queryCells = assigned.filter(col("vec_id") === 0)
+      .select(explode(expr("array(scored[0].cell, scored[1].cell)")).as("qcell"))
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val candidates = assigned
+      .join(broadcast(queryCells), col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", quantDot(col("embedding"), col("qe")))
+      .withColumn("nb", quantNormSq(col("qe")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
+    candidates.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("rnk", "vec_id", "cell", "cos")
+      .orderBy("rnk")
+  }
+
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
     * product — only vectors sharing the 3-bit sign bucket are ever
     * paired (the [[minhashStyleBuckets]] building block, now oracle-
@@ -161,6 +216,7 @@ object Similarity {
     "sim_ann_topk"       -> annBruteForceTopK _,
     "sim_neardup_pairs"  -> nearDupPairs _,
     "sim_ivf_topk"       -> ivfTopK _,
+    "sim_ivf_probe2"     -> ivfProbe2TopK _,
     "sim_lsh_neardup"    -> lshNearDup _,
   )
 
@@ -192,6 +248,48 @@ object Similarity {
          qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),
          cand AS (SELECT a.vec_id, a.cell FROM assigned a, qcell
                   WHERE a.cell = qcell.cell AND a.vec_id <> 0),
+         qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings q ON q.vec_id = 0),
+         qd AS (SELECT vec_id, cell,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM qp GROUP BY vec_id, cell),
+         s AS (SELECT vec_id, cell,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM qd),
+         r AS (SELECT vec_id, cell, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
+         SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
+    "sim_ivf_probe2" ->
+      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
+                        WHERE vec_id BETWEEN 1 AND 8),
+         pairs AS (SELECT e.vec_id, c.cent_id,
+                     unnest(e.embedding) AS x, unnest(c.ce) AS y
+                   FROM embeddings e, cents c),
+         d AS (SELECT vec_id, cent_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pairs GROUP BY vec_id, cent_id),
+         ranked AS (
+           SELECT vec_id, cent_id AS cell,
+             row_number() OVER (PARTITION BY vec_id ORDER BY
+               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+               cent_id ASC) AS rn
+           FROM d),
+         assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+         qcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+         cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
+                  ON a.cell = q.cell WHERE a.vec_id <> 0),
          qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
                 FROM cand c
                 JOIN embeddings e ON e.vec_id = c.vec_id
