@@ -190,4 +190,87 @@ object CsvFlatten {
   def writeCsv(flat: DataFrame, path: String): Unit =
     flat.coalesce(1).write.mode("overwrite")
       .option("header", "true").option("emptyValue", "").csv(path)
+
+  /** Cells whose Python value is a `json.dumps(..., ensure_ascii=False)`
+    * string — rendered byte-exact by [[PyJson.renderValueCompact]] from
+    * the report struct at the given path ("" = the whole creator row). */
+  private val pyJsonCells: Seq[(String, String)] = Seq(
+    "sponsor_frequency" -> "partnership_data.sponsor_frequency",
+    "personality_traits" -> "personality_traits",
+    "profile_insights" -> "profile_insights",
+    "niche_distribution" -> "niche_data.distribution",
+    "niche_confidence_scores" -> "niche_data.confidence_scores",
+    "creator_pricing_metrics" -> "creator_pricing_metrics",
+    "raw_analysis" -> "")
+
+  /** Byte-exact CSV sink: reproduces the reference artifact's
+    * serialization — `csv.writer(..., quoting=QUOTE_MINIMAL)` over rows
+    * whose string items had `,` → ` ` applied (jsontocsv_enhanced.py:
+    * 310-321): CRLF row terminator, quotes only around cells containing
+    * a quote char, doubled inner quotes, CPython json.dumps cells, and
+    * Python int/float forms for the number-in-double cells.
+    *
+    * Driver-side single-file assembly is the CONTRACT (the reference
+    * reads one analyzed.json and writes one CSV); [[writeCsv]] remains
+    * the distributed sink. */
+  def writeCsvPy(report: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types.StructType
+    val flat = flatten(report)
+    val flatSchema = flat.schema
+    val flatRows = flat.queryExecution.executedPlan.executeCollect()
+    val uIdx = flatSchema.fieldIndex("username")
+
+    // report structs for the byte-exact JSON cells, keyed by username
+    val rep = report.drop("creator_key")
+    val repSchema = rep.schema
+    val repRows = rep.queryExecution.executedPlan.executeCollect()
+      .map(r => r.getString(repSchema.fieldIndex("username")) -> r).toMap
+
+    // Python-int forms recovered from the stringified double cells:
+    // round(0, 2) default paths print "0"; statistics.mean of ints
+    // prints without ".0" when exact (PyJson.reportModes rationale)
+    val intIfZero = Set("average_engagement_rate", "engagement_rate_overall",
+      "consistency_score")
+    val intIfWhole = Set("avg_sponsored_engagement", "avg_organic_engagement")
+
+    def quoteCsv(cell: String): String =
+      if (cell.exists(c => c == '"' || c == '\n' || c == '\r' || c == ','))
+        "\"" + cell.replace("\"", "\"\"") + "\""
+      else cell
+
+    val names = flatSchema.fieldNames
+    val sb = new StringBuilder(1 << 20)
+    sb.append(names.mkString(",")).append("\r\n")
+    flatRows.foreach { row =>
+      val user = row.getString(uIdx)
+      val repRow = repRows(user)
+      val cells = names.indices.map { i =>
+        val name = names(i)
+        pyJsonCells.find(_._1 == name) match {
+          case Some((_, "")) =>
+            PyJson.renderValueCompact(repRow, repSchema, "").replace(",", " ")
+          case Some((_, p)) =>
+            val parts = p.split('.')
+            var v: Any = repRow
+            var dt: org.apache.spark.sql.types.DataType = repSchema
+            parts.foreach { f =>
+              val st = dt.asInstanceOf[StructType]
+              val j = st.fieldIndex(f)
+              val r = v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+              v = if (r == null || r.isNullAt(j)) null else r.get(j, st.fields(j).dataType)
+              dt = st.fields(j).dataType
+            }
+            PyJson.renderValueCompact(v, dt, p).replace(",", " ")
+          case None =>
+            val s = if (row.isNullAt(i)) "" else row.getString(i)
+            if (intIfZero(name) && s == "0.0") "0"
+            else if (intIfWhole(name) && s.matches("-?\\d+\\.0")) s.dropRight(2)
+            else s
+        }
+      }
+      sb.append(cells.map(quoteCsv).mkString(",")).append("\r\n")
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 }

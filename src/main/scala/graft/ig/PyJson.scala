@@ -197,11 +197,71 @@ object PyJson {
     }
   }
 
+  /** Compact rendering — CPython `json.dumps(obj, ensure_ascii=False)`
+    * DEFAULT separators `(', ', ': ')`, no newlines (the form the CSV
+    * report's JSON-dump cells use, jsontocsv_enhanced.py:201-253). */
+  def renderCompact(sb: StringBuilder, v: Any, dt: DataType, path: String,
+                    modes: Map[String, NumMode]): Unit = {
+    if (v == null) {
+      sb.append(if (emptyDictPaths(path)) "{}" else "null"); return
+    }
+    dt match {
+      case st: StructType =>
+        val row = v.asInstanceOf[InternalRow]
+        sb.append('{')
+        var i = 0
+        while (i < st.length) {
+          if (i > 0) sb.append(", ")
+          val f = st.fields(i)
+          sb.append(pyString(f.name)).append(": ")
+          val child = if (row.isNullAt(i)) null else row.get(i, f.dataType)
+          renderCompact(sb, child, f.dataType,
+            if (path.isEmpty) f.name else path + "." + f.name, modes)
+          i += 1
+        }
+        sb.append('}')
+      case at: ArrayType =>
+        val arr = v.asInstanceOf[ArrayData]
+        sb.append('[')
+        var i = 0
+        while (i < arr.numElements()) {
+          if (i > 0) sb.append(", ")
+          val child = if (arr.isNullAt(i)) null else arr.get(i, at.elementType)
+          renderCompact(sb, child, at.elementType, path, modes)
+          i += 1
+        }
+        sb.append(']')
+      case mt: MapType =>
+        val m = v.asInstanceOf[MapData]
+        val keys = m.keyArray(); val vals = m.valueArray()
+        sb.append('{')
+        var i = 0
+        while (i < m.numElements()) {
+          if (i > 0) sb.append(", ")
+          sb.append(pyString(keys.get(i, mt.keyType).toString)).append(": ")
+          val child = if (vals.isNullAt(i)) null else vals.get(i, mt.valueType)
+          renderCompact(sb, child, mt.valueType, path, modes)
+          i += 1
+        }
+        sb.append('}')
+      case _ => render(sb, v, dt, path, 0, modes) // scalars share one form
+    }
+  }
+
   /** Serialize one creator row (top-level object of the creators array). */
   def renderRow(row: InternalRow, schema: StructType, indent: Int,
                 modes: Map[String, NumMode] = reportModes): String = {
     val sb = new StringBuilder(8192)
     render(sb, row, schema, "", indent, modes)
+    sb.toString
+  }
+
+  /** Compact-serialize one value rooted at `path` in the report schema
+    * (so the [[reportModes]] lookups line up). */
+  def renderValueCompact(v: Any, dt: DataType, path: String,
+                         modes: Map[String, NumMode] = reportModes): String = {
+    val sb = new StringBuilder(1024)
+    renderCompact(sb, v, dt, path, modes)
     sb.toString
   }
 }
