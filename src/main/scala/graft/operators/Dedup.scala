@@ -132,11 +132,39 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** SimHash near-dup pairs at hamming distance ≤ 1, via the multi-index
+    * pigeonhole: split the 16-bit signature into two 8-bit bands — any
+    * pair within distance 1 agrees on at least one full band, so
+    * candidates come from two band equi-joins (shuffle-bounded, never
+    * all-pairs) and the exact hamming filter runs only on collisions.
+    * The same construction scales to distance ≤ k with k+1 bands; at
+    * 100 TB the production shape is a 64-bit signature with 16-bit
+    * bands (65 k buckets per band) — the 16-bit/8-bit split here keeps
+    * the math oracle-checkable. */
+  def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
+    val sigs = simhash16(spark, dir)
+      .withColumn("hi", expr("simhash div 256"))
+      .withColumn("lo", expr("simhash % 256"))
+    def side(n: String) = sigs.select(col("doc_id").as(s"doc_$n"),
+      col("simhash").as(s"sig_$n"), col("hi").as(s"hi_$n"), col("lo").as(s"lo_$n"))
+    val (a, b) = (side("a"), side("b"))
+    val hiPairs = a.join(b, col("hi_a") === col("hi_b") && col("doc_a") < col("doc_b"))
+    val loPairs = a.join(b, col("lo_a") === col("lo_b") && col("doc_a") < col("doc_b"))
+    hiPairs.select("doc_a", "doc_b", "sig_a", "sig_b")
+      .union(loPairs.select("doc_a", "doc_b", "sig_a", "sig_b"))
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= 1)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "dd_exact_summary"     -> exactSummary _,
-    "dd_jaccard_adjacent"  -> jaccardAdjacent _,
-    "dd_minhash_lsh_pairs" -> minhashLshPairs _,
-    "dd_simhash16"         -> simhash16 _,
+    "dd_exact_summary"       -> exactSummary _,
+    "dd_jaccard_adjacent"    -> jaccardAdjacent _,
+    "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
+    "dd_simhash16"           -> simhash16 _,
+    "dd_simhash_hamming"     -> simhashHammingPairs _,
   )
 
   // Shared oracle fragment: distinct 3-gram shingles per doc (DuckDB lists
@@ -206,5 +234,30 @@ object Dedup {
          SELECT doc_id,
            CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
          FROM votes GROUP BY doc_id ORDER BY doc_id""",
+    "dd_simhash_hamming" ->
+      """WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         hh AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 4) AS INTEGER) AS h
+               FROM toks WHERE length(tok) > 0),
+         votes AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM hh CROSS JOIN (SELECT unnest(range(0, 16)) AS j)
+                   GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(1 << j AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+                 FROM votes GROUP BY doc_id),
+         cand AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+           FROM sig a JOIN sig b
+             ON (a.simhash // 256) = (b.simhash // 256) AND a.doc_id < b.doc_id
+           UNION
+           SELECT a.doc_id, b.doc_id, a.simhash, b.simhash
+           FROM sig a JOIN sig b
+             ON (a.simhash % 256) = (b.simhash % 256) AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+         ORDER BY doc_a, doc_b""",
   )
 }

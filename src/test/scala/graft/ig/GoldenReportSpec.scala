@@ -55,6 +55,23 @@ class GoldenReportSpec extends AnyFunSuite {
     assert(creators.count() == 9)
   }
 
+  test("jsonl scale sink writes one creator per line plus a _meta doc") {
+    val out = "/tmp/graft_test_analyzed_jsonl"
+    Report.writeAnalyzedJsonl(report, out, IgClock.golden)
+    val creators = spark.read.json(s"$out/creators")
+    assert(creators.count() == 9)
+    assert(creators.select("username").distinct().count() == 9)
+    val meta = spark.read.json(s"$out/_meta").collect()(0)
+    assert(meta.getAs[String]("analysis_date") == IgClock.golden.todayStr)
+    assert(meta.getAs[Long]("total_creators_analyzed") == 9)
+    // field parity with the single-document sink on a headline field
+    val er = creators.select("username", "average_engagement_rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val direct = report.select("username", "average_engagement_rate")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(er == direct)
+  }
+
   test("csv flatten produces the 130-column contract in header order") {
     val flat = CsvFlatten.flatten(report)
     val expectedHeaders = Seq(
