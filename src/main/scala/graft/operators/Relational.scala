@@ -160,7 +160,49 @@ object Relational {
       .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
   }
 
+  /** As-of join — the one relational operator Spark has no native node
+    * for (DuckDB/Pandas expose ASOF directly): for each event, the most
+    * recent order of the same customer at or before the event time.
+    *
+    * Composition (preference (a) of the extension ladder): tag both
+    * sides, union, and take a running last-non-null of the right payload
+    * over one (key, time)-ordered window — ONE shuffle on the key. The
+    * naive equi-join + time filter + per-event argmax explodes to
+    * |events| × |orders-per-key| rows before pruning; this never
+    * materializes a pair. Right side is pre-aggregated to one row per
+    * (key, time) so the match at equal timestamps is deterministic
+    * (engines otherwise tie-break ASOF arbitrarily). */
+  def asOfJoinEventsOrders(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k"),
+        (unix_timestamp(col("o_orderdate")) * lit(1000000000L)).as("t"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val tagged = ev
+      .select(col("k"), col("t"), lit(1).as("side"),
+        col("event_id"), lit(null).cast("long").as("o_orderkey"))
+      .unionByName(ord.select(col("k"), col("t"), lit(0).as("side"),
+        lit(null).cast("long").as("event_id"), col("o_orderkey")))
+    // side 0 sorts first at equal t: an order placed at the event instant
+    // is visible (ASOF `event.t >= order.t`)
+    val w = Window.partitionBy("k").orderBy(col("t"), col("side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("matched_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      // micro precision in the OUTPUT: DuckDB reads parquet
+      // TIMESTAMP(NANOS) as micro timestamps; the join axis stays nanos
+      // (order times are whole seconds, so the match set is identical)
+      .select(col("event_id"), col("k").as("user_id"),
+        expr("t div 1000").as("ts_us"), col("matched_orderkey"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_except"               -> exceptKeys _,
     "rel_intersect"            -> intersectKeys _,
     "rel_scan_project_region"    -> scanProjectRegion _,
@@ -175,6 +217,20 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    // DuckDB's native ASOF LEFT JOIN is the oracle for the windowed
+    // composition (greatest order time <= event time per key)
+    "rel_asof_join" ->
+      """WITH ord AS (
+           SELECT o_custkey AS k,
+                  epoch(o_orderdate) * CAST(1000000000 AS BIGINT) AS t,
+                  max(o_orderkey) AS o_orderkey
+           FROM orders GROUP BY 1, 2),
+         ev AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events)
+         SELECT e.event_id, e.user_id, e.t // 1000 AS ts_us,
+                o.o_orderkey AS matched_orderkey
+         FROM ev e ASOF LEFT JOIN ord o
+           ON e.user_id = o.k AND e.t >= o.t
+         ORDER BY event_id""",
     "rel_except" ->
       """SELECT o_custkey AS custkey FROM orders
          EXCEPT
