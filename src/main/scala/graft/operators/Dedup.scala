@@ -142,16 +142,22 @@ object Dedup {
     * bands (65 k buckets per band) — the 16-bit/8-bit split here keeps
     * the math oracle-checkable. */
   def simhashHammingPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sigs = simhash16(spark, dir)
-      .withColumn("hi", expr("simhash div 256"))
-      .withColumn("lo", expr("simhash % 256"))
-    def side(n: String) = sigs.select(col("doc_id").as(s"doc_$n"),
-      col("simhash").as(s"sig_$n"), col("hi").as(s"hi_$n"), col("lo").as(s"lo_$n"))
-    val (a, b) = (side("a"), side("b"))
-    val hiPairs = a.join(b, col("hi_a") === col("hi_b") && col("doc_a") < col("doc_b"))
-    val loPairs = a.join(b, col("lo_a") === col("lo_b") && col("doc_a") < col("doc_b"))
-    hiPairs.select("doc_a", "doc_b", "sig_a", "sig_b")
-      .union(loPairs.select("doc_a", "doc_b", "sig_a", "sig_b"))
+    // explode each signature to its two (band, key) rows and self-join
+    // ONCE on (band, key) — the same shape as the MinHash band join
+    // (two per-band joins would evaluate the signature subplan 4×, the
+    // banded union only 2×, and one shuffle replaces two)
+    val banded = simhash16(spark, dir)
+      .select(col("doc_id"), col("simhash"), explode(expr(
+        """array(struct(0 as band, simhash div 256 as bkey),
+                 struct(1 as band, simhash % 256 as bkey))""")).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bkey"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
       .distinct()
       .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
       .filter(col("hamming") <= 1)
