@@ -185,6 +185,37 @@ object Aggregations {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Top-k per group as ONE aggregation (graft.functions.TopKByScore):
+    * the map side keeps ≤ k entries per group, so the shuffle carries
+    * ≤ k rows per (group, mapper) instead of the whole fact table — the
+    * 100 TB form of O-36/O-48 top-k. Same result (and tie-break) as the
+    * window formulation `win_topk_per_customer`; PlanSpec asserts the
+    * partial ObjectHashAggregate sits before the exchange. */
+  def topkTypedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(3))
+    Tables.orders(spark, dir)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")))
+      .select(col("o_custkey"), (col("pos") + 1).as("rnk"),
+              col("col.key").as("o_orderkey"), col("col.score").as("o_totalprice"))
+      .orderBy("o_custkey", "rnk")
+  }
+
+  /** Full cube (beyond the reference's flat groupBys, sibling of
+    * [[rollupRegionNation]]): order counts/revenue over every subset of
+    * (status, priority), tagged with `grouping_id()` so consumers can
+    * tell detail rows from subtotals. Like rollup, the grouping
+    * expansion happens map-side before the single hash shuffle. */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
   /** Wide pivot: per-user event counts, one column per event type
     * (Spark's groupBy().pivot() with the value set pinned — no extra
     * distinct-values job, fixed output schema at any scale). */
@@ -212,6 +243,8 @@ object Aggregations {
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_topk_typed"          -> topkTypedAgg _,
+    "agg_cube"                -> cubeStatusPriority _,
     "agg_pivot_event_types"   -> pivotEventTypes _,
     "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
@@ -227,6 +260,25 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_topk_typed" ->
+      """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+           FROM orders)
+         WHERE rnk <= 3 ORDER BY o_custkey, rnk""",
+    // gid derived portably from the subtotal NULLs (the cube columns have
+    // no natural nulls) instead of DuckDB's GROUPING(), whose bit order
+    // need not match Spark's grouping_id().
+    "agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+              + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
     "agg_approx_distinct" ->
       """SELECT event_type,
            count(DISTINCT user_id) AS exact_users,

@@ -180,6 +180,25 @@ object Windows {
       .orderBy("user_id", "session_id")
   }
 
+  /** Rolling window frames (the two frame kinds the rest of the file
+    * doesn't exercise): per customer, a 30-day revenue sum over a RANGE
+    * frame keyed on day number (calendar peers included) and a 3-row
+    * moving sum over a ROWS frame with an explicit tie-break. Both
+    * windows share the o_custkey hash partitioning, so the query costs
+    * one shuffle; the two sorts differ only in the tie-break column. */
+  def rollingFrames(spark: SparkSession, dir: String): DataFrame = {
+    val wRange = Window.partitionBy("o_custkey").orderBy(col("d"))
+      .rangeBetween(-29, Window.currentRow)
+    val wRows = Window.partitionBy("o_custkey").orderBy(col("d"), col("o_orderkey"))
+      .rowsBetween(-2, Window.currentRow)
+    Tables.orders(spark, dir)
+      .withColumn("d", datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))))
+      .withColumn("sum_30d", sum(col("o_totalprice").cast(dec2)).over(wRange).cast("double"))
+      .withColumn("sum_3rows", sum(col("o_totalprice").cast(dec2)).over(wRows).cast("double"))
+      .select("o_custkey", "o_orderkey", "d", "sum_30d", "sum_3rows")
+      .orderBy("o_custkey", "d", "o_orderkey")
+  }
+
   /** Analytic-function family in one pass: quartile (ntile), dense rank
     * and cumulative distribution of customer balances per market segment. */
   def analyticRanks(spark: SparkSession, dir: String): DataFrame = {
@@ -194,6 +213,7 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_frames"     -> rollingFrames _,
     "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
@@ -207,6 +227,20 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_frames" ->
+      """WITH d AS (
+           SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS d,
+             o_totalprice
+           FROM orders)
+         SELECT o_custkey, o_orderkey, d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY d
+             RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_30d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+             PARTITION BY o_custkey ORDER BY d, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS sum_3rows
+         FROM d ORDER BY o_custkey, d, o_orderkey""",
     "win_analytic_ranks" ->
       """SELECT c_custkey, c_mktsegment, c_acctbal,
            ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC) AS quartile,
