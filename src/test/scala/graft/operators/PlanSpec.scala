@@ -145,6 +145,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("typed top-k aggregator runs partial+final with a single hash exchange") {
+    val df = Aggregations.topkTypedAgg(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // map-side partial keeps ≤k rows per group BEFORE the shuffle — the
+    // whole point of the Aggregator formulation vs the window top-k
+    assert("ObjectHashAggregate".r.findAllIn(plan).length == 2,
+      s"expected partial+final ObjectHashAggregate:\n${plan.take(3000)}")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"no partial top-k aggregation:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("IG report assembly joins on the creator key without cartesian products") {
     val profiles = graft.ig.Instagram.readProfiles(spark, graft.ig.Instagram.profilesGlob())
     val posts = graft.ig.Instagram.readPosts(spark, graft.ig.Instagram.postsGlob())
