@@ -39,6 +39,38 @@ object Streams {
                      watermark: String = "1 hour"): DataFrame =
     posts.withWatermark(tsCol, watermark).dropDuplicates("creator_key", "id")
 
+  /** O-54 with the state bound made explicit:
+    * `dropDuplicatesWithinWatermark` only guarantees dedup of events
+    * whose timestamps land within the watermark delay of each other, in
+    * exchange for aggressively evictable state — the right trade for an
+    * unbounded page-merge where a duplicate post id can only arrive in
+    * adjacent scroll pages, never hours apart. */
+  def pageMergeDedupWithin(posts: DataFrame, tsCol: String = "ingest_ts",
+                           watermark: String = "10 minutes"): DataFrame =
+    posts.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("creator_key", "id")
+
+  /** Stream-stream attribution join: purchases matched to the views they
+    * followed within `within` per user. Both sides carry a watermark and
+    * the join condition bounds event-time distance, so each side's state
+    * retains only `watermark + within` worth of rows per key — the
+    * canonical bounded-state stream-stream interval join. Inner join ⇒
+    * rows emit as soon as both sides arrive. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame,
+                      within: String = "30 minutes",
+                      watermark: String = "1 hour"): DataFrame = {
+    val v = views.select(col("user_id").as("v_user"), col("view_id"),
+      col("ts").as("view_ts")).withWatermark("view_ts", watermark)
+    val p = purchases.select(col("user_id").as("p_user"), col("purchase_id"),
+      col("value"), col("ts").as("purchase_ts")).withWatermark("purchase_ts", watermark)
+    v.join(p, expr(
+      s"""v_user = p_user AND
+          purchase_ts >= view_ts AND
+          purchase_ts <= view_ts + interval $within"""))
+      .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
+        col("view_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Watermarked tumbling-window count/value aggregation over the events
     * stream — the Structured Streaming shape of O-33/O-43's histograms.
     * Late data beyond the watermark is dropped; state is pruned. */

@@ -47,6 +47,42 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("pageMergeDedupWithin dedups inside the watermark window") {
+    val in = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val posts = in.toDF().toDF("creator_key", "id", "ingest_ts")
+    val q = Streams.pageMergeDedupWithin(posts).writeStream
+      .format("memory").queryName("within_out").outputMode(OutputMode.Append()).start()
+    // page 1 and page 2 of the same scroll: overlapping post ids minutes apart
+    in.addData(("a", 1L, ts(0)), ("a", 2L, ts(1)))
+    q.processAllAvailable()
+    in.addData(("a", 2L, ts(2)), ("a", 3L, ts(3)), ("b", 1L, ts(4)))
+    q.processAllAvailable()
+    val got = spark.table("within_out").select("creator_key", "id")
+      .as[(String, Long)].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
+  }
+
+  test("attributionJoin pairs purchases with views within the interval") {
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purch = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val joined = Streams.attributionJoin(
+      views.toDF().toDF("user_id", "view_id", "ts"),
+      purch.toDF().toDF("user_id", "purchase_id", "value", "ts"),
+      within = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    views.addData((1L, 10L, ts(0)), (1L, 11L, ts(50)), (2L, 20L, ts(0)))
+    // purchase at t20: within 30 min of view 10 (t0), not view 11 (t50);
+    // purchase at t55: within 30 min of view 11 only; user 2 never buys
+    purch.addData((1L, 100L, 9.99, ts(20)), (1L, 101L, 5.0, ts(55)))
+    q.processAllAvailable()
+    val got = spark.table("attr_out").select("view_id", "purchase_id")
+      .as[(Long, Long)].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq((10L, 100L), (11L, 101L)))
+  }
+
   test("windowedEventCounts aggregates per tumbling window with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
     val events = in.toDF().toDF("ts", "event_type", "value")
