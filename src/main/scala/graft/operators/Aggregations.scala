@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Det._
@@ -185,6 +185,41 @@ object Aggregations {
       .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
   }
 
+  /** Deterministic Pearson correlation + sample covariance (the
+    * statistical-aggregate family, done reproducibly): does a customer's
+    * order value trend with time? A plain `corr()` sums doubles in
+    * partition order — non-reproducible across engines and runs — so,
+    * like [[graft.functions.Det.dstddevSamp]], the co-moments are exact
+    * integer sums (price in cents, time in whole days; small per-group n
+    * keeps every sum well under 2^63) and the closed-form combination is
+    * an identical double expression on both sides of the oracle. Still
+    * partial+final combinable: integer sums merge associatively. */
+  def corrValueTime(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast("double")
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("y"),
+        datediff(col("o_orderdate").cast("date"), to_date(lit("1992-01-01"))).cast("long").as("x"))
+      .groupBy("o_custkey")
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"),
+        sum(col("x") * col("y")).as("sxy"))
+      .filter(col("n") >= 2)
+      .withColumn("nd", dbl(col("n")))
+      .withColumn("den_x", col("nd") * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("den_y", col("nd") * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .withColumn("covar_samp",
+        (dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")) / col("nd"))
+          / (col("nd") - lit(1.0)) / lit(100.0))
+      .withColumn("corr_value_time",
+        (col("nd") * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+          / (sqrt(col("den_x")) * sqrt(col("den_y"))))
+      .select("o_custkey", "n", "covar_samp", "corr_value_time")
+      .orderBy("o_custkey")
+  }
+
   /** Top-k per group as ONE aggregation (graft.functions.TopKByScore):
     * the map side keeps ≤ k entries per group, so the shuffle carries
     * ≤ k rows per (group, mapper) instead of the whole fact table — the
@@ -243,6 +278,7 @@ object Aggregations {
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_corr_value_time"     -> corrValueTime _,
     "agg_topk_typed"          -> topkTypedAgg _,
     "agg_cube"                -> cubeStatusPriority _,
     "agg_pivot_event_types"   -> pivotEventTypes _,
@@ -260,6 +296,34 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_corr_value_time" ->
+      """WITH m AS (
+           SELECT o_custkey,
+             CAST(round(o_totalprice * 100.0) AS BIGINT) AS y,
+             date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS x
+           FROM orders),
+         s AS (
+           SELECT o_custkey, count(*) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+             CAST(SUM(x*y) AS BIGINT) AS sxy
+           FROM m GROUP BY o_custkey HAVING count(*) >= 2),
+         d AS (
+           SELECT o_custkey, n,
+             CAST(n AS DOUBLE) AS nd,
+             CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+             CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+             CAST(sxy AS DOUBLE) AS sxyd
+           FROM s),
+         e AS (
+           SELECT o_custkey, n, nd, sxd, syd, sxyd,
+             nd * sxxd - sxd * sxd AS den_x,
+             nd * syyd - syd * syd AS den_y
+           FROM d)
+         SELECT o_custkey, n,
+           (sxyd - sxd * syd / nd) / (nd - 1.0) / 100.0 AS covar_samp,
+           (nd * sxyd - sxd * syd) / (sqrt(den_x) * sqrt(den_y)) AS corr_value_time
+         FROM e WHERE den_x > 0 AND den_y > 0 ORDER BY o_custkey""",
     "agg_topk_typed" ->
       """SELECT o_custkey, rnk, o_orderkey, o_totalprice FROM (
            SELECT o_custkey, o_orderkey, o_totalprice,

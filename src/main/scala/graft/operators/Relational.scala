@@ -160,6 +160,20 @@ object Relational {
       .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
   }
 
+  /** Left-semi join — existence test without payload duplication (the
+    * relational form of the reference's "has any sponsored post" checks):
+    * orders having at least one near-capacity lineitem. The probe-side
+    * filter pushes into the lineitem scan, and the semi join emits each
+    * order at most once — no row explosion however many items match. */
+  def semiJoinBigItems(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .filter(col("l_quantity") >= 49.0).select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy("o_orderkey")
+  }
+
   /** As-of join — the one relational operator Spark has no native node
     * for (DuckDB/Pandas expose ASOF directly): for each event, the most
     * recent order of the same customer at or before the event time.
@@ -203,6 +217,7 @@ object Relational {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_asof_join"           -> asOfJoinEventsOrders _,
+    "rel_semi_join"            -> semiJoinBigItems _,
     "rel_except"               -> exceptKeys _,
     "rel_intersect"            -> intersectKeys _,
     "rel_scan_project_region"    -> scanProjectRegion _,
@@ -231,6 +246,11 @@ object Relational {
          FROM ev e ASOF LEFT JOIN ord o
            ON e.user_id = o.k AND e.t >= o.t
          ORDER BY event_id""",
+    "rel_semi_join" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE EXISTS (SELECT 1 FROM lineitem
+                       WHERE l_orderkey = o_orderkey AND l_quantity >= 49.0)
+         ORDER BY o_orderkey""",
     "rel_except" ->
       """SELECT o_custkey AS custkey FROM orders
          EXCEPT
