@@ -50,6 +50,14 @@ object Streams {
     posts.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("creator_key", "id")
 
+  /** Stream-static enrichment join: a streaming fact against a batch
+    * dimension (events ⋈ customer attributes). The static side is read
+    * fresh per micro-batch and broadcast when small — no streaming state
+    * at all, the zero-cost join shape to prefer whenever one side is a
+    * slowly-changing dimension rather than a stream. */
+  def enrichWithDim(stream: DataFrame, dim: DataFrame, key: String): DataFrame =
+    stream.join(broadcast(dim), key)
+
   /** Stream-stream attribution join: purchases matched to the views they
     * followed within `within` per user. Both sides carry a watermark and
     * the join condition bounds event-time distance, so each side's state

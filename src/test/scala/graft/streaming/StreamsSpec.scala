@@ -63,6 +63,21 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 1L)))
   }
 
+  test("enrichWithDim joins a stream to a broadcast static dimension") {
+    val in = MemoryStream[(Long, Double, java.sql.Timestamp)]
+    val dim = Seq((1L, "GOLD"), (2L, "SILVER")).toDF("user_id", "tier")
+    val q = Streams.enrichWithDim(in.toDF().toDF("user_id", "value", "ts"), dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode(OutputMode.Append()).start()
+    in.addData((1L, 5.0, ts(0)), (2L, 7.0, ts(1)), (3L, 9.0, ts(2)))
+    q.processAllAvailable()
+    val got = spark.table("enrich_out").select("user_id", "tier")
+      .as[(Long, String)].collect().sorted
+    q.stop()
+    // inner join: user 3 has no dimension row and drops out
+    assert(got.toSeq == Seq((1L, "GOLD"), (2L, "SILVER")))
+  }
+
   test("attributionJoin pairs purchases with views within the interval") {
     val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
     val purch = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
