@@ -43,6 +43,26 @@ object Multimodal {
         lower(hex(expr("substring(content, 1, 4)"))).as("magic_hex"),
         col("content").as("payload"))
 
+  /** O-11 binary SINK: write each creator's payload to
+    * `outDir/<creator>/<creator>.jpg` — the reference's storage layout
+    * (insta_scraper_enhanced.py:395-432, chunked write per creator).
+    * Executed with foreachPartition so executors write their partitions
+    * in parallel and nothing funnels through the driver; with the
+    * [[profilePictures]] scan this closes the binary round-trip
+    * (scan → transform → store). Idempotent: rewriting a creator's file
+    * overwrites it, so task retries are safe. */
+  def writeProfilePictures(df: DataFrame, outDir: String): Unit =
+    df.select("creator_key", "payload").foreachPartition {
+      rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val creator = r.getString(0)
+          val d = new java.io.File(outDir, creator)
+          d.mkdirs()
+          java.nio.file.Files.write(
+            new java.io.File(d, s"$creator.jpg").toPath, r.getAs[Array[Byte]](1))
+        }
+    }
+
   /** Oracle-checkable binary metadata extraction: byte length, SHA-256,
     * leading-bytes signature ("magic number" probe). */
   def binaryMeta(spark: SparkSession, dir: String): DataFrame =

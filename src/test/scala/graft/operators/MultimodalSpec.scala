@@ -77,6 +77,20 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("writeProfilePictures round-trips the shipped JPEGs byte-for-byte") {
+    import java.nio.file.{Files, Paths}
+    val out = Files.createTempDirectory("graft_pics").toString
+    val src = Multimodal.profilePictures(spark, "/root/reference")
+    Multimodal.writeProfilePictures(src, out)
+    val creators = src.select("creator_key").collect().map(_.getString(0))
+    assert(creators.length == 9)
+    creators.foreach { user =>
+      val written = Files.readAllBytes(Paths.get(s"$out/$user/$user.jpg"))
+      val original = Files.readAllBytes(Paths.get(s"/root/reference/$user/$user.jpg"))
+      assert(java.util.Arrays.equals(written, original), s"$user bytes differ")
+    }
+  }
+
   test("the stub decode pipeline runs over real JPEG payloads") {
     val out = Multimodal.featureStub(
       Multimodal.resizeStub(
