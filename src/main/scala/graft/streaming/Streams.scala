@@ -66,7 +66,8 @@ object Streams {
     * rows emit as soon as both sides arrive. */
   def attributionJoin(views: DataFrame, purchases: DataFrame,
                       within: String = "30 minutes",
-                      watermark: String = "1 hour"): DataFrame = {
+                      watermark: String = "1 hour",
+                      joinType: String = "inner"): DataFrame = {
     val v = views.select(col("user_id").as("v_user"), col("view_id"),
       col("ts").as("view_ts")).withWatermark("view_ts", watermark)
     val p = purchases.select(col("user_id").as("p_user"), col("purchase_id"),
@@ -74,10 +75,20 @@ object Streams {
     v.join(p, expr(
       s"""v_user = p_user AND
           purchase_ts >= view_ts AND
-          purchase_ts <= view_ts + interval $within"""))
+          purchase_ts <= view_ts + interval $within"""), joinType)
       .select(col("v_user").as("user_id"), col("view_id"), col("purchase_id"),
         col("view_ts"), col("purchase_ts"), col("value"))
   }
+
+  /** Left-outer flavor of [[attributionJoin]]: views that never convert
+    * within the interval are still emitted (null purchase columns) — but
+    * only once the watermark has passed `view_ts + within`, when the
+    * engine can PROVE no match can arrive. The state-eviction semantics
+    * the inner join never exercises; same bounded per-key state. */
+  def attributionJoinOuter(views: DataFrame, purchases: DataFrame,
+                           within: String = "30 minutes",
+                           watermark: String = "1 hour"): DataFrame =
+    attributionJoin(views, purchases, within, watermark, "leftOuter")
 
   /** Watermarked tumbling-window count/value aggregation over the events
     * stream — the Structured Streaming shape of O-33/O-43's histograms.

@@ -98,6 +98,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((10L, 100L), (11L, 101L)))
   }
 
+  test("attributionJoinOuter emits unconverted views after the watermark closes") {
+    val views = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purch = MemoryStream[(Long, Long, Double, java.sql.Timestamp)]
+    val joined = Streams.attributionJoinOuter(
+      views.toDF().toDF("user_id", "view_id", "ts"),
+      purch.toDF().toDF("user_id", "purchase_id", "value", "ts"),
+      within = "30 minutes", watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("attr_outer_out")
+      .outputMode(OutputMode.Append()).start()
+    // user 1 converts; user 2 never does
+    views.addData((1L, 10L, ts(0)), (2L, 20L, ts(0)))
+    purch.addData((1L, 100L, 9.99, ts(20)))
+    q.processAllAvailable()
+    // advance BOTH watermarks past t0 + 30min + 10min so the engine can
+    // prove view 20 is unmatchable and release it with nulls
+    views.addData((98L, 980L, ts(300)))
+    purch.addData((99L, 990L, 1.0, ts(300)))
+    q.processAllAvailable()
+    val got = spark.table("attr_outer_out")
+      .select("view_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .sorted.toSeq
+    q.stop()
+    assert(got.contains((10L, 100L)), s"converted view missing: $got")
+    assert(got.contains((20L, -1L)), s"unconverted view not released: $got")
+  }
+
   test("windowedEventCounts aggregates per tumbling window with watermark") {
     val in = MemoryStream[(java.sql.Timestamp, String, Double)]
     val events = in.toDF().toDF("ts", "event_type", "value")
