@@ -69,7 +69,11 @@ object Dedup {
       .withColumn("doc_b", col("pair") + 1)
       .withColumn("n_a", size(col("sh_a")))
       .withColumn("n_b", size(col("sh_b")))
-      .withColumn("n_common", size(array_intersect(col("sh_a"), col("sh_b"))))
+      // codegen'd count-only intersection (graft.functions.IntersectCount):
+      // size(array_intersect(...)) builds and copies the intersection
+      // array just to take its length
+      .withColumn("n_common",
+        graft.functions.ArrayOps.intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("jaccard",
         col("n_common").cast("double") / (col("n_a") + col("n_b") - col("n_common")))
       .select("doc_a", "doc_b", "n_a", "n_b", "n_common", "jaccard")

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
-import graft.functions.{PyRound, QuantizedDot}
+import graft.functions.{IntersectCount, PyRound, QuantizedDot}
 
 /** Engine extension point (SURVEY §7.3): registers graft's custom
   * Catalyst expressions with the session's FunctionRegistry so they are
@@ -44,6 +44,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Seq(a, b) => QuantizedDot(a, b)
         case _ => throw new IllegalArgumentException(
           s"quantized_dot expects 2 arguments, got ${args.length}")
+      }))
+    // intersect_count(a, b) — size(array_intersect(a, b)) without
+    // materializing the intersection array
+    ext.injectFunction((
+      FunctionIdentifier("intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getCanonicalName, "intersect_count"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => IntersectCount(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"intersect_count expects 2 arguments, got ${args.length}")
       }))
   }
 }

@@ -40,6 +40,22 @@ object VectorOpsSpec extends Properties("vector-ops") {
     Gen.listOfN(n, Gen.oneOf("alpha", "beta", "gamma", "δδδ", "tok1", "tok2",
       "x", "yy", "zzz", "émoji🙂", "word word")))
 
+  property("intersect_count equals size(array_intersect), dups and nulls included") =
+    Prop.forAll(tokGen, tokGen) { (a, b) =>
+      // keep duplicates (the builtin dedups; ours must agree) and add
+      // nulls on both sides so the null-matches-null path is exercised
+      val an = a ++ List(null, null)
+      val bn = b ++ List(null)
+      val df = Seq((an, bn)).toDF("a", "b")
+        .withColumn("fast", ArrayOps.intersectCount(col("a"), col("b")))
+        .withColumn("slow", expr("size(array_intersect(a, b))"))
+        .withColumn("sql_form", expr("intersect_count(a, b)"))
+      val r = df.select("fast", "slow", "sql_form").collect()(0)
+      val ok = r.getInt(0) == r.getInt(1) && r.getInt(2) == r.getInt(1)
+      if (!ok) println(s"INTERSECT MISMATCH a=$an b=$bn fast=${r.getInt(0)} slow=${r.getInt(1)}")
+      ok
+    }
+
   property("minhash_sig equals the md5/conv + fold SQL form") =
     Prop.forAll(tokGen) { toks0 =>
       val toks = toks0.distinct
