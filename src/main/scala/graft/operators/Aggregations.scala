@@ -150,11 +150,16 @@ object Aggregations {
     * shuffle. Spark-only (sketch differs from DuckDB's); accuracy is
     * asserted against the exact count in `ApproxDistinctSpec`. */
   def approxDistinct(spark: SparkSession, dir: String): DataFrame =
+    // one distinct-pairs aggregation feeds BOTH counts: the HLL sketch is
+    // duplicate-insensitive, so pre-distincting changes nothing in its
+    // estimate while avoiding the Expand(×2) + double shuffle that
+    // mixing countDistinct with another aggregate in one agg costs
     Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+        count(col("user_id")).as("exact_users"))
       .orderBy("event_type")
 
   /** Oracle-gated accuracy contract for the HLL++ sketch: the sketch value
