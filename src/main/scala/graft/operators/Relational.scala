@@ -160,6 +160,34 @@ object Relational {
       .withColumnRenamed("o_custkey", "custkey").orderBy("custkey")
   }
 
+  /** Keyless banded range join — point-in-interval matching with NO equi
+    * key (every error "incident" opens a 1-hour window; count the events
+    * inside each window, whoever produced them). The naive plan is a
+    * BroadcastNestedLoopJoin — |events| × |intervals| predicate
+    * evaluations, a scale-killer. Banding restores an equi key: with
+    * band width = window length, an interval overlaps ≤ 2 bands (it is
+    * exploded to those), an event lies in exactly 1 (so no pair can
+    * match twice — no dedup needed), and the join becomes a plain hash
+    * join on `band` whose candidate set is only same-band pairs. The
+    * exact containment predicate then filters collisions. At 100 TB this
+    * is the standard interval-join shape: shuffle bounded by band
+    * co-occurrence, never all-pairs. */
+  def rangeJoinBanded(spark: SparkSession, dir: String): DataFrame = {
+    val W = "3600000000" // 1-hour bands, micros (== window length)
+    val ev = Tables.events(spark, dir).withColumn("t", expr("ts_ns div 1000"))
+    val incidents = ev
+      .filter(col("event_type") === "error" && col("event_id") % 50 === 0)
+      .select(col("event_id").as("interval_id"), col("t").as("lo"),
+        (col("t") + expr(W)).as("hi"))
+      .withColumn("band", explode(expr(s"sequence(lo div $W, (hi - 1) div $W)")))
+    ev.select(col("t"), col("value"), expr(s"t div $W").as("band"))
+      .join(incidents, "band")
+      .filter(col("t") >= col("lo") && col("t") < col("hi"))
+      .groupBy("interval_id")
+      .agg(count(lit(1)).as("n_events"), graft.functions.Det.dsum(col("value")).as("sum_value"))
+      .orderBy("interval_id")
+  }
+
   /** Left-semi join — existence test without payload duplication (the
     * relational form of the reference's "has any sponsored post" checks):
     * orders having at least one near-capacity lineitem. The probe-side
@@ -218,6 +246,7 @@ object Relational {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_semi_join"            -> semiJoinBigItems _,
+    "rel_range_join_banded"    -> rangeJoinBanded _,
     "rel_except"               -> exceptKeys _,
     "rel_intersect"            -> intersectKeys _,
     "rel_scan_project_region"    -> scanProjectRegion _,
@@ -246,6 +275,16 @@ object Relational {
          FROM ev e ASOF LEFT JOIN ord o
            ON e.user_id = o.k AND e.t >= o.t
          ORDER BY event_id""",
+    // the oracle states the SEMANTICS (plain inequality join); the
+    // banding is the engine-side physical strategy under test
+    "rel_range_join_banded" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS t, value, event_type FROM events),
+         iv AS (SELECT event_id AS interval_id, t AS lo, t + 3600000000 AS hi
+                FROM ev WHERE event_type = 'error' AND event_id % 50 = 0)
+         SELECT interval_id, count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         FROM iv JOIN ev ON ev.t >= iv.lo AND ev.t < iv.hi
+         GROUP BY interval_id ORDER BY interval_id""",
     "rel_semi_join" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE EXISTS (SELECT 1 FROM lineitem

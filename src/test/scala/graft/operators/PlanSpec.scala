@@ -145,6 +145,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("banded range join is an equi join on band, not a nested loop") {
+    val df = Relational.rangeJoinBanded(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"keyless interval join fell back to all-pairs:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"expected an equi join on the band key:\n${plan.take(3000)}")
+  }
+
   test("typed top-k aggregator runs partial+final with a single hash exchange") {
     val df = Aggregations.topkTypedAgg(spark, dir)
     df.collect()
