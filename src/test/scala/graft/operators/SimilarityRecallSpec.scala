@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Recall QA for the IVF family: the nprobe knob must be monotone
+  * (probing 2 cells can only find a superset-quality answer vs 1), and
+  * every IVF hit must be consistent with the brute-force ranking. */
+class SimilarityRecallSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-recall-test")
+  val dir = "/root/testdata/sf0.01"
+
+  private def topIds(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+    df.select("vec_id").collect().map(_.getLong(0)).toSeq
+  private def topCos(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    df.select("vec_id", "cos").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("IVF multi-probe recall is monotone in nprobe and consistent with brute force") {
+    val brute = annBrute()
+    val bruteIds = topIds(brute).toSet
+    val bruteCos = topCos(brute)
+    val ivf1 = topIds(Similarity.ivfTopK(spark, dir))
+    val ivf2 = topIds(Similarity.ivfProbe2TopK(spark, dir))
+    val recall1 = ivf1.count(bruteIds).toDouble / bruteIds.size
+    val recall2 = ivf2.count(bruteIds).toDouble / bruteIds.size
+    assert(recall2 >= recall1, s"nprobe=2 recall $recall2 < nprobe=1 recall $recall1")
+    assert(recall2 > 0.0, "multi-probe found none of the true top-10")
+    // consistency: any IVF hit that IS a true top-10 must carry the same
+    // cosine the brute-force scorer computed (same quantized math)
+    val ivf2Cos = topCos(Similarity.ivfProbe2TopK(spark, dir))
+    ivf2Cos.foreach { case (id, c) =>
+      bruteCos.get(id).foreach(bc => assert(math.abs(bc - c) < 1e-12, s"vec $id cos drift"))
+    }
+  }
+
+  private def annBrute() = Similarity.annBruteForceTopK(spark, dir)
+}
