@@ -174,6 +174,28 @@ object Aggregations {
           <= col("exact_users").cast("double") * 0.05).as("within_tol"))
       .orderBy("event_type")
 
+  /** The second sketch family (HLL being the first): Greenwald-Khanna
+    * approximate percentile — the 100 TB path for [[docLengthPercentiles]]
+    * (mergeable summaries, bounded memory, vs an exact percentile's full
+    * sort). Gated like [[approxDistinctChecked]]: the sketch VALUE is not
+    * cross-engine reproducible, but its rank-error contract is — with
+    * accuracy 1000 the returned element's rank is within n/1000 of the
+    * target, so it must lie between the exact 0.45 and 0.55 quantiles
+    * (both engines compute those exactly); a drifting sketch flips the
+    * boolean and fails the hash gate. */
+  def approxPercentileChecked(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(n_chars, 0.5)").as("p50_exact"),
+        expr("approx_percentile(n_chars, 0.5, 1000)").as("ap50"),
+        expr("percentile(n_chars, 0.45)").as("lo"),
+        expr("percentile(n_chars, 0.55)").as("hi"))
+      .select(col("lang"), col("n_docs"), col("p50_exact"),
+        col("ap50").between(col("lo"), col("hi")).as("within_tol"))
+      .orderBy("lang")
+
   /** Hierarchical rollup (beyond the reference's flat groupBys): order
     * counts per (region, nation) with nation and grand totals — one
     * shuffle, the expanded grouping handled map-side. */
@@ -283,6 +305,7 @@ object Aggregations {
       .orderBy("lang")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_approx_percentile"   -> approxPercentileChecked _,
     "agg_corr_value_time"     -> corrValueTime _,
     "agg_topk_typed"          -> topkTypedAgg _,
     "agg_cube"                -> cubeStatusPriority _,
@@ -301,6 +324,11 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_approx_percentile" ->
+      """SELECT lang, count(*) AS n_docs,
+           quantile_cont(n_chars, 0.5) AS p50_exact,
+           true AS within_tol
+         FROM documents GROUP BY lang ORDER BY lang""",
     "agg_corr_value_time" ->
       """WITH m AS (
            SELECT o_custkey,
