@@ -61,9 +61,16 @@ object PagedDataSource {
       .sortBy(_.getName)
   }
 
-  def countRows(f: File): Int = {
+  def countRows(f: File): Int = pageIds(f).length
+
+  /** The ids on one page (first tab-separated field per line). */
+  def pageIds(f: File): Array[Long] = {
     val src = scala.io.Source.fromFile(f, "UTF-8")
-    try src.getLines().count(_.nonEmpty) finally src.close()
+    try src.getLines().filter(_.nonEmpty).map { line =>
+      val tab = line.indexOf('\t')
+      (if (tab < 0) line.trim else line.substring(0, tab).trim).toLong
+    }.toArray
+    finally src.close()
   }
 }
 
@@ -99,7 +106,9 @@ class PagedScan(options: Map[String, String]) extends Scan {
     new PagedMicroBatchStream(path, creator,
       pagesPerTrigger = options.getOrElse("pagesPerTrigger", "1").toInt,
       targetRows = options.getOrElse("targetRows", Int.MaxValue.toString).toInt,
-      maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt)
+      maxPages = options.getOrElse("maxPages", Int.MaxValue.toString).toInt,
+      stagnantLimit = options.getOrElse("stagnantLimit", "0").toInt,
+      minRowsForStagnantStop = options.getOrElse("minRowsForStagnantStop", "30").toInt)
 }
 
 /** Offset = number of pages fully consumed. */
@@ -108,10 +117,31 @@ case class PageOffset(page: Int) extends Offset {
 }
 
 class PagedMicroBatchStream(path: String, creator: String, pagesPerTrigger: Int,
-                            targetRows: Int, maxPages: Int) extends MicroBatchStream {
+                            targetRows: Int, maxPages: Int,
+                            stagnantLimit: Int = 0,
+                            minRowsForStagnantStop: Int = 30) extends MicroBatchStream {
   // Pages planned so far this run; seeded from the checkpoint via
   // deserializeOffset/commit on restart.
   @volatile private var planned = 0
+  // Scroll-progress state over pages [0, scannedPages): cumulative rows,
+  // distinct ids seen, and the current run of pages that added nothing
+  // new. Rebuilt by re-reading already-planned pages after a restart. At
+  // fixture scale an exact id set is fine; a production connector would
+  // hold a bloom filter here (driver-side, one per active scroll).
+  private var scannedPages = 0
+  private var rows = 0
+  private var stagnantRun = 0
+  private val seenIds = new java.util.HashSet[java.lang.Long]()
+
+  private def scanThrough(files: Array[File], until: Int): Unit =
+    while (scannedPages < until) {
+      val ids = PagedDataSource.pageIds(files(scannedPages))
+      rows += ids.length
+      var fresh = 0
+      ids.foreach(id => if (seenIds.add(id)) fresh += 1)
+      stagnantRun = if (fresh == 0) stagnantRun + 1 else 0
+      scannedPages += 1
+    }
 
   override def initialOffset(): Offset = PageOffset(0)
 
@@ -124,16 +154,22 @@ class PagedMicroBatchStream(path: String, creator: String, pagesPerTrigger: Int,
   override def commit(end: Offset): Unit =
     planned = math.max(planned, end.asInstanceOf[PageOffset].page)
 
-  /** Admits up to `pagesPerTrigger` new pages, stopping at `maxPages` or
+  /** Admits up to `pagesPerTrigger` new pages, stopping at `maxPages`,
     * once the cumulative row count has reached `targetRows` (the scroll
-    * loop's "enough posts" break). */
+    * loop's "enough posts" break), or — with `stagnantLimit` > 0 — after
+    * that many consecutive pages added no NEW ids while at least
+    * `minRowsForStagnantStop` rows were already harvested (the
+    * reference's "3 stagnant scrolls at ≥30 posts" early stop,
+    * insta_scraper_enhanced.py:255-264). */
   override def latestOffset(): Offset = {
     val files = PagedDataSource.pageFiles(path)
     val avail = math.min(files.length, maxPages)
-    var rows = (0 until math.min(planned, avail)).map(i => PagedDataSource.countRows(files(i))).sum
+    scanThrough(files, math.min(planned, avail))
+    def stagnated =
+      stagnantLimit > 0 && stagnantRun >= stagnantLimit && rows >= minRowsForStagnantStop
     var end = planned
-    while (end < avail && end - planned < pagesPerTrigger && rows < targetRows) {
-      rows += PagedDataSource.countRows(files(end))
+    while (end < avail && end - planned < pagesPerTrigger && rows < targetRows && !stagnated) {
+      scanThrough(files, end + 1)
       end += 1
     }
     planned = end

@@ -57,6 +57,27 @@ class PagedSourceSpec extends AnyFunSuite {
     assert(pages.toSeq == Seq(0, 1))
   }
 
+  test("stagnant pages stop the scroll once enough rows are harvested") {
+    val dir = Files.createTempDirectory("graft_stagnant").toString
+    // page 0: ids 0..9; pages 1-2 repeat them exactly (stagnant); page 3
+    // would bring fresh ids but must never be admitted
+    val pages = Seq(0 until 10, 0 until 10, 0 until 10, 20 until 30)
+    pages.zipWithIndex.foreach { case (ids, p) =>
+      Files.write(java.nio.file.Paths.get(f"$dir/page-$p%05d.txt"),
+        ids.map(i => s"$i\tb").mkString("\n").getBytes("UTF-8"))
+    }
+    val df = spark.readStream.format(fmt)
+      .option("path", dir).option("pagesPerTrigger", "1")
+      .option("stagnantLimit", "2").option("minRowsForStagnantStop", "10")
+      .load()
+    val q = df.writeStream.format("memory").queryName("stagnant_out")
+      .outputMode(OutputMode.Append()).start()
+    q.processAllAvailable()
+    val got = spark.table("stagnant_out").select("page").distinct().as[Int].collect().sorted
+    q.stop()
+    assert(got.toSeq == Seq(0, 1, 2), s"scroll did not stop on stagnation: ${got.toSeq}")
+  }
+
   test("composes with pageMergeDedup: overlapping scroll pages dedup to distinct ids") {
     val dir = writePages()
     val df = spark.readStream.format(fmt)
