@@ -40,4 +40,16 @@ object Ingest {
   /** O-9 failure channel (:594-595): urls with no captured response. */
   def failedUrls(results: DataFrame): DataFrame =
     results.filter(!coalesce(col("success"), lit(false))).select("url")
+
+  /** O-75 dynamic-wait complexity term (calculate_dynamic_wait_time,
+    * insta_scraper_enhanced.py:170-187): `min(followers/500k + posts/5k,
+    * 1.0)` seconds on top of a random 1–2 s base (the base is transport
+    * randomness, not semantics). Quirk preserved in documentation only:
+    * the reference reads the pre-2022 GraphQL keys (`edge_followed_by`,
+    * `edge_owner_to_timeline_media`) which the schema it itself saves
+    * does not contain, so on its own data the term is always 0 — a dead
+    * path like O-17; the formula is implemented here over the real
+    * profile columns. */
+  def politenessWait(followers: Column, posts: Column): Column =
+    least(followers.cast("double") / 500000.0 + posts.cast("double") / 5000.0, lit(1.0))
 }

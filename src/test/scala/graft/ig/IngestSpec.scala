@@ -21,6 +21,23 @@ class IngestSpec extends AnyFunSuite {
     assert(got.toSeq == cases.map(_._2))
   }
 
+  test("politeness wait matches the reference formula over the shipped profiles") {
+    import org.apache.spark.sql.functions._
+    val profiles = Instagram.readProfiles(spark, Instagram.profilesGlob())
+    val rows = profiles.select(
+      col("username"),
+      col("follower_count"), col("media_count"),
+      Ingest.politenessWait(col("follower_count"), col("media_count")).as("wait"))
+      .collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val expected = math.min(
+        r.getLong(1).toDouble / 500000.0 + r.getLong(2).toDouble / 5000.0, 1.0)
+      assert(r.getDouble(3) == expected, s"${r.getString(0)}: ${r.getDouble(3)} != $expected")
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("resume keeps un-normalized originals and skips normalized matches") {
     val input = Seq("https://x.com/a/", "https://x.com/b", " https://x.com/c/ ").toDF("url")
     val done = Seq("https://x.com/a", "  https://x.com/c").toDF("url")
