@@ -74,17 +74,25 @@ object Extraction {
     firstLink(bioLinks, Seq("youtube.com", "youtu.be")).as("youtube"),
     firstLink(bioLinks, Seq("linktr.ee")).as("linktree"))
 
+  /** Gender indicator lists (:714-788) — shared with the DuckDB oracle
+    * generator in [[SynthIg]], so both sides stay in lockstep. */
+  private[ig] val femaleIndicators = Seq("she/her", "she", "her", "woman",
+    "girl", "female", "lady", "mom", "mother", "wife", "daughter", "sister",
+    "girlfriend", "actress", "queen", "princess", "mama", "mum", "mummy",
+    "mommy", "mrs", "ms", "miss")
+  private[ig] val maleIndicators = Seq("he/him", "he", "him", "man", "boy",
+    "male", "guy", "dad", "father", "husband", "son", "brother", "boyfriend",
+    "actor", "king", "prince", "papa", "daddy", "mr")
+  private[ig] val nbIndicators = Seq("they/them", "them", "they", "non-binary",
+    "nonbinary", "nb", "enby", "genderfluid", "genderqueer", "agender",
+    "ze/zir", "xe/xem")
+
   /** identify_gender (:714-788): pronoun cascade, else indicator-presence
     * scoring over bio+name+username with priority Female > Male > NB. */
   def gender(pronouns: Column, bio: Column, fullName: Column, username: Column): Column = {
-    val female = Seq("she/her", "she", "her", "woman", "girl", "female", "lady",
-      "mom", "mother", "wife", "daughter", "sister", "girlfriend", "actress",
-      "queen", "princess", "mama", "mum", "mummy", "mommy", "mrs", "ms", "miss")
-    val male = Seq("he/him", "he", "him", "man", "boy", "male", "guy", "dad",
-      "father", "husband", "son", "brother", "boyfriend", "actor", "king",
-      "prince", "papa", "daddy", "mr")
-    val nb = Seq("they/them", "them", "they", "non-binary", "nonbinary", "nb",
-      "enby", "genderfluid", "genderqueer", "agender", "ze/zir", "xe/xem")
+    val female = femaleIndicators
+    val male = maleIndicators
+    val nb = nbIndicators
     val pf = Seq("she/her", "she", "her")
     val pm = Seq("he/him", "he", "him")
     val pn = Seq("they/them", "they", "them", "ze/zir", "xe/xem", "it/its")
@@ -106,14 +114,21 @@ object Extraction {
       .otherwise(lit("Non-binary"))
   }
 
+  /** Account-type keyword lists (:1814-1852) — shared with the DuckDB
+    * oracle generator in [[SynthIg]]. */
+  private[ig] val brandKeywords = Seq("brand", "store", "shop", "company",
+    "co.", "official", "boutique", "ecommerce", "retail")
+  private[ig] val creatorKeywords = Seq("creator", "influencer", "content",
+    "artist", "photographer", "videographer", "ugc")
+  private[ig] val extUrlKeywords = Seq("shop", "store", "etsy", "amazon",
+    "buy", "products")
+
   /** classify_instagram_account (:1814-1852). */
   def accountType(category: Column, bio: Column, externalUrl: Column,
                   isBusiness: Column, isVerified: Column, followers: Column): Column = {
-    val brandKw = Seq("brand", "store", "shop", "company", "co.", "official",
-      "boutique", "ecommerce", "retail")
-    val creatorKw = Seq("creator", "influencer", "content", "artist",
-      "photographer", "videographer", "ugc")
-    val extKw = Seq("shop", "store", "etsy", "amazon", "buy", "products")
+    val brandKw = brandKeywords
+    val creatorKw = creatorKeywords
+    val extKw = extUrlKeywords
     val c = lc(category); val b = lc(bio); val e = lc(externalUrl)
     when(containsAny(c, brandKw) || containsAny(b, brandKw)
       || coalesce(isBusiness, lit(false)), lit("brand"))

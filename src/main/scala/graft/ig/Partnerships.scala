@@ -151,7 +151,7 @@ object Partnerships {
         "collaboration_score")
   }
 
-  private val mentionStopwords = Seq("the", "and", "for", "from", "with", "this",
+  private[ig] val mentionStopwords = Seq("the", "and", "for", "from", "with", "this",
     "that", "have", "has", "her", "his", "our", "my", "your", "their", "its",
     "as", "at", "by", "to", "in", "on", "of", "or", "if")
 
