@@ -62,16 +62,25 @@ object Similarity {
       .orderBy("rnk")
   }
 
-  /** Scale path for ANN: coarse LSH-style bucketing by component signs of
-    * a few fixed dimensions; candidate search only joins within a bucket.
-    * Spark-only building block (used by tests / Bench), semantics checked
-    * via the brute-force oracle queries above. */
-  def minhashStyleBuckets(spark: SparkSession, dir: String): DataFrame =
-    Tables.embeddings(spark, dir)
-      .withColumn("bucket", expr(
-        """cast(element_at(embedding, 1) >= 0 as int) * 4 +
-           cast(element_at(embedding, 2) >= 0 as int) * 2 +
-           cast(element_at(embedding, 3) >= 0 as int)"""))
+  /** Scale path for ANN: sign-LSH bucketing on the first `planes`
+    * component signs (axis-aligned hyperplanes — deterministic, so the
+    * DuckDB oracle can replicate it bit-for-bit); candidate search only
+    * joins within a bucket.
+    *
+    * Sizing for scale: `planes` is THE knob that keeps the within-bucket
+    * self-join linear. With n vectors and 2^b buckets the expected
+    * candidate-pair count is ~n²/2^(b+1), so choose
+    * b ≈ log2(n / m) for a target bucket size m (constant per executor):
+    * then pairs ≈ n·m/2 — linear in n. A fixed b (the old 3-plane/8-
+    * bucket shape) degrades to ~n²/8 pairs at 100× data, which is why
+    * the plane count must grow with the corpus. */
+  def minhashStyleBuckets(spark: SparkSession, dir: String, planes: Int = 3): DataFrame = {
+    require(planes >= 1 && planes <= 62, s"planes out of range: $planes")
+    val bucketExpr = (1 to planes)
+      .map(i => s"cast(element_at(embedding, $i) >= 0 as bigint) * ${1L << (planes - i)}L")
+      .mkString(" + ")
+    Tables.embeddings(spark, dir).withColumn("bucket", expr(bucketExpr))
+  }
 
   /** IVF-style ANN: 8 fixed coarse centroids (vec_id 1..8), every vector
     * assigned to its nearest centroid, then the query probes ONLY its own
@@ -189,13 +198,13 @@ object Similarity {
   }
 
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
-    * product — only vectors sharing the 3-bit sign bucket are ever
-    * paired (the [[minhashStyleBuckets]] building block, now oracle-
-    * gated). Top-20 by cosine keeps the output bounded. At 100 TB the
-    * bucket join is the shuffle-bounded plan; more planes → smaller
-    * buckets. */
-  def lshNearDup(spark: SparkSession, dir: String): DataFrame = {
-    val b = minhashStyleBuckets(spark, dir)
+    * product — only vectors sharing the `planes`-bit sign bucket are ever
+    * paired (the [[minhashStyleBuckets]] building block, oracle-gated at
+    * 3 AND 6 planes). Top-20 by cosine keeps the output bounded. At
+    * 100 TB, pick planes ≈ log2(n/m) per the sizing note on
+    * [[minhashStyleBuckets]] — the bucket join then stays linear in n. */
+  def lshNearDup(spark: SparkSession, dir: String, planes: Int = 3): DataFrame = {
+    val b = minhashStyleBuckets(spark, dir, planes)
     val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
     val c = b.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
     val scored = a.join(c, Seq("bucket"))
@@ -217,8 +226,36 @@ object Similarity {
     "sim_neardup_pairs"  -> nearDupPairs _,
     "sim_ivf_topk"       -> ivfTopK _,
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
-    "sim_lsh_neardup"    -> lshNearDup _,
+    "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
+    "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
   )
+
+  /** DuckDB oracle for [[lshNearDup]] at any plane count — generated from
+    * the same bucket formula the Spark side uses. */
+  private def lshOracle(planes: Int): String = {
+    val bucketSql = (1 to planes)
+      .map(i => s"CAST(embedding[$i] >= 0 AS BIGINT) * ${1L << (planes - i)}")
+      .mkString(" + ")
+    s"""WITH bk AS (SELECT vec_id, embedding, $bucketSql AS bucket
+               FROM embeddings),
+         pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         d AS (SELECT bucket, id_a, id_b,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pr GROUP BY bucket, id_a, id_b),
+         s AS (SELECT bucket, id_a, id_b,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT bucket, id_a, id_b, cos,
+                 row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
+         SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk"""
+  }
 
   private def duckCos(aExpr: String) =
     s"""CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
@@ -326,29 +363,8 @@ object Similarity {
          r AS (SELECT vec_id, cos,
                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
          SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
-    "sim_lsh_neardup" ->
-      """WITH bk AS (SELECT vec_id, embedding,
-                 CAST(embedding[1] >= 0 AS INT) * 4 +
-                 CAST(embedding[2] >= 0 AS INT) * 2 +
-                 CAST(embedding[3] >= 0 AS INT) AS bucket
-               FROM embeddings),
-         pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
-                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
-                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-         d AS (SELECT bucket, id_a, id_b,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
-                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM pr GROUP BY bucket, id_a, id_b),
-         s AS (SELECT bucket, id_a, id_b,
-                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-               FROM d),
-         r AS (SELECT bucket, id_a, id_b, cos,
-                 row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
-         SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk""",
+    "sim_lsh_neardup" -> lshOracle(3),
+    "sim_lsh_neardup6" -> lshOracle(6),
     "sim_neardup_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -32,5 +32,24 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("sign-LSH planes refine buckets: 6-plane candidate pairs are a subset of 3-plane") {
+    import org.apache.spark.sql.functions._
+    def pairs(planes: Int): Set[(Long, Long)] = {
+      val b = Similarity.minhashStyleBuckets(spark, dir, planes)
+      val a = b.select(col("vec_id").as("id_a"), col("bucket"))
+      val c = b.select(col("vec_id").as("id_b"), col("bucket"))
+      a.join(c, Seq("bucket")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val p3 = pairs(3)
+    val p6 = pairs(6)
+    // the 6-plane bucket extends the 3-plane prefix, so sharing 6 sign
+    // bits implies sharing the first 3 — candidates can only shrink
+    assert(p6.subsetOf(p3), "6-plane pairs must refine 3-plane pairs")
+    assert(p6.size < p3.size,
+      s"more planes should prune candidates (3-plane ${p3.size}, 6-plane ${p6.size})")
+  }
+
   private def annBrute() = Similarity.annBruteForceTopK(spark, dir)
 }
