@@ -74,17 +74,31 @@ object Multimodal {
         lower(hex(expr("substring(payload, 1, 4)"))).as("magic_hex"))
       .orderBy("doc_id")
 
-  /** STUB decode (no codec libs in this container): deterministically
-    * derives fake (width, height, n_frames) from the payload hash.
-    * Replace the body with a real codec call in production; everything
-    * around it — schema, batching, partition layout — is real. */
+  /** Decode step. JPEG payloads get REAL dimensions — parsed from the
+    * SOF segment header by the codegen'd [[graft.functions.JpegDims]]
+    * expression (pure byte-walking, ITU T.81 §B.2.2; no codec library
+    * needed). Non-JPEG payloads (e.g. the text stand-ins from
+    * [[binaryized]]) fall back to deterministic synthetic dims derived
+    * from the payload hash, since this container has no image/audio
+    * codecs — that branch is the clearly-marked stand-in; the schema,
+    * batching and partition layout around it are real either way.
+    * Still one codegen'd projection per row, no UDF, no shuffle. */
   val decodedSchema = "struct<width:int,height:int,n_frames:int>"
-  def decodeStub(df: DataFrame): DataFrame =
-    df.withColumn("decoded", expr(
-      """named_struct(
-           'width',    16 + pmod(cast(conv(substring(md5(payload), 1, 4), 16, 10) as int), 1024),
-           'height',   16 + pmod(cast(conv(substring(md5(payload), 5, 4), 16, 10) as int), 1024),
-           'n_frames', 1 + pmod(cast(conv(substring(md5(payload), 9, 2), 16, 10) as int), 32))"""))
+  def decode(df: DataFrame): DataFrame = {
+    import graft.functions.JpegDims.jpegDims
+    df.withColumn("jpeg_packed", jpegDims(col("payload")))
+      .withColumn("decoded", expr(
+        """CASE WHEN jpeg_packed >= 0 THEN named_struct(
+             'width',    cast(shiftright(jpeg_packed, 32) as int),
+             'height',   cast(jpeg_packed & 4294967295 as int),
+             'n_frames', 1)
+           ELSE named_struct(
+             'width',    16 + pmod(cast(conv(substring(md5(payload), 1, 4), 16, 10) as int), 1024),
+             'height',   16 + pmod(cast(conv(substring(md5(payload), 5, 4), 16, 10) as int), 1024),
+             'n_frames', 1 + pmod(cast(conv(substring(md5(payload), 9, 2), 16, 10) as int), 32))
+           END"""))
+      .drop("jpeg_packed")
+  }
 
   /** Frame-sampling over the stubbed decode: one row per sampled frame —
     * the explode pattern a video pipeline uses (sample every k-th frame). */

@@ -10,7 +10,7 @@ class MultimodalSpec extends AnyFunSuite {
   lazy val spark = graft.Sessions.local("4", "graft-mm-test")
   val dir = "/root/testdata/sf0.001"
 
-  lazy val decoded = Multimodal.decodeStub(Multimodal.binaryized(spark, dir)).cache()
+  lazy val decoded = Multimodal.decode(Multimodal.binaryized(spark, dir)).cache()
 
   test("binaryized: payload bytes round-trip the source text") {
     val r = Multimodal.binaryized(spark, dir)
@@ -19,7 +19,7 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r.count() == 0)
   }
 
-  test("decodeStub is deterministic and in-range") {
+  test("synthetic decode branch (non-JPEG payloads) is deterministic and in-range") {
     val rows = decoded.select("decoded.width", "decoded.height", "decoded.n_frames").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -28,7 +28,7 @@ class MultimodalSpec extends AnyFunSuite {
       assert(r.getInt(2) >= 1 && r.getInt(2) <= 33)
     }
     // deterministic: a second evaluation produces identical values
-    val again = Multimodal.decodeStub(Multimodal.binaryized(spark, dir))
+    val again = Multimodal.decode(Multimodal.binaryized(spark, dir))
       .select("doc_id", "decoded.width").collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     decoded.select("doc_id", "decoded.width").collect()
       .foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
@@ -91,10 +91,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("decode parses the TRUE dimensions of all 9 shipped JPEGs (vs ImageIO)") {
+    val rows = Multimodal.decode(Multimodal.profilePictures(spark, "/root/reference"))
+      .select("creator_key", "decoded.width", "decoded.height", "decoded.n_frames")
+      .collect()
+    assert(rows.length == 9)
+    rows.foreach { r =>
+      val user = r.getString(0)
+      // independent oracle: the JDK's own JPEG reader
+      val img = javax.imageio.ImageIO.read(
+        new java.io.File(s"/root/reference/$user/$user.jpg"))
+      assert(img != null, s"$user: ImageIO could not read fixture")
+      assert(r.getInt(1) == img.getWidth, s"$user width ${r.getInt(1)} != ${img.getWidth}")
+      assert(r.getInt(2) == img.getHeight, s"$user height ${r.getInt(2)} != ${img.getHeight}")
+      assert(r.getInt(3) == 1, s"$user n_frames")
+    }
+  }
+
   test("the stub decode pipeline runs over real JPEG payloads") {
     val out = Multimodal.featureStub(
       Multimodal.resizeStub(
-        Multimodal.decodeStub(Multimodal.profilePictures(spark, "/root/reference"))))
+        Multimodal.decode(Multimodal.profilePictures(spark, "/root/reference"))))
       .select("creator_key", "decoded.n_frames", "resized.width", "features")
     val rows = out.collect()
     assert(rows.length == 9)
