@@ -43,6 +43,22 @@ object VectorOpsUtil {
     }
     acc
   }
+
+  /** Mixed: float data vector × already-quantized long vector (the fitted
+    * IVF centroids live in milli-integer space). */
+  def quantDotFL(a: ArrayData, b: ArrayData, scale: Double): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      acc += q(a.getFloat(i).toDouble * scale) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** The shared quantizer, exposed for driver-side trainers that must
+    * reproduce the expression's rounding exactly. */
+  def quantize(d: Double): Long = q(d)
 }
 
 /** Σ round(aᵢ·scale) · round(bᵢ·scale) over two numeric arrays — the
@@ -59,31 +75,39 @@ object VectorOpsUtil {
   * oracles are unchanged. */
 case class QuantizedDot(left: Expression, right: Expression, scale: Double = 1000.0)
     extends BinaryExpression {
-  private def utilFn: String = left.dataType.asInstanceOf[ArrayType].elementType match {
-    case FloatType => "quantDotF"
-    case DoubleType => "quantDotD"
-    case LongType => "quantDotL" // already-quantized integer vectors
-    case other => throw new IllegalStateException(s"unreachable: $other")
-  }
+  private def utilFn: String =
+    (left.dataType.asInstanceOf[ArrayType].elementType,
+      right.dataType.asInstanceOf[ArrayType].elementType) match {
+      case (FloatType, FloatType) => "quantDotF"
+      case (DoubleType, DoubleType) => "quantDotD"
+      case (LongType, LongType) => "quantDotL" // already-quantized integer vectors
+      case (FloatType, LongType) => "quantDotFL" // data vector × fitted centroid
+      case other => throw new IllegalStateException(s"unreachable: $other")
+    }
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
-    def ok(dt: DataType) = dt match {
-      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) |
-           ArrayType(LongType, _) => true
+    val pair = (left.dataType, right.dataType)
+    val ok = pair match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => true
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
+      case (ArrayType(FloatType, _), ArrayType(LongType, _)) => true
       case _ => false
     }
-    if (ok(left.dataType) && left.dataType == right.dataType)
+    if (ok)
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
     else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-      s"quantized_dot needs two equal array<float|double|bigint> inputs, " +
-        s"got ${left.dataType} / ${right.dataType}")
+      s"quantized_dot needs array<float|double|bigint> inputs (equal, or " +
+        s"float×bigint), got ${left.dataType} / ${right.dataType}")
   }
   override def nullSafeEval(a: Any, b: Any): Any = utilFn match {
     case "quantDotF" =>
       VectorOpsUtil.quantDotF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
     case "quantDotD" =>
       VectorOpsUtil.quantDotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
+    case "quantDotFL" =>
+      VectorOpsUtil.quantDotFL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
     case _ =>
       VectorOpsUtil.quantDotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
   }

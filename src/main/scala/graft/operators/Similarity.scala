@@ -82,38 +82,90 @@ object Similarity {
     Tables.embeddings(spark, dir).withColumn("bucket", expr(bucketExpr))
   }
 
-  /** IVF-style ANN: 8 fixed coarse centroids (vec_id 1..8), every vector
-    * assigned to its nearest centroid, then the query probes ONLY its own
-    * cell and ranks candidates by cosine.
+  /** Offline IVF centroid trainer: deterministic spherical k-means over
+    * a bounded sample, run ENTIRELY in quantized milli-integer space so
+    * the DuckDB oracle can replay the fit bit-for-bit.
     *
-    * Scale path: real IVF fits centroids offline (sampled k-means) and
-    * ships them to workers as metadata, so the 8-row collect here is the
-    * broadcast step, not a data-path collect. With centroids inlined as
-    * literals, assignment is a pure per-row argmax projection — the
-    * 8x crossJoin + Window.partitionBy(vec_id) shuffle of the expanded
-    * table (the round-1 formulation) disappears entirely, and because the
-    * projection keeps the quantized vector, the candidate scoring needs no
-    * re-join with the source either. Zero Exchange before the final
-    * top-k. Tie-break matches the old window (cos desc, cent_id asc):
-    * centroids are folded in ascending cent_id order with a strict `>`. */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.embeddings(spark, dir)
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    *  - sample: vec_id < sampleBound (deterministic; the "1% sample" of
+    *    a real deployment — at 100 TB this is a `TABLESAMPLE` scan
+    *    feeding the same driver-side loop over ≤O(1k) rows)
+    *  - init: the sample vectors with vec_id 1..k (the previous FIXED
+    *    centroids — so the fit strictly refines the old behavior)
+    *  - assignment: argmax quantized cosine, ties to the smallest cell
+    *  - update: element-wise mean of member milli-vectors, re-quantized
+    *    half-away-from-zero ([[graft.functions.VectorOpsUtil.quantize]],
+    *    the same rule the dot-product expression applies); empty
+    *    clusters keep their previous centroid
+    *
+    * All dots/norms are exact integer sums; the only floating-point ops
+    * (cos division, mean division) are single IEEE expressions both
+    * engines evaluate identically. The collect is the offline-trainer
+    * step — bounded by sampleBound, never the data path. */
+  def fitIvfCentroids(spark: SparkSession, dir: String, k: Int = 8,
+                      sampleBound: Long = 256, iters: Int = 2): Array[(Long, Array[Long])] = {
+    import graft.functions.VectorOpsUtil.quantize
+    val sample: Array[(Long, Array[Long])] = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < sampleBound)
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray.map(f => quantize(f.toDouble * 1000.0))))
       .sortBy(_._1)
-    // float literals round-trip through their shortest repr, so the
-    // codegen'd quantized_dot sees the exact stored components
-    val centsLit = cents.map { case (id, fv) =>
-      val nb = fv.map { v =>
-        val d = v.toDouble * 1000.0
-        val q = if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
-        q * q
-      }.sum
-      val ce = fv.map(f => s"cast('$f' as float)").mkString(",")
-      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array($ce))"
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0; val n = math.min(a.length, b.length)
+      while (i < n) { s += a(i) * b(i); i += 1 }; s
+    }
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    var cents: Array[Array[Long]] = (1 to k).map { i =>
+      sample.find(_._1 == i).getOrElse(
+        throw new IllegalStateException(s"init centroid vec_id=$i not in sample"))._2
+    }.toArray
+    var it = 0
+    while (it < iters) {
+      val assigned = sample.map { case (_, v) =>
+        var best = 0; var bestCos = Double.NegativeInfinity; var j = 0
+        while (j < cents.length) {
+          val c = cos(v, cents(j))
+          if (c > bestCos) { bestCos = c; best = j }
+          j += 1
+        }
+        (best, v)
+      }
+      cents = Array.tabulate(cents.length) { j =>
+        val members = assigned.collect { case (`j`, v) => v }
+        if (members.isEmpty) cents(j)
+        else Array.tabulate(members.head.length) { d =>
+          var s = 0L; members.foreach(m => s += m(d))
+          quantize(s.toDouble / members.length)
+        }
+      }
+      it += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => ((i + 1).toLong, c) }
+  }
+
+  /** Fitted centroids inlined as integer literals (nb = exact squared
+    * norm) — the broadcast-as-metadata step of a real IVF build. */
+  private def fittedCentsLit(cents: Array[(Long, Array[Long])]): String =
+    cents.map { case (id, cv) =>
+      val nb = cv.map(x => x * x).sum
+      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array(${cv.map(_ + "L").mkString(",")}))"
     }.mkString("array(", ", ", ")")
+
+  /** IVF-style ANN: k-means-FITTED coarse centroids ([[fitIvfCentroids]]),
+    * every vector assigned to its nearest centroid, then the query probes
+    * ONLY its own cell and ranks candidates by cosine.
+    *
+    * Scale path: centroids are fitted offline on a bounded sample and
+    * shipped to workers as literal metadata. Assignment is a pure
+    * per-row argmax projection — no crossJoin, no Window shuffle — and
+    * because the projection keeps the quantized vector, candidate
+    * scoring needs no re-join with the source. Zero Exchange before the
+    * final top-k. Tie-break: centroids fold in ascending cent_id order
+    * with a strict `>` (= cos desc, cent_id asc). */
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val e = Tables.embeddings(spark, dir)
     val assigned = e
       .withColumn("na", quantNormSq(col("embedding")))
       .withColumn("cell", expr(
@@ -147,23 +199,10 @@ object Similarity {
     * vectors stay assigned to one cell; only the candidate filter
     * widens). Still zero exchanges before the final top-k: assignment is
     * the same literal-centroid fold, and the probe set is a 2-row
-    * broadcast. */
+    * broadcast. Uses the same FITTED centroids as [[ivfTopK]]. */
   def ivfProbe2TopK(spark: SparkSession, dir: String): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
     val e = Tables.embeddings(spark, dir)
-    val cents: Array[(Long, Array[Float])] = e.filter(col("vec_id").between(1, 8))
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-      .sortBy(_._1)
-    val centsLit = cents.map { case (id, fv) =>
-      val nb = fv.map { v =>
-        val d = v.toDouble * 1000.0
-        val q = if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
-        q * q
-      }.sum
-      val ce = fv.map(f => s"cast('$f' as float)").mkString(",")
-      s"named_struct('cell', ${id}L, 'nb', ${nb}L, 'ce', array($ce))"
-    }.mkString("array(", ", ", ")")
     // per-row scored cells, sorted by (cos desc, cell asc)
     val cellScores =
       s"""array_sort(
@@ -257,94 +296,87 @@ object Similarity {
          SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk"""
   }
 
-  private def duckCos(aExpr: String) =
-    s"""CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))"""
+  /** DuckDB replay of [[fitIvfCentroids]] + the full-table assignment —
+    * generated per iteration so the oracle and the Scala trainer cannot
+    * drift. Produces CTEs `ranked` (all vectors × cells with rank) and
+    * `assigned` (winning cell per vector) over the FITTED centroids. */
+  private def ivfFitCtes(iters: Int = 2): String = {
+    def iter(n: Int): String = {
+      val prev = s"c${n - 1}"
+      s"""p$n AS (SELECT s.vec_id, c.cent_id, unnest(s.qv) AS x, unnest(c.cv) AS y
+                FROM samp s, $prev c),
+         d$n AS (SELECT vec_id, cent_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                 FROM p$n GROUP BY vec_id, cent_id),
+         a$n AS (SELECT vec_id, cent_id FROM (
+                   SELECT vec_id, cent_id, row_number() OVER (PARTITION BY vec_id ORDER BY
+                     CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                     cent_id ASC) AS rn FROM d$n) WHERE rn = 1),
+         m$n AS (SELECT a.cent_id, u.j,
+                   CAST(round(CAST(SUM(u.x) AS DOUBLE) / count(*)) AS BIGINT) AS cx
+                 FROM a$n a JOIN (SELECT vec_id, unnest(qv) AS x,
+                                    unnest(range(len(qv))) AS j FROM samp) u
+                   ON a.vec_id = u.vec_id
+                 GROUP BY a.cent_id, u.j),
+         c$n AS (SELECT c.cent_id, coalesce(m.cv, c.cv) AS cv
+                 FROM $prev c LEFT JOIN
+                   (SELECT cent_id, list(cx ORDER BY j) AS cv FROM m$n GROUP BY cent_id) m
+                   ON c.cent_id = m.cent_id),"""
+    }
+    s"""WITH samp AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings WHERE vec_id < 256),
+         c0 AS (SELECT vec_id AS cent_id, qv AS cv FROM samp WHERE vec_id BETWEEN 1 AND 8),
+         ${(1 to iters).map(iter).mkString("\n         ")}
+         qall AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+           FROM embeddings),
+         pa AS (SELECT e.vec_id, c.cent_id, unnest(e.qv) AS x, unnest(c.cv) AS y
+                FROM qall e, c$iters c),
+         da AS (SELECT vec_id, cent_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                FROM pa GROUP BY vec_id, cent_id),
+         ranked AS (SELECT vec_id, cent_id AS cell,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY
+                    CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
+                    cent_id ASC) AS rn FROM da),
+         assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),"""
+  }
+
+  /** Candidate scoring + final top-k suffix shared by both IVF oracles
+    * (float-vs-float quantized cosine to the vec_id=0 query). */
+  private val ivfScoreSuffix: String =
+    """qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings q ON q.vec_id = 0),
+         qd AS (SELECT vec_id, cell,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM qp GROUP BY vec_id, cell),
+         s AS (SELECT vec_id, cell,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM qd),
+         r AS (SELECT vec_id, cell, cos,
+                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
+         SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk"""
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_topk" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-                        WHERE vec_id BETWEEN 1 AND 8),
-         pairs AS (SELECT e.vec_id, c.cent_id,
-                     unnest(e.embedding) AS x, unnest(c.ce) AS y
-                   FROM embeddings e, cents c),
-         d AS (SELECT vec_id, cent_id,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
-                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM pairs GROUP BY vec_id, cent_id),
-         assigned AS (
-           SELECT vec_id, cent_id AS cell FROM (
-             SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id ORDER BY
-                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
-                 cent_id ASC) AS rn
-             FROM d) WHERE rn = 1),
+      s"""${ivfFitCtes()}
          qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),
          cand AS (SELECT a.vec_id, a.cell FROM assigned a, qcell
                   WHERE a.cell = qcell.cell AND a.vec_id <> 0),
-         qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
-                FROM cand c
-                JOIN embeddings e ON e.vec_id = c.vec_id
-                JOIN embeddings q ON q.vec_id = 0),
-         qd AS (SELECT vec_id, cell,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
-                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM qp GROUP BY vec_id, cell),
-         s AS (SELECT vec_id, cell,
-                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-               FROM qd),
-         r AS (SELECT vec_id, cell, cos,
-                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
-         SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
+         $ivfScoreSuffix""",
     "sim_ivf_probe2" ->
-      """WITH cents AS (SELECT vec_id AS cent_id, embedding AS ce FROM embeddings
-                        WHERE vec_id BETWEEN 1 AND 8),
-         pairs AS (SELECT e.vec_id, c.cent_id,
-                     unnest(e.embedding) AS x, unnest(c.ce) AS y
-                   FROM embeddings e, cents c),
-         d AS (SELECT vec_id, cent_id,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
-                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM pairs GROUP BY vec_id, cent_id),
-         ranked AS (
-           SELECT vec_id, cent_id AS cell,
-             row_number() OVER (PARTITION BY vec_id ORDER BY
-               CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) DESC,
-               cent_id ASC) AS rn
-           FROM d),
-         assigned AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+      s"""${ivfFitCtes()}
          qcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
          cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
                   ON a.cell = q.cell WHERE a.vec_id <> 0),
-         qp AS (SELECT c.vec_id, c.cell, unnest(e.embedding) AS x, unnest(q.embedding) AS y
-                FROM cand c
-                JOIN embeddings e ON e.vec_id = c.vec_id
-                JOIN embeddings q ON q.vec_id = 0),
-         qd AS (SELECT vec_id, cell,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
-                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
-                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
-                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM qp GROUP BY vec_id, cell),
-         s AS (SELECT vec_id, cell,
-                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-               FROM qd),
-         r AS (SELECT vec_id, cell, cos,
-                 row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
-         SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
+         $ivfScoreSuffix""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

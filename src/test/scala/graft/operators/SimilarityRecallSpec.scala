@@ -32,6 +32,47 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("fitted k-means centroids beat the fixed pre-fit centroids on mean recall@10") {
+    // Mean recall over 50 queries (a single query's recall@10 is noise);
+    // same quantized integer math as the engine (VectorOpsUtil.quantize).
+    import graft.functions.VectorOpsUtil.quantize
+    val vecs: Map[Long, Array[Long]] = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).toArray.map(f => quantize(f.toDouble * 1000.0))).toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Long], b: Array[Long]): Double =
+      dot(a, b).toDouble / (math.sqrt(dot(a, a).toDouble) * math.sqrt(dot(b, b).toDouble))
+    val ids = vecs.keys.toArray.sorted
+    val queries = ids.take(50)
+
+    def meanRecall(cents: Array[Array[Long]], nprobe: Int): (Double, Double) = {
+      def rankedCells(v: Array[Long]): Array[Int] =
+        cents.zipWithIndex.sortBy { case (c, j) => (-cos(v, c), j) }.map(_._2)
+      val assign = ids.map(i => i -> rankedCells(vecs(i))(0)).toMap
+      val perQuery = queries.map { qid =>
+        val qv = vecs(qid)
+        val true10 = ids.filter(_ != qid).sortBy(i => (-cos(vecs(i), qv), i)).take(10).toSet
+        val qcells = rankedCells(qv).take(nprobe).toSet
+        val cand = ids.filter(i => i != qid && qcells(assign(i)))
+        val got = cand.sortBy(i => (-cos(vecs(i), qv), i)).take(10).toSet
+        ((got & true10).size / 10.0, cand.length.toDouble)
+      }
+      (perQuery.map(_._1).sum / perQuery.length, perQuery.map(_._2).sum / perQuery.length)
+    }
+
+    val fixed = (1L to 8L).map(vecs).toArray
+    val fitted = Similarity.fitIvfCentroids(spark, dir).map(_._2)
+    for (nprobe <- Seq(1, 2)) {
+      val (fr, fc) = meanRecall(fixed, nprobe)
+      val (tr, tc) = meanRecall(fitted, nprobe)
+      assert(tr >= fr, s"nprobe=$nprobe: fitted mean recall $tr < fixed $fr")
+      assert(tc <= fc * 1.1,
+        s"nprobe=$nprobe: fitted candidate count $tc blew past fixed $fc")
+    }
+  }
+
   test("sign-LSH planes refine buckets: 6-plane candidate pairs are a subset of 3-plane") {
     import org.apache.spark.sql.functions._
     def pairs(planes: Int): Set[(Long, Long)] = {
