@@ -42,26 +42,39 @@ object MinHashUtil {
     new GenericArrayData(mins)
   }
 
-  /** 16-bit SimHash: base hash = first 2 md5 bytes (as
-    * `conv(substring(md5(t), 1, 4), 16, 10)`), sign-of-vote-sum bits. */
-  def simhash16(tokens: ArrayData): Long = {
+  /** Width-parameterized SimHash: base hash = first `bits/4` md5 hex
+    * nibbles (the same value as `conv(substring(md5(t), 1, bits/4), 16,
+    * 10)`), bit j of the signature is the sign of the ±1 vote sum.
+    * Capped at 60 bits so the signature stays POSITIVE in a signed
+    * 64-bit integer — the cross-engine portability bound (DuckDB BIGINT
+    * has no unsigned 64-bit hex cast); at 60 bits the collision behavior
+    * is indistinguishable from 64 for dedup purposes. bits=16 reproduces
+    * the original 16-bit signature bit-for-bit. */
+  def simhashW(tokens: ArrayData, bits: Int): Long = {
     val md = mdTL.get()
-    val votes = new Array[Int](16)
+    val votes = new Array[Int](bits)
+    val nNibbles = bits / 4
     val n = tokens.numElements()
     var i = 0
     while (i < n) {
       md.reset()
       val d = md.digest(tokens.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xff) << 8) | (d(1) & 0xff)
+      var h = 0L
+      var b = 0
+      while (b < nNibbles) {
+        val nib = if (b % 2 == 0) (d(b / 2) >> 4) & 0xf else d(b / 2) & 0xf
+        h = (h << 4) | nib
+        b += 1
+      }
       var j = 0
-      while (j < 16) {
-        votes(j) += (if (((h >> j) & 1) == 1) 1 else -1)
+      while (j < bits) {
+        votes(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
         j += 1
       }
       i += 1
     }
     var sig = 0L; var j = 0
-    while (j < 16) {
+    while (j < bits) {
       if (votes(j) > 0) sig |= (1L << j)
       j += 1
     }
@@ -96,12 +109,15 @@ case class MinHashSignature(child: Expression) extends UnaryExpression {
   override def prettyName: String = "minhash_sig"
 }
 
-/** 16-bit SimHash over a (pre-deduplicated) token array in one codegen'd
-  * pass: token base hash = first 2 md5 bytes (the same value as
-  * `conv(substring(md5(t), 1, 4), 16, 10)`), bit j of the signature is
-  * the sign of the ±1 vote sum across tokens. Replaces an interpreted
-  * fold that allocated a 16-element vote array per token. */
-case class SimHashSignature(child: Expression) extends UnaryExpression {
+/** Width-parameterized SimHash over a (pre-deduplicated) token array in
+  * one codegen'd pass: token base hash = first `bits/4` md5 hex nibbles,
+  * bit j of the signature is the sign of the ±1 vote sum across tokens.
+  * Replaces an interpreted fold that allocated a vote array per token.
+  * bits=16 is the original signature; bits=60 the wide dedup variant
+  * (see [[MinHashUtil.simhashW]] for the 60-bit portability bound). */
+case class SimHashSignature(child: Expression, bits: Int = 16) extends UnaryExpression {
+  require(bits % 4 == 0 && bits >= 4 && bits <= 60,
+    s"simhash bits must be a multiple of 4 in [4, 60], got $bits")
   override def dataType: DataType = LongType
   override def checkInputDataTypes()
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
@@ -113,9 +129,9 @@ case class SimHashSignature(child: Expression) extends UnaryExpression {
           s"simhash_sig needs array<string>, got $other")
     }
   override def nullSafeEval(v: Any): Any =
-    MinHashUtil.simhash16(v.asInstanceOf[ArrayData])
+    MinHashUtil.simhashW(v.asInstanceOf[ArrayData], bits)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.simhash16($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinHashUtil.simhashW($c, $bits)")
   override protected def withNewChildInternal(c: Expression): SimHashSignature =
     copy(child = c)
   override def prettyName: String = "simhash_sig"
@@ -125,6 +141,6 @@ object MinHash {
   import org.apache.spark.sql.GraftColumnBridge
   def minhashSig(c: Column): Column =
     GraftColumnBridge.column(MinHashSignature(GraftColumnBridge.expression(c)))
-  def simhashSig(c: Column): Column =
-    GraftColumnBridge.column(SimHashSignature(GraftColumnBridge.expression(c)))
+  def simhashSig(c: Column, bits: Int = 16): Column =
+    GraftColumnBridge.column(SimHashSignature(GraftColumnBridge.expression(c), bits))
 }

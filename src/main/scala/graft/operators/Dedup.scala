@@ -169,12 +169,66 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Wide SimHash signatures (60-bit by default — the cross-engine
+    * positive-BIGINT bound, see [[graft.functions.MinHashUtil.simhashW]]). */
+  def simhashWide(spark: SparkSession, dir: String, bits: Int = 60): DataFrame =
+    Tables.documents(spark, dir)
+      .withColumn("toks",
+        expr("filter(array_distinct(split(lower(text), ' ')), t -> length(t) > 0)"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("simhash", graft.functions.MinHash.simhashSig(col("toks"), bits))
+      .select("doc_id", "simhash")
+
+  /** Band boundaries for hamming ≤ k over a `bits`-wide signature:
+    * k+1 bands as equal as possible (width difference ≤ 1). Returns
+    * (lo, width) per band, low bits first. */
+  private[operators] def hammingBands(bits: Int, k: Int): Seq[(Int, Int)] = {
+    val nBands = k + 1
+    val base = bits / nBands
+    val extra = bits % nBands
+    val widths = Seq.tabulate(nBands)(b => base + (if (b < extra) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** SimHash near-dup pairs at hamming distance ≤ k via the k+1-band
+    * pigeonhole: any pair within distance k agrees on at least one full
+    * band (k flipped bits cannot touch all k+1 bands), so candidates
+    * come from ONE equi-join on the exploded (band, key) rows and the
+    * exact hamming filter runs only on collisions. Shuffle-bounded,
+    * never all-pairs — the generalization of [[simhashHammingPairs]]'
+    * fixed k=1/16-bit shape; at 100 TB: 60-bit signature, k=3, 15-bit
+    * bands (32 k buckets per band). */
+  def simhashHammingKPairs(spark: SparkSession, dir: String,
+                           k: Int = 2, bits: Int = 60): DataFrame = {
+    val bandStructs = hammingBands(bits, k).zipWithIndex.map {
+      case ((lo, w), b) =>
+        val mask = (1L << w) - 1
+        s"struct($b as band, shiftright(simhash, $lo) & ${mask}L as bkey)"
+    }.mkString("array(", ", ", ")")
+    val banded = simhashWide(spark, dir, bits)
+      .select(col("doc_id"), col("simhash"), explode(expr(bandStructs)).as("e"))
+      .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bkey"))
+    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+      col("band"), col("bkey"))
+    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+      col("band"), col("bkey"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .distinct()
+      .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
+      .filter(col("hamming") <= k)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_summary"       -> exactSummary _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
     "dd_simhash_hamming"     -> simhashHammingPairs _,
+    "dd_simhash_hamming_k2"  -> ((s: SparkSession, d: String) => simhashHammingKPairs(s, d, 2, 60)),
   )
 
   // Shared oracle fragment: distinct 3-gram shingles per doc (DuckDB lists
@@ -269,5 +323,39 @@ object Dedup {
          SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
          FROM cand WHERE bit_count(xor(sa, sb)) <= 1
          ORDER BY doc_a, doc_b""",
+    "dd_simhash_hamming_k2" -> hammingKOracle(2, 60),
   )
+
+  /** DuckDB oracle for [[simhashHammingKPairs]] — bands generated from
+    * the same [[hammingBands]] split the Spark side uses. */
+  private def hammingKOracle(k: Int, bits: Int): String = {
+    val bandsUnion = hammingBands(bits, k).zipWithIndex.map {
+      case ((lo, w), b) =>
+        val mask = (1L << w) - 1
+        s"SELECT doc_id, simhash, $b AS band, (simhash >> $lo) & $mask AS bkey FROM sig"
+    }.mkString("\n           UNION ALL\n           ")
+    s"""WITH toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents),
+         hh AS (SELECT doc_id,
+                  CAST('0x' || substr(md5(tok), 1, ${bits / 4}) AS BIGINT) AS h
+                FROM toks WHERE length(tok) > 0),
+         votes AS (SELECT doc_id, j,
+                     SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                   FROM hh CROSS JOIN (SELECT unnest(range(0, $bits)) AS j)
+                   GROUP BY doc_id, j),
+         sig AS (SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+                 FROM votes GROUP BY doc_id),
+         bands AS (
+           $bandsUnion),
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.simhash AS sa, b.simhash AS sb
+           FROM bands a JOIN bands b
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= $k
+         ORDER BY doc_a, doc_b"""
+  }
 }
