@@ -72,4 +72,60 @@ class StreamingIngestSpec extends AnyFunSuite {
     assert(new java.io.File(s"$out/creator_key=creatorA").isDirectory)
     assert(new java.io.File(s"$out/creator_key=creatorB").isDirectory)
   }
+
+  test("restart from checkpoint is exactly-once through an idempotent batch sink") {
+    // the reference's crash-resume contract (insta_scraper_enhanced.py:
+    // 363-393) in streaming form: stop the query MID-STREAM, restart it
+    // on the same checkpoint, and require (a) the restart resumes at the
+    // next batch id instead of re-reading from scratch, and (b) the sink
+    // holds every post exactly once — dedup state and source offsets both
+    // recover from the checkpoint, and the per-batchId overwrite makes a
+    // replayed in-flight batch idempotent rather than duplicated.
+    val base = Files.createTempDirectory("graft_e2e_restart").toString
+    val out = s"$base/out"
+    val dirA = writeCreator(base, "creatorA", 8)
+    val dirB = writeCreator(base, "creatorB", 8)
+    def start(): org.apache.spark.sql.streaming.StreamingQuery = {
+      def feed(dir: String, creator: String) = spark.readStream.format(fmt)
+        .option("path", dir)
+        .option("creator", creator).option("pagesPerTrigger", "1")
+        .load()
+      val routed = feed(dirA, "creatorA").unionByName(feed(dirB, "creatorB"))
+        .withColumn("kind",
+          when(col("body").startsWith("profile:"), "profile").otherwise("timeline"))
+        .withColumn("ingest_ts", timestamp_seconds(lit(1700000000L) + col("page") * 60))
+      val merged = Streams.pageMergeDedup(routed.filter(col("kind") === "timeline"))
+      merged.writeStream
+        .option("checkpointLocation", s"$base/ckpt")
+        .outputMode(OutputMode.Append())
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], bid: Long) =>
+          batch.write.mode("overwrite").parquet(s"$out/batch=$bid")
+        }
+        .start()
+    }
+    // phase 1: let a couple of micro-batches commit, then stop mid-stream
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 30000
+    while (q1.recentProgress.length < 2 && System.currentTimeMillis() < deadline)
+      Thread.sleep(50)
+    q1.stop(); q1.awaitTermination()
+    val lastBatch1 = q1.recentProgress.map(_.batchId).maxOption.getOrElse(-1L)
+    // phase 2: restart on the same checkpoint and drain
+    val q2 = start()
+    q2.processAllAvailable()
+    val firstBatch2 = q2.recentProgress.map(_.batchId).minOption
+    q2.stop(); q2.awaitTermination()
+    firstBatch2.foreach(b2 =>
+      assert(b2 >= lastBatch1, s"restart re-ran batch $b2 (phase 1 reached $lastBatch1)"))
+    // 8 pages × ids p*4+i+100 (i<6) with 2-id scroll overlap → 34 distinct
+    val written = spark.read.parquet(out)
+    val perCreator = written.groupBy("creator_key")
+      .agg(countDistinct("id").as("n_ids"), count(lit(1)).as("n_rows"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(perCreator.keySet == Set("creatorA", "creatorB"))
+    perCreator.foreach { case (c, (nIds, nRows)) =>
+      assert(nIds == 34L, s"$c distinct ids: $nIds (lost rows across restart)")
+      assert(nRows == 34L, s"$c rows: $nRows (duplicates across restart)")
+    }
+  }
 }
