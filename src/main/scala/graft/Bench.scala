@@ -1,13 +1,27 @@
 package graft
 
-/** Driver-run benchmark: one JSON line with per-query wall seconds on
-  * SPARK_GRAFT_SF_DIR. Each query is forced through the `noop` sink —
-  * full computation of every column with zero write cost — so Catalyst
-  * cannot prune work the way a bare count() would. */
+/** Driver-run benchmark: one compact JSON line (the LAST stdout line)
+  * with per-query wall seconds on SPARK_GRAFT_SF_DIR. Each query is
+  * forced through the `noop` sink — full computation of every column
+  * with zero write cost — so Catalyst cannot prune work the way a bare
+  * count() would.
+  *
+  * Methodology (round-2 ask #7): every query runs n=5 times (override
+  * with SPARK_GRAFT_BENCH_N); the compact line carries the per-query
+  * MIN (the least-noise point estimate on a shared host) and the
+  * min/median totals. The full per-query {min, med} detail goes to
+  * BENCH_DETAIL.json in the working directory and to an early stdout
+  * line. The artifact keeps only the last ~2000 stdout chars (minus
+  * sbt's "[info] " prefix and "[success]" trailer), which is why the
+  * compact line rounds to 2 decimals with trailing zeros stripped,
+  * abbreviates the sf dir, and prints last — rounds 2-3 lost their
+  * first 11 queries to exactly that truncation.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val n = sys.env.getOrElse("SPARK_GRAFT_BENCH_N", "5").toInt
     val spark = Sessions.local(cpus, appName = "graft-bench")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -24,20 +38,48 @@ object Bench {
       graft.sources.Tables.lineitem, graft.sources.Tables.events,
       graft.sources.Tables.documents, graft.sources.Tables.embeddings)
       .foreach(t => force(t(spark, sfDir)))
-    // bench the oracle-comparable set (apples-to-apples vs BASELINE);
-    // oracle-less scale harnesses (ig_report_synth) run in Verify
+    // bench the oracle-comparable set (apples-to-apples vs BASELINE)
     val benchSet = SparkEntry.queries.filter { case (k, _) =>
       SparkEntry.oracleSql.contains(k)
     }
-    val results = benchSet.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+    val results: Seq[(String, Seq[Double])] = benchSet.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val times = (1 to n).map { _ =>
+          val t0 = System.nanoTime()
+          try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.sorted
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // 2-decimal with trailing zeros stripped ("0.50"→"0.5", "1.00"→"1"):
+    // still valid JSON numbers, and the ~40 saved chars keep the whole
+    // 72-query map inside the driver's 2000-char stdout tail capture
+    def f2(d: Double): String = {
+      val s = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+      if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
+    }
+    def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
+    def mn(ts: Seq[Double]): Double = ts.head
+    def md(ts: Seq[Double]): Double = ts(ts.length / 2)
+    val minTotal = results.map(r => mn(r._2)).sum
+    val medTotal = results.map(r => md(r._2)).sum
+    // full detail: file + an early stdout line (the tail may cut it; the
+    // file and the compact line below are the durable copies)
+    val detail = results.map { case (k, ts) =>
+      s""""$k":{"min":${f3(mn(ts))},"med":${f3(md(ts))}}"""
+    }.mkString("{", ",", "}")
+    val detailJson =
+      s"""{"metric":"detail","n":$n,"min_total":${f3(minTotal)},"med_total":${f3(medTotal)},"queries":$detail,"sf":"$sfDir"}"""
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
+    catch { case _: Throwable => () }
+    println(detailJson)
+    // compact line LAST: per-query min at 2 decimals fits the captured tail
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f2(mn(ts)) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"queries":$qs,"sf":"$sfName"}""")
+    System.out.flush()
     spark.stop()
   }
 }
