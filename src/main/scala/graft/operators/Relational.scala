@@ -243,8 +243,34 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** [[asOfJoinEventsOrders]] through the NATIVE whole-operator path:
+    * the [[graft.plans.AsOfJoinPlan]] logical node, planned by the
+    * injected [[graft.plans.AsOfJoinStrategy]] into a single-pass
+    * co-partitioned merge ([[graft.plans.AsOfJoinExec]]). Same inputs,
+    * same output contract, same DuckDB ASOF oracle as the windowed
+    * composition — AsOfJoinSpec additionally asserts the two paths are
+    * row-identical and that the native node is what actually ran. */
+  def asOfJoinNative(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{expression, logicalPlan, ofRows}
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id").as("k"), col("ts_ns").as("t"))
+    val ord = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("rk"),
+        (unix_timestamp(col("o_orderdate")) * lit(1000000000L)).as("rt"))
+      .agg(max("o_orderkey").as("o_orderkey"))
+    val joined = ofRows(spark, graft.plans.AsOfJoinPlan(
+      logicalPlan(ev), logicalPlan(ord),
+      expression(ev("k")), expression(ev("t")),
+      expression(ord("rk")), expression(ord("rt"))))
+    joined
+      .select(col("event_id"), col("k").as("user_id"),
+        expr("t div 1000").as("ts_us"), col("o_orderkey").as("matched_orderkey"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_asof_join"           -> asOfJoinEventsOrders _,
+    "rel_asof_join_native"    -> asOfJoinNative _,
     "rel_semi_join"            -> semiJoinBigItems _,
     "rel_range_join_banded"    -> rangeJoinBanded _,
     "rel_except"               -> exceptKeys _,
@@ -260,21 +286,25 @@ object Relational {
     "rel_star_join_revenue"      -> starJoinRevenue _,
   )
 
+  // DuckDB's native ASOF LEFT JOIN is the oracle for BOTH asof paths
+  // (greatest order time <= event time per key)
+  private val asofOracleSql =
+    """WITH ord AS (
+         SELECT o_custkey AS k,
+                epoch(o_orderdate) * CAST(1000000000 AS BIGINT) AS t,
+                max(o_orderkey) AS o_orderkey
+         FROM orders GROUP BY 1, 2),
+       ev AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events)
+       SELECT e.event_id, e.user_id, e.t // 1000 AS ts_us,
+              o.o_orderkey AS matched_orderkey
+       FROM ev e ASOF LEFT JOIN ord o
+         ON e.user_id = o.k AND e.t >= o.t
+       ORDER BY event_id"""
+
   val oracles: Map[String, String] = Map(
-    // DuckDB's native ASOF LEFT JOIN is the oracle for the windowed
-    // composition (greatest order time <= event time per key)
-    "rel_asof_join" ->
-      """WITH ord AS (
-           SELECT o_custkey AS k,
-                  epoch(o_orderdate) * CAST(1000000000 AS BIGINT) AS t,
-                  max(o_orderkey) AS o_orderkey
-           FROM orders GROUP BY 1, 2),
-         ev AS (SELECT event_id, user_id, epoch_ns(ts) AS t FROM events)
-         SELECT e.event_id, e.user_id, e.t // 1000 AS ts_us,
-                o.o_orderkey AS matched_orderkey
-         FROM ev e ASOF LEFT JOIN ord o
-           ON e.user_id = o.k AND e.t >= o.t
-         ORDER BY event_id""",
+    "rel_asof_join" -> asofOracleSql,
+    // identical semantics through the native AsOfJoinExec operator
+    "rel_asof_join_native" -> asofOracleSql,
     // the oracle states the SEMANTICS (plain inequality join); the
     // banding is the engine-side physical strategy under test
     "rel_range_join_banded" ->

@@ -30,6 +30,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // whole-operator extension: native as-of join (logical node +
+    // strategy + merge-pass physical operator, see [[AsOfJoin]])
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("pyround"),
       new ExpressionInfo(classOf[PyRound].getCanonicalName, "pyround"),

@@ -8,4 +8,15 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Build a DataFrame from a custom LogicalPlan (private[sql] in Spark;
+    * needed to surface injected whole-operator nodes like AsOfJoinPlan). */
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** The analyzed logical plan of a DataFrame (for composing custom
+    * logical nodes from DataFrame-built children). */
+  def logicalPlan(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[Row]].queryExecution.analyzed
 }

@@ -51,6 +51,36 @@ object AsOfJoinSpec extends Properties("asof-join") {
     t <- Gen.choose(0L, 12L)
   } yield (k, t)
 
+  /** The NATIVE whole-operator path (AsOfJoinPlan → AsOfJoinStrategy →
+    * AsOfJoinExec merge pass) over the same in-memory frames. */
+  private def asOfNative(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    import org.apache.spark.sql.GraftColumnBridge.{expression, logicalPlan, ofRows}
+    val ev = left.toDF("event_id", "k", "t")
+    val ord = right.toDF("o_id", "rk", "rt")
+      .groupBy("rk", "rt").agg(max("o_id").as("o_id"))
+    val joined = ofRows(spark, graft.plans.AsOfJoinPlan(
+      logicalPlan(ev), logicalPlan(ord),
+      expression(ev("k")), expression(ev("t")),
+      expression(ord("rk")), expression(ord("rt"))))
+    assert(joined.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "native as-of node missing from the physical plan")
+    joined.select("event_id", "o_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+  }
+
+  property("native AsOfJoinExec equals the brute-force as-of lookup") =
+    Prop.forAll(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, rowGen)),
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, rowGen))) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+      val have = asOfNative(left, right)
+      val want = reference(left, right)
+      val ok = have == want
+      if (!ok) println(s"NATIVE ASOF MISMATCH left=$left right=$right\n want=$want\n have=$have")
+      ok
+    }
+
   property("windowed union equals the brute-force as-of lookup") =
     Prop.forAll(
       Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, rowGen)),

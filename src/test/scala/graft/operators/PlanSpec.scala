@@ -71,6 +71,18 @@ class PlanSpec extends AnyFunSuite {
       s"expected an equi-join on bucket:\n${plan.take(3000)}")
   }
 
+  test("native as-of join plans through AsOfJoinExec with co-clustered merge") {
+    val df = Relational.asOfJoinNative(spark, dir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"AsOfJoinExec missing:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    // row-identical to the windowed composition on the same inputs
+    val native = df.collect().map(_.toSeq)
+    val composed = Relational.asOfJoinEventsOrders(spark, dir).collect().map(_.toSeq)
+    assert(native.length == composed.length)
+    assert(native.sameElements(composed), "native vs composed as-of rows differ")
+  }
+
   test("anti-join resume does not build a cartesian product") {
     val plan = planOf(Relational.antiJoinResume(spark, dir))
     assert(plan.contains("LeftAnti"), s"expected anti join:\n$plan")
