@@ -25,9 +25,13 @@ object TextFunctions {
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) >= 4)
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("tok").asc)
-    counts.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    // sort+limit → TakeOrderedAndProject: per-partition partial top-10,
+    // never a single-partition window over EVERY distinct token (the
+    // distinct-token table is unbounded at corpus scale); the rank
+    // window then runs over 10 rows
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(10)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
       .select("rnk", "tok", "n")
       .orderBy("rnk")
   }
@@ -40,9 +44,10 @@ object TextFunctions {
       .select(explode(split(lower(col("text")), " ")).as("tok"))
       .filter(length(col("tok")) >= 3 && !col("tok").isin(stop: _*))
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("n"))
-    val w = Window.orderBy(col("n").desc, col("tok").asc)
-    counts.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    // same sort+limit shape as tokenTopK — no global-window sort
+    val top = counts.orderBy(col("n").desc, col("tok").asc).limit(10)
+    top.withColumn("rnk",
+        row_number().over(Window.orderBy(col("n").desc, col("tok").asc)))
       .select("rnk", "tok", "n")
       .orderBy("rnk")
   }

@@ -24,6 +24,20 @@ import graft.sources.Tables
 object Similarity {
 
   import graft.functions.VectorOps.{quantDot, quantNormSq}
+  import org.apache.spark.sql.Column
+
+  /** Global top-k with a rank column, WITHOUT the single-partition
+    * window: `orderBy + limit` plans as TakeOrderedAndProject — each
+    * partition keeps its own k rows, one task merges k·partitions — and
+    * the rank window then runs over k rows, not over every candidate.
+    * The old `row_number().over(Window.orderBy(...))` formulation pulled
+    * the ENTIRE scored pair set into one partition: measured at sf1
+    * (20 k vectors, 3-plane buckets → ~25 M pairs) it pinned a single
+    * core for minutes while 31 idled — the exact shape that cannot
+    * survive 100×. */
+  private def rankedTopK(df: DataFrame, k: Int, order: Column*): DataFrame =
+    df.orderBy(order: _*).limit(k)
+      .withColumn("rnk", row_number().over(Window.orderBy(order: _*)))
 
   /** Brute-force cosine top-10 neighbors of the vec_id=0 query vector. */
   def annBruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -36,9 +50,7 @@ object Similarity {
       .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    rankedTopK(scored, 10, col("cos").desc, col("vec_id").asc)
       .select("rnk", "vec_id", "cos")
       .orderBy("rnk")
   }
@@ -55,9 +67,7 @@ object Similarity {
       .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-    val w = Window.orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    rankedTopK(scored, 20, col("cos").desc, col("id_a").asc, col("id_b").asc)
       .select("rnk", "id_a", "id_b", "cos")
       .orderBy("rnk")
   }
@@ -187,9 +197,7 @@ object Similarity {
       .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    candidates.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    rankedTopK(candidates, 10, col("cos").desc, col("vec_id").asc)
       .select("rnk", "vec_id", "cell", "cos")
       .orderBy("rnk")
   }
@@ -229,9 +237,7 @@ object Similarity {
       .withColumn("nb", quantNormSq(col("qe")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-    val w = Window.orderBy(col("cos").desc, col("vec_id").asc)
-    candidates.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+    rankedTopK(candidates, 10, col("cos").desc, col("vec_id").asc)
       .select("rnk", "vec_id", "cell", "cos")
       .orderBy("rnk")
   }
@@ -253,9 +259,7 @@ object Similarity {
       .withColumn("nb", quantNormSq(col("eb")))
       .withColumn("cos",
         col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
-    val w = Window.orderBy(col("cos").desc, col("id_a").asc, col("id_b").asc)
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 20)
+    rankedTopK(scored, 20, col("cos").desc, col("id_a").asc, col("id_b").asc)
       .select("rnk", "bucket", "id_a", "id_b", "cos")
       .orderBy("rnk")
   }
