@@ -51,13 +51,16 @@ object Bench {
         }
         name -> times.sorted
     }
-    // 2-decimal with trailing zeros stripped ("0.50"→"0.5", "1.00"→"1"):
-    // still valid JSON numbers, and the ~40 saved chars keep the whole
-    // 72-query map inside the driver's 2000-char stdout tail capture
-    def f2(d: Double): String = {
-      val s = "%.2f".formatLocal(java.util.Locale.ROOT, d)
+    // trailing-zero-stripped fixed decimals ("0.50"→"0.5", "1.00"→"1"):
+    // still valid JSON numbers; with 74 queries the compact line must
+    // stay inside the driver's 2000-char stdout tail capture, so
+    // per-query minima print at 1 decimal (full 3-decimal detail lives
+    // in BENCH_DETAIL.json and the early detail line) and totals at 2
+    def fx(d: Double, prec: Int): String = {
+      val s = s"%.${prec}f".formatLocal(java.util.Locale.ROOT, d)
       if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse else s
     }
+    def f2(d: Double): String = fx(d, 2)
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def mn(ts: Seq[Double]): Double = ts.head
     def md(ts: Seq[Double]): Double = ts(ts.length / 2)
@@ -74,11 +77,11 @@ object Bench {
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
     catch { case _: Throwable => () }
     println(detailJson)
-    // compact line LAST: per-query min at 2 decimals fits the captured tail
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + f2(mn(ts)) }
+    // compact line LAST; no "sf" field (the driver's artifact wrapper
+    // records sf itself)
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + fx(mn(ts), 1) }
       .mkString("{", ",", "}")
-    val sfName = new java.io.File(sfDir).getName
-    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"queries":$qs,"sf":"$sfName"}""")
+    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"queries":$qs}""")
     System.out.flush()
     spark.stop()
   }
