@@ -34,6 +34,19 @@ object Dedup {
       .withColumn("shingles", array_distinct(expr(
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
 
+  /** (band, bucket) rows for any (doc_id, text) frame — the map-side
+    * MinHash signature + 4×2 banding shared by the LSH queries. */
+  private def minhashBandsOf(docs: DataFrame): DataFrame = {
+    val sig = withShingles(docs)
+      .withColumn("mh", graft.functions.MinHash.minhashSig(col("shingles")))
+    sig.select(col("doc_id"), expr(
+      """stack(4,
+           0, concat(cast(mh[0] as string), '_', cast(mh[1] as string)),
+           1, concat(cast(mh[2] as string), '_', cast(mh[3] as string)),
+           2, concat(cast(mh[4] as string), '_', cast(mh[5] as string)),
+           3, concat(cast(mh[6] as string), '_', cast(mh[7] as string))) AS (band, bucket)"""))
+  }
+
   /** Exact dedup summary: hash-groupBy on content hash. */
   def exactSummary(spark: SparkSession, dir: String): DataFrame = {
     val groups = Tables.documents(spark, dir)
@@ -91,16 +104,8 @@ object Dedup {
     * the downstream (band, bucket) join. The SQL-function formulation
     * walked the array through interpreted md5/conv lambdas plus a fold
     * allocating an 8-element array per shingle. */
-  private def minhashBands(spark: SparkSession, dir: String): DataFrame = {
-    val sig = withShingles(Tables.documents(spark, dir))
-      .withColumn("mh", graft.functions.MinHash.minhashSig(col("shingles")))
-    sig.select(col("doc_id"), expr(
-      """stack(4,
-           0, concat(cast(mh[0] as string), '_', cast(mh[1] as string)),
-           1, concat(cast(mh[2] as string), '_', cast(mh[3] as string)),
-           2, concat(cast(mh[4] as string), '_', cast(mh[5] as string)),
-           3, concat(cast(mh[6] as string), '_', cast(mh[7] as string))) AS (band, bucket)"""))
-  }
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    minhashBandsOf(Tables.documents(spark, dir))
 
   /** MinHash+LSH near-dup candidate pairs: docs sharing any band bucket.
     * Join is on (band, bucket) — shuffle-bounded, no cross product. */
@@ -222,8 +227,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Production dedup PIPELINE: exact-first, then MinHash+LSH over the
+    * exact-group representatives only.
+    *
+    * Why this is the 100 TB shape: web-scale corpora carry ~30%
+    * verbatim duplicates, and running LSH on the raw corpus turns every
+    * verbatim group into an LSH clique — candidate pairs grow
+    * QUADRATICALLY in group size (a 1 k-copy boilerplate page alone is
+    * ~500 k pairs, in every band). Collapsing exact groups first costs
+    * one hash-groupBy (the cheapest shuffle in the suite) and caps the
+    * clique blowup at zero; the group sizes ride along so downstream
+    * dedup decisions still weight by how many copies a representative
+    * stands for. Output: near-dup representative pairs with both
+    * verbatim-copy counts. */
+  def dedupPipelinePairs(spark: SparkSession, dir: String): DataFrame =
+    dedupPipelinePairsOf(Tables.documents(spark, dir))
+
+  /** [[dedupPipelinePairs]] over any (doc_id, text) frame (spec entry
+    * point for corpora with actual verbatim duplicates). */
+  def dedupPipelinePairsOf(docs: DataFrame): DataFrame = {
+    val reps = docs
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        count(lit(1)).as("n_dups"),
+        // texts in a group are identical; min() just keeps it deterministic
+        min(col("text")).as("text"))
+    val bands = minhashBandsOf(reps.select("doc_id", "text"))
+    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
+    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
+    val pairs = l.join(r, Seq("band", "bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b")
+      .distinct()
+    val counts = reps.select(col("doc_id"), col("n_dups"))
+    pairs
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_dups").as("dups_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_dups").as("dups_b")), "doc_b")
+      .select("doc_a", "doc_b", "dups_a", "dups_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_summary"       -> exactSummary _,
+    "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
@@ -232,34 +278,20 @@ object Dedup {
   )
 
   // Shared oracle fragment: distinct 3-gram shingles per doc (DuckDB lists
-  // are 1-based, like Spark element_at).
-  private val shingleCte =
-    """sh AS (
+  // are 1-based, like Spark element_at) — over any (doc_id, text) source.
+  private def shingleCteFrom(src: String) =
+    s"""sh AS (
          SELECT doc_id,
            list_distinct(list_transform(range(1, len(t) - 1),
              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingles
-         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+         FROM (SELECT doc_id, string_split(lower(text), ' ') AS t FROM $src)
          WHERE len(t) >= 3)"""
+  private val shingleCte = shingleCteFrom("documents")
 
-  val oracles: Map[String, String] = Map(
-    "dd_exact_summary" ->
-      """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
-         SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
-                count(CASE WHEN c > 1 THEN 1 END) AS dup_groups,
-                CAST(coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_rows
-         FROM g""",
-    "dd_jaccard_adjacent" ->
-      s"""WITH $shingleCte
-         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           len(a.shingles) AS n_a, len(b.shingles) AS n_b,
-           len(list_intersect(a.shingles, b.shingles)) AS n_common,
-           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
-         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
-         ORDER BY doc_a""",
-    "dd_minhash_lsh_pairs" ->
-      s"""WITH $shingleCte,
-         hs AS (SELECT doc_id,
+  // Shared oracle fragment: md5-family minhash signatures + 4×2 banding
+  // over the `sh` CTE (constants from MinHashUtil.A/B).
+  private val minhashBandCtes =
+    """hs AS (SELECT doc_id,
                   list_transform(shingles,
                     s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hs
                 FROM sh),
@@ -280,10 +312,46 @@ object Dedup {
            UNION ALL
            SELECT doc_id, 2, CAST(mh4 AS VARCHAR) || '_' || CAST(mh5 AS VARCHAR) FROM sig
            UNION ALL
-           SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig)
+           SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig)"""
+
+  val oracles: Map[String, String] = Map(
+    "dd_exact_summary" ->
+      """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
+         SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,
+                count(CASE WHEN c > 1 THEN 1 END) AS dup_groups,
+                CAST(coalesce(SUM(CASE WHEN c > 1 THEN c END), 0) AS BIGINT) AS dup_rows
+         FROM g""",
+    "dd_jaccard_adjacent" ->
+      s"""WITH $shingleCte
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(a.shingles) AS n_a, len(b.shingles) AS n_b,
+           len(list_intersect(a.shingles, b.shingles)) AS n_common,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+         FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+         ORDER BY doc_a""",
+    "dd_minhash_lsh_pairs" ->
+      s"""WITH $shingleCte,
+         $minhashBandCtes
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          WHERE a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    "dd_dedup_pipeline" ->
+      s"""WITH reps AS (
+           SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups,
+                  min(text) AS text
+           FROM documents GROUP BY md5(text)),
+         ${shingleCteFrom("reps")},
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id)
+         SELECT p.doc_a, p.doc_b, ra.n_dups AS dups_a, rb.n_dups AS dups_b
+         FROM pairs p
+         JOIN reps ra ON p.doc_a = ra.doc_id
+         JOIN reps rb ON p.doc_b = rb.doc_id
          ORDER BY doc_a, doc_b""",
     "dd_simhash16" ->
       """WITH toks AS (
