@@ -92,6 +92,45 @@ object Similarity {
     Tables.embeddings(spark, dir).withColumn("bucket", expr(bucketExpr))
   }
 
+  /** Auto-sized plane count: the smallest b ≥ 3 with n ≤ m·2^b (i.e.
+    * b = ceil(log2(n/m)) for target bucket size m) — computed with EXACT
+    * integer thresholds rather than floating log2, so the Spark side and
+    * the generated DuckDB oracle cannot disagree at power-of-two
+    * boundaries. */
+  private[operators] def autoPlanes(n: Long, targetBucket: Long = 64L): Int = {
+    var b = 3
+    while (b < 20 && (targetBucket << b) < n) b += 1
+    b
+  }
+
+  /** [[lshNearDup]] with the plane count derived from the corpus size —
+    * the production default: fixed planes are asymptotically quadratic
+    * (SCALE.md measures 3 planes at 88× and even 6 planes at 45× for a
+    * 10× corpus), so the knob must follow log2(n). The count() here is
+    * the same kind of offline metadata step as the IVF centroid fit;
+    * the bucket key is the sign-bit string of the first b components so
+    * the DuckDB oracle can size itself from its own count. */
+  def lshNearDupAuto(spark: SparkSession, dir: String, targetBucket: Long = 64L): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val planes = autoPlanes(e.count(), targetBucket)
+    val bucketExpr = (1 to planes)
+      .map(i => s"CASE WHEN element_at(embedding, $i) >= 0 THEN '1' ELSE '0' END")
+      .mkString("concat(", ", ", ")")
+    val b = e.withColumn("bucket", expr(bucketExpr))
+    val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+    val scored = a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("dot", quantDot(col("ea"), col("eb")))
+      .withColumn("na", quantNormSq(col("ea")))
+      .withColumn("nb", quantNormSq(col("eb")))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+    rankedTopK(scored, 20, col("cos").desc, col("id_a").asc, col("id_b").asc)
+      .select("rnk", "bucket", "id_a", "id_b", "cos")
+      .orderBy("rnk")
+  }
+
   /** Offline IVF centroid trainer: deterministic spherical k-means over
     * a bounded sample, run ENTIRELY in quantized milli-integer space so
     * the DuckDB oracle can replay the fit bit-for-bit.
@@ -271,7 +310,41 @@ object Similarity {
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
     "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
+    "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
   )
+
+  /** DuckDB oracle for [[lshNearDupAuto]]: the plane count comes from the
+    * same exact integer thresholds (b = smallest ≥3 with n ≤ 64·2^b),
+    * generated as a CASE over count(*), and the bucket is the identical
+    * sign-bit string. */
+  private def lshAutoOracle(targetBucket: Long = 64L): String = {
+    val caseB = (3 until 20)
+      .map(b => s"WHEN n <= ${targetBucket << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    s"""WITH params AS (SELECT $caseB AS b FROM (SELECT count(*) AS n FROM embeddings)),
+         bk AS (SELECT vec_id, embedding,
+                 list_aggregate(list_transform(range(1, (SELECT b FROM params) + 1),
+                   i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+               FROM embeddings),
+         pr AS (SELECT a.bucket, a.vec_id AS id_a, b.vec_id AS id_b,
+                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         d AS (SELECT bucket, id_a, id_b,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pr GROUP BY bucket, id_a, id_b),
+         s AS (SELECT bucket, id_a, id_b,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT bucket, id_a, id_b, cos,
+                 row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
+         SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk"""
+  }
 
   /** DuckDB oracle for [[lshNearDup]] at any plane count — generated from
     * the same bucket formula the Spark side uses. */
@@ -401,6 +474,7 @@ object Similarity {
          SELECT rnk, vec_id, cos FROM r WHERE rnk <= 10 ORDER BY rnk""",
     "sim_lsh_neardup" -> lshOracle(3),
     "sim_lsh_neardup6" -> lshOracle(6),
+    "sim_lsh_neardup_auto" -> lshAutoOracle(),
     "sim_neardup_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -92,5 +92,17 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"more planes should prune candidates (3-plane ${p3.size}, 6-plane ${p6.size})")
   }
 
+  test("autoPlanes follows the exact integer thresholds b = ceil(log2(n/64)), floor 3") {
+    assert(Similarity.autoPlanes(1) == 3)
+    assert(Similarity.autoPlanes(512) == 3)   // 64·2^3 = 512 inclusive
+    assert(Similarity.autoPlanes(513) == 4)
+    assert(Similarity.autoPlanes(2000) == 5)  // the sf0.1 corpus
+    assert(Similarity.autoPlanes(1024) == 4)
+    assert(Similarity.autoPlanes(1L << 26) == 20) // capped
+    // monotone
+    val vals = Seq(1L, 100L, 512L, 513L, 5000L, 100000L).map(Similarity.autoPlanes(_))
+    assert(vals == vals.sorted)
+  }
+
   private def annBrute() = Similarity.annBruteForceTopK(spark, dir)
 }
