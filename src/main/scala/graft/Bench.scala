@@ -63,7 +63,9 @@ object Bench {
     def f2(d: Double): String = fx(d, 2)
     def f3(d: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, d)
     def mn(ts: Seq[Double]): Double = ts.head
-    def md(ts: Seq[Double]): Double = ts(ts.length / 2)
+    def md(ts: Seq[Double]): Double = // true median (even n: mean of middles)
+      if (ts.length % 2 == 1) ts(ts.length / 2)
+      else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
     val minTotal = results.map(r => mn(r._2)).sum
     val medTotal = results.map(r => md(r._2)).sum
     // full detail: file + an early stdout line (the tail may cut it; the

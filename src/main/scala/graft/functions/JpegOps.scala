@@ -37,7 +37,9 @@ object JpegUtil {
         if (len < 2) return -1L
         if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC) {
           // SOF payload: length(2) precision(1) height(2) width(2) ...
-          if (i + 8 >= b.length) return -1L
+          // len < 8 means the declared segment cannot hold the dims —
+          // reading on would take bytes from the NEXT segment as w/h
+          if (len < 8 || i + 8 >= b.length) return -1L
           val h = ((b(i + 5) & 0xFF) << 8) | (b(i + 6) & 0xFF)
           val w = ((b(i + 7) & 0xFF) << 8) | (b(i + 8) & 0xFF)
           return (w.toLong << 32) | h.toLong

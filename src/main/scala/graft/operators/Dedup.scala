@@ -188,6 +188,11 @@ object Dedup {
     * k+1 bands as equal as possible (width difference ≤ 1). Returns
     * (lo, width) per band, low bits first. */
   private[operators] def hammingBands(bits: Int, k: Int): Seq[(Int, Int)] = {
+    // k+1 > bits would produce zero-width bands whose mask is 0 — every
+    // doc collides in those bands and the shuffle-bounded candidate join
+    // degrades to the all-pairs product this operator exists to prevent
+    require(k >= 0 && k + 1 <= bits,
+      s"hamming bands need k + 1 <= bits, got k=$k bits=$bits")
     val nBands = k + 1
     val base = bits / nBands
     val extra = bits % nBands

@@ -84,14 +84,18 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightOut.length)
 
-      // one-row lookahead over the right side
+      // one-row lookahead over the right side; NULL key/time rows are
+      // never match candidates (same contract as DuckDB ASOF and the
+      // windowed composition) — they sort first under nulls-first
+      // Ascending, so skipping them inside the merge loop is safe
       var rRow: InternalRow = null
-      var rKeyV = 0L; var rTimeV = 0L
+      var rKeyV = 0L; var rTimeV = 0L; var rNull = false
       def advanceRight(): Unit =
         if (rIter.hasNext) {
           rRow = rIter.next()
           val k = rKeyProj(rRow)
-          rKeyV = k.getLong(0); rTimeV = k.getLong(1)
+          rNull = k.isNullAt(0) || k.isNullAt(1)
+          if (!rNull) { rKeyV = k.getLong(0); rTimeV = k.getLong(1) }
         } else rRow = null
       advanceRight()
 
@@ -101,19 +105,24 @@ case class AsOfJoinExec(leftKey: Expression, leftTime: Expression,
 
       lIter.map { lRow =>
         val k = lKeyProj(lRow)
-        val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
-        // consume right rows that are now visible to this left row
-        while (rRow != null &&
-          (rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV))) {
-          if (rKeyV == lKeyV) {
-            candidate = rRow.copy() // right rows are buffer-reused
-            candidateKey = rKeyV
+        if (k.isNullAt(0) || k.isNullAt(1)) {
+          // NULL-keyed/timed left rows match nothing: null-extend
+          outProj(joined(lRow, nullRight))
+        } else {
+          val lKeyV = k.getLong(0); val lTimeV = k.getLong(1)
+          // consume right rows that are now visible to this left row
+          while (rRow != null && (rNull ||
+            rKeyV < lKeyV || (rKeyV == lKeyV && rTimeV <= lTimeV))) {
+            if (!rNull && rKeyV == lKeyV) {
+              candidate = rRow.copy() // right rows are buffer-reused
+              candidateKey = rKeyV
+            }
+            advanceRight()
           }
-          advanceRight()
+          val matched =
+            if (candidate != null && candidateKey == lKeyV) candidate else nullRight
+          outProj(joined(lRow, matched))
         }
-        val matched =
-          if (candidate != null && candidateKey == lKeyV) candidate else nullRight
-        outProj(joined(lRow, matched))
       }
     }
   }

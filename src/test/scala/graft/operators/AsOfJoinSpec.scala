@@ -81,6 +81,51 @@ object AsOfJoinSpec extends Properties("asof-join") {
       ok
     }
 
+  private val nullableRowGen = for {
+    k <- Gen.frequency(3 -> Gen.choose(0L, 3L).map(Some(_)), 1 -> Gen.const(None))
+    t <- Gen.frequency(3 -> Gen.choose(0L, 12L).map(Some(_)), 1 -> Gen.const(None))
+  } yield (k, t)
+
+  /** Native path over NULLABLE key/time columns (ADVICE round 4: NULLs
+    * must be no-match, not silently key/time 0). */
+  private def asOfNativeOpt(left: Seq[(Long, Option[Long], Option[Long])],
+                            right: Seq[(Long, Option[Long], Option[Long])]) = {
+    import org.apache.spark.sql.GraftColumnBridge.{expression, logicalPlan, ofRows}
+    val ev = left.toDF("event_id", "k", "t")
+    val ord = right.toDF("o_id", "rk", "rt")
+      .groupBy("rk", "rt").agg(max("o_id").as("o_id"))
+    val joined = ofRows(spark, graft.plans.AsOfJoinPlan(
+      logicalPlan(ev), logicalPlan(ord),
+      expression(ev("k")), expression(ev("t")),
+      expression(ord("rk")), expression(ord("rt"))))
+    joined.select("event_id", "o_id")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+  }
+
+  property("native AsOfJoinExec treats NULL keys/times as no-match") =
+    Prop.forAll(
+      Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, nullableRowGen)),
+      Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, nullableRowGen))) { (ls, rs) =>
+      val left = ls.zipWithIndex.map { case ((k, t), i) => (i.toLong, k, t) }
+      val right = rs.zipWithIndex.map { case ((k, t), i) => (100L + i, k, t) }
+      val have = asOfNativeOpt(left, right)
+      val want = left.map { case (id, ko, to) =>
+        id -> (for {
+          lk <- ko; lt <- to
+          best <- {
+            val cs = right.collect {
+              case (oid, Some(rk), Some(rt)) if rk == lk && rt <= lt => (oid, rt)
+            }
+            if (cs.isEmpty) None
+            else { val bt = cs.map(_._2).max; Some(cs.filter(_._2 == bt).map(_._1).max) }
+          }
+        } yield best)
+      }.toMap
+      val ok = have == want
+      if (!ok) println(s"NULL ASOF MISMATCH left=$left right=$right\n want=$want\n have=$have")
+      ok
+    }
+
   property("windowed union equals the brute-force as-of lookup") =
     Prop.forAll(
       Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, rowGen)),
