@@ -107,18 +107,22 @@ object Dedup {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(Tables.documents(spark, dir))
 
-  /** MinHash+LSH near-dup candidate pairs: docs sharing any band bucket.
-    * Join is on (band, bucket) — shuffle-bounded, no cross product. */
-  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame = {
-    val bands = minhashBands(spark, dir)
+  /** Distinct LSH candidate pairs of any (doc_id, text) frame: docs
+    * sharing any band bucket. Join is on (band, bucket) —
+    * shuffle-bounded, no cross product. */
+  private def lshPairsOf(docs: DataFrame): DataFrame = {
+    val bands = minhashBandsOf(docs)
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select("doc_a", "doc_b")
       .distinct()
-      .orderBy("doc_a", "doc_b")
   }
+
+  /** MinHash+LSH near-dup candidate pairs over the documents table. */
+  def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
+    lshPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** 16-bit SimHash per document from distinct tokens: token hash = first
     * 4 hex digits of md5; bit b of the signature is the sign of the
@@ -248,22 +252,21 @@ object Dedup {
   def dedupPipelinePairs(spark: SparkSession, dir: String): DataFrame =
     dedupPipelinePairsOf(Tables.documents(spark, dir))
 
-  /** [[dedupPipelinePairs]] over any (doc_id, text) frame (spec entry
-    * point for corpora with actual verbatim duplicates). */
-  def dedupPipelinePairsOf(docs: DataFrame): DataFrame = {
-    val reps = docs
+  /** md5 exact-group representatives of a (doc_id, text) frame:
+    * (h, doc_id = min id of the group, n_dups, text). */
+  private def repsOf(docs: DataFrame): DataFrame =
+    docs
       .groupBy(md5(col("text")).as("h"))
       .agg(min(col("doc_id")).as("doc_id"),
         count(lit(1)).as("n_dups"),
         // texts in a group are identical; min() just keeps it deterministic
         min(col("text")).as("text"))
-    val bands = minhashBandsOf(reps.select("doc_id", "text"))
-    val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
-    val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
-    val pairs = l.join(r, Seq("band", "bucket"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
-      .distinct()
+
+  /** [[dedupPipelinePairs]] over any (doc_id, text) frame (spec entry
+    * point for corpora with actual verbatim duplicates). */
+  def dedupPipelinePairsOf(docs: DataFrame): DataFrame = {
+    val reps = repsOf(docs)
+    val pairs = lshPairsOf(reps.select("doc_id", "text"))
     val counts = reps.select(col("doc_id"), col("n_dups"))
     pairs
       .join(counts.select(col("doc_id").as("doc_a"), col("n_dups").as("dups_a")), "doc_a")
@@ -272,9 +275,83 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Connected components over an undirected candidate-pair graph via
+    * smallest-id label propagation with pointer jumping. `nodes` is one
+    * `node` column; `pairs` is (doc_a, doc_b). Returns (node, group_id)
+    * where group_id = smallest node id in the component.
+    *
+    * Each round does (1) a propagate join — every node takes the min of
+    * its own label and its neighbors' — and (2) a pointer-jump join —
+    * label := label(label) — so labels race down chains exponentially
+    * and the loop converges in O(log n) rounds instead of O(diameter).
+    * Per-round lineage is truncated with localCheckpoint (an iterative
+    * self-join otherwise compounds the plan), and the fixpoint test is a
+    * changed-row count — a control-flow scalar, not a data collect. At
+    * 100 TB this is the standard iterative-CC shape: edges are persisted
+    * once and every round is two shuffles on the node key. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+                          maxIters: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist()
+    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val propagated = labels.select("node", "label").union(neighborMin)
+        .groupBy("node").agg(min(col("label")).as("label"))
+      val jump = propagated.select(col("node").as("jn"), col("label").as("jl"))
+      val next = propagated.join(jump, propagated("label") === jump("jn"), "left")
+        .select(propagated("node"),
+          coalesce(col("jl"), propagated("label")).as("label"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("node"), col("label").as("prev")), "node")
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    require(converged, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("node"), col("label").as("group_id"))
+  }
+
+  /** Corpus dedup GROUPS: the full pairs → components → keep-set
+    * pipeline. Exact groups collapse to representatives, the LSH
+    * candidate-pair graph over representatives is closed transitively
+    * (so (a,b),(b,c) collapse to ONE group — candidate pairs alone
+    * over-keep b or c), and every original document gets its group:
+    * (doc_id, group_id = min doc_id of the group, group_size counting
+    * every verbatim copy, is_canonical = the one row per group to keep).
+    * The pipeline analog of the reference's keep-first `seen_collabs`
+    * dedup (analyze_insta_enhanced.py:1283,1316-1376) at corpus scale. */
+  def dedupGroupsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val reps = repsOf(docs)
+    val pairs = lshPairsOf(reps.select("doc_id", "text"))
+    val comp = connectedComponents(reps.select(col("doc_id").as("node")), pairs)
+    val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .join(reps.select(col("h"), col("doc_id").as("rep")), "h")
+    docRep
+      .join(comp.select(col("node").as("rep"), col("group_id")), "rep")
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
+      .withColumn("is_canonical", col("doc_id") === col("group_id"))
+      .select("doc_id", "group_id", "group_size", "is_canonical")
+      .orderBy("doc_id")
+  }
+
+  /** [[dedupGroupsOf]] over the documents table. */
+  def dedupGroups(spark: SparkSession, dir: String): DataFrame =
+    dedupGroupsOf(Tables.documents(spark, dir))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
+    "dd_dedup_groups"        -> dedupGroups _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
@@ -358,6 +435,35 @@ object Dedup {
          JOIN reps ra ON p.doc_a = ra.doc_id
          JOIN reps rb ON p.doc_b = rb.doc_id
          ORDER BY doc_a, doc_b""",
+    // components via a recursive CTE: walk enumerates (node, label) for
+    // every label that can reach node; min per node = the component id —
+    // the declarative mirror of the Spark side's label propagation
+    "dd_dedup_groups" ->
+      s"""WITH RECURSIVE reps AS (
+           SELECT min(doc_id) AS doc_id, min(text) AS text
+           FROM documents GROUP BY md5(text)),
+         ${shingleCteFrom("reps")},
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         walk AS (
+           SELECT doc_id AS node, doc_id AS label FROM reps
+           UNION
+           SELECT e.dst AS node, w.label AS label
+           FROM walk w JOIN edges e ON w.node = e.src),
+         comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+               FROM documents),
+         g AS (SELECT m.doc_id, c.group_id FROM m JOIN comp c ON m.rep = c.node),
+         sizes AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY group_id)
+         SELECT g.doc_id, g.group_id, s.group_size,
+                g.doc_id = g.group_id AS is_canonical
+         FROM g JOIN sizes s ON g.group_id = s.group_id
+         ORDER BY doc_id""",
     "dd_simhash16" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pairs → connected components → keep-set: the transitive closure that
+  * turns candidate PAIRS into dedup GROUPS. (a,b),(b,c) must collapse to
+  * ONE group of 3 — keeping per-pair winners would over-keep b or c. */
+class DedupGroupsSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-dedup-groups-test")
+  import spark.implicits._
+
+  private def components(nodes: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.connectedComponents(
+      nodes.toDF("node"), pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("(a,b),(b,c) closes transitively to one group of 3") {
+    val got = components(Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("a long chain converges (pointer jumping, multiple rounds)") {
+    val n = 64L
+    val nodes = (1L to n)
+    val chain = (1L until n).map(i => (i, i + 1))
+    val got = components(nodes, chain)
+    assert(got == nodes.map(_ -> 1L).toMap)
+  }
+
+  test("empty pair set: every node is its own singleton group") {
+    val got = components(Seq(5L, 6L), Seq.empty)
+    assert(got == Map(5L -> 5L, 6L -> 6L))
+  }
+
+  test("end-to-end groups: verbatim copies + near-dups collapse together") {
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    // docs 0,1,2 identical; 10,11 identical near-dup of base (one token);
+    // 20 unrelated — the DedupPipelineSpec corpus, now taken to groups
+    val docs = Seq(
+      (0L, base), (1L, base), (2L, base),
+      (10L, base.replace("today", "tonight")),
+      (11L, base.replace("today", "tonight")),
+      (20L, "completely different content with no shared shingles at all " +
+        "zebra quartz violin mountain seventeen")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupGroupsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.length == 6, s"one row per doc expected: ${got.toSeq}")
+    val byDoc = got.map(g => g._1 -> g).toMap
+    for (d <- Seq(0L, 1L, 2L, 10L, 11L))
+      assert(byDoc(d)._2 == 0L && byDoc(d)._3 == 5L,
+        s"doc $d not in the merged group of 5: ${byDoc(d)}")
+    assert(byDoc(20L) == ((20L, 20L, 1L, true)))
+    // exactly one canonical per group, and it is the min doc_id
+    assert(got.filter(_._4).map(g => (g._1, g._2)).toSet == Set((0L, 0L), (20L, 20L)))
+  }
+}
