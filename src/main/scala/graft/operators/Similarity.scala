@@ -212,11 +212,12 @@ object Similarity {
     * scoring needs no re-join with the source. Zero Exchange before the
     * final top-k. Tie-break: centroids fold in ascending cent_id order
     * with a strict `>` (= cos desc, cent_id asc). */
-  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
-    val e = Tables.embeddings(spark, dir)
-    val assigned = e
-      .withColumn("na", quantNormSq(col("embedding")))
+  /** Per-row argmax cell assignment against literal fitted centroids —
+    * a pure projection (no crossJoin, no Window shuffle) shared by every
+    * IVF variant. Keeps the quantized norm so candidate scoring needs no
+    * re-join with the source. */
+  private def assignCells(e: DataFrame, centsLit: String): DataFrame =
+    e.withColumn("na", quantNormSq(col("embedding")))
       .withColumn("cell", expr(
         s"""aggregate(
               transform($centsLit, c -> named_struct(
@@ -226,6 +227,11 @@ object Similarity {
               named_struct('cos', cast('-Infinity' as double), 'cell', -1L),
               (best, s) -> if(s.cos > best.cos, s, best)).cell"""))
       .select(col("vec_id"), col("cell"), col("embedding"), col("na"))
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assignCells(e, centsLit)
     val queryCell = assigned.filter(col("vec_id") === 0).select(col("cell").as("qcell"))
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
     val candidates = assigned
@@ -281,6 +287,41 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** Batch MULTI-query IVF ANN: a query TABLE (vec_id < probeBound — the
+    * thousands-of-probes shape of a training-data pipeline) instead of a
+    * single hardcoded probe. Every vector is assigned to its fitted cell
+    * by the same per-row argmax projection; queries are the (small)
+    * broadcast side of ONE cell equi-join — no per-query scans, no
+    * cartesian — and the per-query top-k runs as the typed
+    * [[graft.functions.TopKByScore]] aggregator, whose map-side partial
+    * keeps ≤ k rows per query, so the final exchange carries ≤ k rows
+    * per (query, mapper) rather than every candidate. At 100 TB: the
+    * data side stays put, the probe table broadcasts, one shuffle of
+    * bounded size. Tie-break (cos desc, vec_id asc) matches every other
+    * ANN query. */
+  def ivfMultiQueryTopK(spark: SparkSession, dir: String,
+                        probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val e = Tables.embeddings(spark, dir)
+    val assigned = assignCells(e, centsLit)
+    val queries = assigned.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
+        col("embedding").as("qe"), col("na").as("qna"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    assigned
+      .join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("vec_id"), col("col.score").as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
     * product — only vectors sharing the `planes`-bit sign bucket are ever
     * paired (the [[minhashStyleBuckets]] building block, oracle-gated at
@@ -308,6 +349,7 @@ object Similarity {
     "sim_neardup_pairs"  -> nearDupPairs _,
     "sim_ivf_topk"       -> ivfTopK _,
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
+    "sim_ivf_multiquery" -> ((s: SparkSession, d: String) => ivfMultiQueryTopK(s, d)),
     "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
@@ -454,6 +496,32 @@ object Similarity {
          cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
                   ON a.cell = q.cell WHERE a.vec_id <> 0),
          $ivfScoreSuffix""",
+    "sim_ivf_multiquery" ->
+      s"""${ivfFitCtes()}
+         qs AS (SELECT vec_id AS q_id, cell AS qcell FROM assigned WHERE vec_id < 20),
+         cand AS (SELECT q.q_id, a.vec_id FROM assigned a
+                  JOIN qs q ON a.cell = q.qcell AND a.vec_id <> q.q_id),
+         qp AS (SELECT c.q_id, c.vec_id,
+                  unnest(e.embedding) AS x, unnest(qq.embedding) AS y
+                FROM cand c
+                JOIN embeddings e ON e.vec_id = c.vec_id
+                JOIN embeddings qq ON qq.vec_id = c.q_id),
+         qd AS (SELECT q_id, vec_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM qp GROUP BY q_id, vec_id),
+         sc AS (SELECT q_id, vec_id,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM qd),
+         rr AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+               FROM sc)
+         SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

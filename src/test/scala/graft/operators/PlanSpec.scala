@@ -157,6 +157,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product")
   }
 
+  test("multi-query IVF: one broadcast cell equi-join + partial top-k, no per-query scans") {
+    val df = Similarity.ivfMultiQueryTopK(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // the probe TABLE is the broadcast side of a single cell equi-join —
+    // never one scan per query, never a cartesian
+    assert(plan.contains("BroadcastHashJoin"), s"probe table not broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"multi-query ANN fell back to all-pairs:\n${plan.take(3000)}")
+    // per-query top-k is the typed aggregator with a map-side partial:
+    // the exchange carries ≤k rows per (query, mapper)
+    assert("ObjectHashAggregate".r.findAllIn(plan).length == 2,
+      s"expected partial+final ObjectHashAggregate:\n${plan.take(3000)}")
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"no partial top-k aggregation:\n${plan.take(3000)}")
+  }
+
   test("banded range join is an equi join on band, not a nested loop") {
     val df = Relational.rangeJoinBanded(spark, dir)
     val plan = planOf(df)
