@@ -213,13 +213,21 @@ object Dedup {
     * fixed k=1/16-bit shape; at 100 TB: 60-bit signature, k=3, 15-bit
     * bands (32 k buckets per band). */
   def simhashHammingKPairs(spark: SparkSession, dir: String,
-                           k: Int = 2, bits: Int = 60): DataFrame = {
+                           k: Int = 2, bits: Int = 60): DataFrame =
+    hammingPairsOfSigs(simhashWide(spark, dir, bits), k, bits)
+
+  /** Banded hamming-≤k candidate join over ANY (doc_id, simhash) frame —
+    * the k+1-band pigeonhole machinery shared by the token-level queries
+    * and the multimodal byte-signature near-dup
+    * ([[Multimodal.byteNearDupPairs]]). */
+  private[operators] def hammingPairsOfSigs(sigs: DataFrame,
+                                            k: Int, bits: Int): DataFrame = {
     val bandStructs = hammingBands(bits, k).zipWithIndex.map {
       case ((lo, w), b) =>
         val mask = (1L << w) - 1
         s"struct($b as band, shiftright(simhash, $lo) & ${mask}L as bkey)"
     }.mkString("array(", ", ", ")")
-    val banded = simhashWide(spark, dir, bits)
+    val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(expr(bandStructs)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bkey"))
     val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
@@ -507,15 +515,21 @@ object Dedup {
 
   /** DuckDB oracle for [[simhashHammingKPairs]] — bands generated from
     * the same [[hammingBands]] split the Spark side uses. */
-  private def hammingKOracle(k: Int, bits: Int): String = {
+  private def hammingKOracle(k: Int, bits: Int): String = hammingKOracleFrom(
+    """toks AS (
+           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
+           FROM documents)""", k, bits)
+
+  /** [[hammingKOracle]] over any token source: `toksCte` must define a
+    * CTE (chain) ending in toks(doc_id, tok). Shared with the multimodal
+    * byte-n-gram oracle. */
+  private[operators] def hammingKOracleFrom(toksCte: String, k: Int, bits: Int): String = {
     val bandsUnion = hammingBands(bits, k).zipWithIndex.map {
       case ((lo, w), b) =>
         val mask = (1L << w) - 1
         s"SELECT doc_id, simhash, $b AS band, (simhash >> $lo) & $mask AS bkey FROM sig"
     }.mkString("\n           UNION ALL\n           ")
-    s"""WITH toks AS (
-           SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
-           FROM documents),
+    s"""WITH $toksCte,
          hh AS (SELECT doc_id,
                   CAST('0x' || substr(md5(tok), 1, ${bits / 4}) AS BIGINT) AS h
                 FROM toks WHERE length(tok) > 0),

@@ -125,8 +125,36 @@ object Multimodal {
       s"""transform(sequence(1, $dims), i ->
             cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) / 65535.0 as float))"""))
 
+  /** Byte-level SimHash signature per payload: distinct byte 4-grams
+    * (as hex strings, so both engines hash the identical token text) →
+    * `bits`-wide SimHash. No codec needed — the signature reads the raw
+    * bytes, so it works on ANY binary payload (JPEG, audio, the text
+    * stand-ins) and a few flipped bytes only flip a few signature bits. */
+  def byteSimhash(bin: DataFrame, bits: Int = 60): DataFrame =
+    bin
+      .filter(length(col("payload")) >= 4)
+      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("grams", array_distinct(expr(
+        "transform(sequence(0, cast(length(payload) as int) - 4), i -> substring(hx, i*2+1, 8))")))
+      .withColumn("simhash", graft.functions.MinHash.simhashSig(col("grams"), bits))
+      .select("doc_id", "simhash")
+
+  /** Image/binary NEAR-DUP pairs: [[byteSimhash]] feeding the same
+    * k+1-band hamming pigeonhole join as the text dedup family
+    * ([[Dedup.hammingPairsOfSigs]]) — candidates only from band-bucket
+    * collisions, shuffle-bounded, never all-pairs. The multimodal column
+    * gets the same near-dup query as every other modality: a JPEG and a
+    * few-bytes-perturbed copy of itself land within hamming ≤ k. */
+  def byteNearDupPairsOf(bin: DataFrame, k: Int = 3, bits: Int = 60): DataFrame =
+    Dedup.hammingPairsOfSigs(byteSimhash(bin, bits), k, bits)
+
+  /** [[byteNearDupPairsOf]] over the binaryized documents payloads. */
+  def byteNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    byteNearDupPairsOf(binaryized(spark, dir).select("doc_id", "payload"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta" -> binaryMeta _,
+    "mm_binary_meta"   -> binaryMeta _,
+    "mm_neardup_pairs" -> byteNearDupPairs _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -136,5 +164,17 @@ object Multimodal {
            sha256(text) AS sha256,
            lower(substr(hex(encode(text)), 1, 8)) AS magic_hex
          FROM documents ORDER BY doc_id""",
+    // byte 4-grams as lowercase hex strings over the UTF-8 payload —
+    // token text identical to the Spark side, then the shared hamming
+    // oracle machinery
+    "mm_neardup_pairs" -> Dedup.hammingKOracleFrom(
+      """p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+                octet_length(encode(text)) AS n
+              FROM documents),
+         toks AS (
+           SELECT doc_id,
+             unnest(list_distinct(list_transform(range(0, n - 3),
+               i -> substr(hx, CAST(i*2 + 1 AS BIGINT), 8)))) AS tok
+           FROM p WHERE n >= 4)""", k = 3, bits = 60),
   )
 }

@@ -34,6 +34,31 @@ class MultimodalSpec extends AnyFunSuite {
       .foreach(r => assert(again(r.getLong(0)) == r.getInt(1)))
   }
 
+  test("byte near-dup pairs a real JPEG with a few-bytes-perturbed copy of itself") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val users = new java.io.File("/root/reference").listFiles()
+      .filter(d => d.isDirectory && new java.io.File(d, s"${d.getName}.jpg").exists())
+      .map(_.getName).sorted.take(3)
+    assert(users.length >= 2, "need at least two reference JPEGs")
+    val orig = Files.readAllBytes(Paths.get(s"/root/reference/${users(0)}/${users(0)}.jpg"))
+    val other = Files.readAllBytes(Paths.get(s"/root/reference/${users(1)}/${users(1)}.jpg"))
+    // flip 3 bytes mid-payload (entropy-coded region; header untouched)
+    val perturbed = orig.clone()
+    for (off <- Seq(orig.length / 2, orig.length / 2 + 101, orig.length / 2 + 257))
+      perturbed(off) = (perturbed(off) ^ 0x5a).toByte
+    val bin = Seq((0L, orig), (1L, perturbed), (2L, other)).toDF("doc_id", "payload")
+    val pairs = Multimodal.byteNearDupPairsOf(bin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L),
+      s"perturbed JPEG copy not paired with its original: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L),
+      s"unrelated JPEG wrongly paired: ${pairs.toSeq}")
+    // and the signature distance really is small
+    val hit = pairs.find(p => p._1 == 0L && p._2 == 1L).get
+    assert(hit._3 <= 3, s"hamming too large: $hit")
+  }
+
   test("frameSample emits ceil(n_frames/k) rows per doc, stride k") {
     val k = 4
     val sampled = Multimodal.frameSample(decoded, k)
