@@ -113,7 +113,47 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** PII scrubbing as a corpus operator — the standard training-data
+    * cleaning step: redact emails then phone numbers from every document,
+    * reusing the reference's extraction regexes
+    * ([[graft.ig.Extraction.emailPattern]]/[[graft.ig.Extraction.phonePatterns]],
+    * analyze_insta_enhanced.py:1623-1701) as GLOBAL replacements instead
+    * of first-match extraction. Pure per-row projection — linear, no
+    * shuffle. The synthetic corpus carries no real PII, so the query
+    * plants deterministic contact strings on every 7th doc (the same
+    * plant both engines compute) — otherwise the gate would only verify
+    * two no-ops agree. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val emailPat = graft.ig.Extraction.emailPattern
+    val phonePat = graft.ig.Extraction.phonePatterns.mkString("|")
+    Tables.documents(spark, dir)
+      .withColumn("pii_text", concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact u"), col("doc_id").cast("string"),
+            lit("@example.com or call +1 555-123-4567 now")))
+          .otherwise(lit(""))))
+      .withColumn("n_emails",
+        size(regexp_extract_all(col("pii_text"), lit(emailPat), lit(0))))
+      .withColumn("s1", regexp_replace(col("pii_text"), emailPat, "[EMAIL]"))
+      .withColumn("n_phones",
+        size(regexp_extract_all(col("s1"), lit(phonePat), lit(0))))
+      .withColumn("scrubbed", regexp_replace(col("s1"), phonePat, "[PHONE]"))
+      .select("doc_id", "scrubbed", "n_emails", "n_phones")
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-level scrub summary: how many docs carried each PII kind. */
+  def piiScrubSummary(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(spark, dir)
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("n_emails") > 0, 1)).as("docs_with_email"),
+        count(when(col("n_phones") > 0, 1)).as("docs_with_phone"),
+        sum(col("n_emails").cast("long")).as("n_emails_total"),
+        sum(col("n_phones").cast("long")).as("n_phones_total"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pii_scrub" -> piiScrub _,
+    "ta_pii_scrub_summary" -> piiScrubSummary _,
     "ta_split_assign" -> splitAssign _,
     "ta_clean_corpus" -> cleanCorpus _,
     "ta_langid_ngram" -> langIdNgram _,
@@ -122,7 +162,41 @@ object TextAnalysis {
     "ta_fingerprint"  -> fingerprint _,
   )
 
+  // oracle fragment shared by the two PII queries: plant + scrub chain,
+  // GENERATED from the same Scala pattern constants the operator uses so
+  // engine and oracle cannot drift (DuckDB regexp_replace needs the 'g'
+  // flag for the global semantics Spark applies by default)
+  private val piiScrubOracleCte: String = {
+    val emailPat = graft.ig.Extraction.emailPattern
+    val phonePat = graft.ig.Extraction.phonePatterns.mkString("|")
+    s"""p AS (SELECT doc_id,
+             text || CASE WHEN doc_id % 7 = 0
+               THEN ' contact u' || doc_id || '@example.com or call +1 555-123-4567 now'
+               ELSE '' END AS pii_text
+           FROM documents),
+         e AS (SELECT doc_id,
+             len(regexp_extract_all(pii_text, '$emailPat')) AS n_emails,
+             regexp_replace(pii_text, '$emailPat', '[EMAIL]', 'g') AS s1
+           FROM p),
+         sc AS (SELECT doc_id,
+             regexp_replace(s1, '$phonePat', '[PHONE]', 'g') AS scrubbed,
+             n_emails,
+             len(regexp_extract_all(s1, '$phonePat')) AS n_phones
+           FROM e)"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ta_pii_scrub" ->
+      s"""WITH $piiScrubOracleCte
+         SELECT doc_id, scrubbed, n_emails, n_phones FROM sc ORDER BY doc_id""",
+    "ta_pii_scrub_summary" ->
+      s"""WITH $piiScrubOracleCte
+         SELECT count(*) AS n_docs,
+           count(CASE WHEN n_emails > 0 THEN 1 END) AS docs_with_email,
+           count(CASE WHEN n_phones > 0 THEN 1 END) AS docs_with_phone,
+           CAST(sum(n_emails) AS BIGINT) AS n_emails_total,
+           CAST(sum(n_phones) AS BIGINT) AS n_phones_total
+         FROM sc""",
     "ta_split_assign" ->
       """WITH b AS (
            SELECT doc_id, n_chars,

@@ -23,22 +23,30 @@ object Extraction {
   private def presenceCount(c: Column, kws: Seq[String]): Column =
     kws.map(k => when(c.contains(lit(k)), 1).otherwise(0)).reduce(_ + _)
 
+  /** Email/phone patterns (analyze_insta_enhanced.py:1623-1640,
+    * 1680-1701) — shared between the per-profile extraction cascade and
+    * the corpus PII scrubber ([[graft.functions.TextAnalysis.piiScrub]]).
+    * RE2-safe (no backrefs/lookaround), so DuckDB evaluates them
+    * identically. */
+  val emailPattern: String =
+    "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b"
+  val phonePatterns: Seq[String] = Seq(
+    "\\+?\\d{1,4}[-.\\s]?\\(?\\d{2,4}\\)?[-.\\s]?\\d{3,4}[-.\\s]?\\d{4}",
+    "\\+\\d{10,15}",
+    "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}",
+    "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\s*x\\d{1,5}",
+    "\\d{3,}[-.\\s]?\\d{3,}[-.\\s]?\\d{4,}")
+
   /** extract_email (:1623-1640): first regex match in biography. */
   def email(bio: Column): Column =
-    nullif(regexp_extract(coalesce(bio, lit("")),
-      "\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b", 0), lit(""))
+    nullif(regexp_extract(coalesce(bio, lit("")), emailPattern, 0), lit(""))
 
   /** extract_phone_number (:1680-1701): 5 patterns tried in order, first
     * match wins, then `[\s.-]` stripped. */
   def phone(bio: Column): Column = {
     val b = coalesce(bio, lit(""))
-    val pats = Seq(
-      "\\+?\\d{1,4}[-.\\s]?\\(?\\d{2,4}\\)?[-.\\s]?\\d{3,4}[-.\\s]?\\d{4}",
-      "\\+\\d{10,15}",
-      "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}",
-      "\\(?\\d{3}\\)?[-.\\s]?\\d{3}[-.\\s]?\\d{4}\\s*x\\d{1,5}",
-      "\\d{3,}[-.\\s]?\\d{3,}[-.\\s]?\\d{4,}")
-    val first = coalesce(pats.map(p => nullif(regexp_extract(b, p, 0), lit(""))): _*)
+    val first = coalesce(
+      phonePatterns.map(p => nullif(regexp_extract(b, p, 0), lit(""))): _*)
     regexp_replace(first, "[\\s.-]", "")
   }
 
