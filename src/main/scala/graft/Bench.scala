@@ -42,14 +42,23 @@ object Bench {
     val benchSet = SparkEntry.queries.filter { case (k, _) =>
       SparkEntry.oracleSql.contains(k)
     }
-    val results: Seq[(String, Seq[Double])] = benchSet.toSeq.sortBy(_._1).map {
+    val results: Seq[(String, Seq[Double])] = benchSet.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val times = (1 to n).map { _ =>
-          val t0 = System.nanoTime()
-          try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
-          (System.nanoTime() - t0) / 1e9
+        // pinned-geometry baselines are skipped past their design size
+        // (never at the driver's sf0.1) — printed EARLY so the compact
+        // line stays last for the artifact tail
+        PinnedBaselines.skipReason(spark, sfDir, name) match {
+          case Some(reason) =>
+            println(s"""{"metric":"skip","query":"$name","reason":"$reason"}""")
+            None
+          case None =>
+            val times = (1 to n).map { _ =>
+              val t0 = System.nanoTime()
+              try { force(fn(spark, sfDir)) } catch { case _: Throwable => () }
+              (System.nanoTime() - t0) / 1e9
+            }
+            Some(name -> times.sorted)
         }
-        name -> times.sorted
     }
     // trailing-zero-stripped fixed decimals ("0.50"→"0.5", "1.00"→"1"):
     // still valid JSON numbers; with 74 queries the compact line must

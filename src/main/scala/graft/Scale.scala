@@ -14,14 +14,20 @@ object Scale {
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     force(SparkEntry.entry(spark))
-    val results = names.map { name =>
-      val fn = SparkEntry.queries(name)
-      force(fn(spark, sfDir)) // warm (codegen + page cache)
-      val t0 = System.nanoTime()
-      force(fn(spark, sfDir))
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCALE> $name%-32s $sec%8.2f s")
-      name -> sec
+    val results = names.flatMap { name =>
+      PinnedBaselines.skipReason(spark, sfDir, name) match {
+        case Some(reason) =>
+          println(s"SCALE-SKIP> $reason")
+          None
+        case None =>
+          val fn = SparkEntry.queries(name)
+          force(fn(spark, sfDir)) // warm (codegen + page cache)
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"SCALE> $name%-32s $sec%8.2f s")
+          Some(name -> sec)
+      }
     }
     val qs = results.map { case (k, v) => f""""$k":$v%.2f""" }.mkString("{", ",", "}")
     println(s"""SCALEJSON> {"sf":"$sfDir","queries":$qs}""")
