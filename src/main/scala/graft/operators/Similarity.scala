@@ -106,13 +106,16 @@ object Similarity {
   /** [[lshNearDup]] with the plane count derived from the corpus size —
     * the production default: fixed planes are asymptotically quadratic
     * (SCALE.md measures 3 planes at 88× and even 6 planes at 45× for a
-    * 10× corpus), so the knob must follow log2(n). The count() here is
-    * the same kind of offline metadata step as the IVF centroid fit;
-    * the bucket key is the sign-bit string of the first b components so
-    * the DuckDB oracle can size itself from its own count. */
+    * 10× corpus), so the knob must follow log2(n). The count comes from
+    * parquet FOOTER metadata (what a catalog serves as table stats at
+    * 100 TB — zero scan, zero jobs), falling back to count() off plain
+    * parquet; the bucket key is the sign-bit string of the first b
+    * components so the DuckDB oracle can size itself from its own
+    * count. */
   def lshNearDupAuto(spark: SparkSession, dir: String, targetBucket: Long = 64L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
-    val planes = autoPlanes(e.count(), targetBucket)
+    val n = Tables.footerRowCount(spark, dir, "embeddings").getOrElse(e.count())
+    val planes = autoPlanes(n, targetBucket)
     val bucketExpr = (1 to planes)
       .map(i => s"CASE WHEN element_at(embedding, $i) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")

@@ -35,4 +35,32 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Row count of a table from parquet FOOTER metadata — no data scan,
+    * no Spark job: footers carry the per-row-group counts, which is what
+    * a catalog serves as table statistics at 100 TB. Used by operators
+    * that size themselves from the corpus count (e.g. auto-plane LSH).
+    * None when the path isn't plain parquet (caller falls back to
+    * count()). */
+  def footerRowCount(spark: SparkSession, dir: String, name: String): Option[Long] =
+    try {
+      import org.apache.hadoop.fs.Path
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(s"$dir/$name.parquet")
+      val fs = root.getFileSystem(conf)
+      val status = fs.getFileStatus(root)
+      val files =
+        if (status.isDirectory)
+          fs.listStatus(root).filter(_.getPath.getName.endsWith(".parquet"))
+        else Array(status)
+      var total = 0L
+      files.foreach { f =>
+        val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
+        try total += r.getRecordCount
+        finally r.close()
+      }
+      Some(total)
+    } catch { case scala.util.control.NonFatal(_) => None }
 }
