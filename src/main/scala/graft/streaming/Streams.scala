@@ -127,8 +127,9 @@ object Streams {
     * collide); the batch band-bucket join is the recall-oriented
     * any-band variant. State is one row per distinct signature, pruned
     * by the watermark — shards by signature hash at cluster scale. */
-  def minhashDedup(docs: DataFrame, tsCol: String = "ingest_ts",
-                   watermark: String = "1 hour"): DataFrame =
+  /** The per-row MinHash signature projection shared by [[minhashDedup]]
+    * and [[exactThenMinhashDedup]]. */
+  private def withMinhashSig(docs: DataFrame): DataFrame =
     docs
       .withColumn("toks", split(lower(col("text")), " "))
       .filter(size(col("toks")) >= 3)
@@ -136,7 +137,35 @@ object Streams {
         "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
       .withColumn("sig",
         concat_ws("_", graft.functions.MinHash.minhashSig(col("shingles"))))
+
+  def minhashDedup(docs: DataFrame, tsCol: String = "ingest_ts",
+                   watermark: String = "1 hour"): DataFrame =
+    withMinhashSig(docs)
       .withWatermark(tsCol, watermark)
+      .dropDuplicates("sig")
+      .drop("toks", "shingles")
+
+  /** EXACT→near streaming dedup — the streaming mirror of the batch
+    * [[graft.operators.Dedup.dedupPipelinePairs]] insight: web-scale
+    * streams carry ~30% verbatim duplicates, and every one that reaches
+    * the MinHash stage pays the shingling + 8-hash signature projection
+    * AND plants a row in the signature state store. Stage 1 drops
+    * verbatim copies on the raw md5 — `dropDuplicatesWithinWatermark`,
+    * the aggressively-evictable variant, because a verbatim copy (a
+    * re-delivered page, a retried POST) arrives near its original, so
+    * its state can expire fast; stage 2 is the [[minhashDedup]] near-dup
+    * suppression over survivors only. Both states are per-key and
+    * watermark-bounded; Spark 4 chains the two stateful operators in one
+    * query off a SINGLE watermark definition (redefining it between
+    * stateful operators is disallowed). */
+  def exactThenMinhashDedup(docs: DataFrame, tsCol: String = "ingest_ts",
+                            watermark: String = "1 hour"): DataFrame =
+    withMinhashSig(
+      docs
+        .withColumn("exact_h", md5(col("text")))
+        .withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("exact_h")
+        .drop("exact_h"))
       .dropDuplicates("sig")
       .drop("toks", "shingles")
 

@@ -47,6 +47,34 @@ class StreamsSpec extends AnyFunSuite {
     assert(ids.toSeq == Seq(1L, 2L, 5L))
   }
 
+  test("exactThenMinhashDedup: verbatim copies die at the exact stage, near-dups at the minhash stage") {
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.exactThenMinhashDedup(docs).writeStream
+      .format("memory").queryName("em_dedup_out").outputMode(OutputMode.Append()).start()
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    // a verbatim-heavy burst: 1 original + verbatim copies + one near-dup
+    // (word-order-preserving duplicate → same signature) + one novel doc
+    in.addData((1L, base, ts(0)), (2L, base, ts(1)), (3L, base, ts(2)),
+      (4L, "a completely different document about spark engines", ts(3)))
+    q.processAllAvailable()
+    in.addData((5L, base, ts(4)), // still verbatim — exact stage state
+      (6L, base, ts(5)),
+      (7L, "yet another novel text with its own distinct shingle set entirely", ts(6)))
+    q.processAllAvailable()
+    val ids = spark.table("em_dedup_out").select("doc_id").as[Long].collect().sorted
+    // both stateful stages really run in the ONE query — and the
+    // signature state stays bounded by DISTINCT texts (3), not by the
+    // 7 arriving docs: verbatim copies never reach the minhash state
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    q.stop()
+    assert(ids.toSeq == Seq(1L, 4L, 7L))
+    assert(ops.map(_.operatorName).toSet ==
+      Set("dedupeWithinWatermark", "dedupe"), s"stages: ${ops.map(_.operatorName).toSeq}")
+    val mhRows = ops.filter(_.operatorName == "dedupe").map(_.numRowsTotal).max
+    assert(mhRows <= 3, s"minhash state grew past distinct texts: $mhRows")
+  }
+
   test("pageMergeDedupWithin dedups inside the watermark window") {
     val in = MemoryStream[(String, Long, java.sql.Timestamp)]
     val posts = in.toDF().toDF("creator_key", "id", "ingest_ts")
