@@ -1,0 +1,79 @@
+package graft
+
+/** Repeatable scale-regression harness (VERDICT r4 ask #8): runs EVERY
+  * SparkEntry query at a base scale and a ~10× stress scale and asserts
+  * the measured scaling contract — median big/base wall-clock ratio
+  * ≤ `bound` (default 10 — i.e. at-most-linear in the median for 10×
+  * data). Exits nonzero on breach, so CI/driver runs can't silently
+  * regress the scaling behavior SCALE.md documents.
+  *
+  * Usage: runMain graft.ScaleCheck <baseDir> <bigDir> [bound]
+  * (one command via tools/scale_check.sh, which also generates the
+  * stress data if missing).
+  *
+  * Method (same as graft.Scale, which feeds SCALE.md): per query, run
+  * once warm (codegen compile + page cache) then once measured, at each
+  * scale, interleaved base→big so JVM state is comparable. Pinned-
+  * geometry oracle baselines are skipped past their design size via
+  * [[PinnedBaselines]] (their scale-safe replacements are measured
+  * instead). Measured base times are floored at 50 ms in the ratio
+  * denominator — below that, local-mode scheduler noise dominates and a
+  * ratio would measure jitter, not the plan.
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val baseDir = args(0)
+    val bigDir = args(1)
+    val bound = if (args.length > 2) args(2).toDouble else 10.0
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Sessions.local(cpus, appName = "graft-scale-check")
+    def force(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+              dir: String): Double = {
+      force(fn(spark, dir)) // warm
+      val t0 = System.nanoTime()
+      force(fn(spark, dir))
+      (System.nanoTime() - t0) / 1e9
+    }
+    force(SparkEntry.entry(spark))
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val rows = names.flatMap { name =>
+      val fn = SparkEntry.queries(name)
+      val skip = PinnedBaselines.skipReason(spark, baseDir, name)
+        .orElse(PinnedBaselines.skipReason(spark, bigDir, name))
+      skip match {
+        case Some(reason) =>
+          println(s"CHECK-SKIP> $reason")
+          None
+        case None =>
+          val base = timed(fn, baseDir)
+          val big = timed(fn, bigDir)
+          val ratio = big / math.max(base, 0.05)
+          println(f"CHECK> $name%-32s base $base%7.2f s  big $big%7.2f s  ratio $ratio%6.1fx")
+          Some((name, base, big, ratio))
+      }
+    }
+
+    val ratios = rows.map(_._4).sorted
+    val median =
+      if (ratios.isEmpty) 0.0
+      else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
+      else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
+    val over = rows.filter(_._4 > bound).sortBy(-_._4)
+    val qs = rows.map { case (k, b, g, r) =>
+      f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f}"""
+    }.mkString("{", ",", "}")
+    println(
+      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"queries":$qs}""")
+    over.foreach { case (k, _, _, r) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
+    spark.stop()
+    if (median > bound) {
+      println(f"SCALECHECK FAIL: median ratio $median%.2fx > bound $bound%.1fx")
+      sys.exit(1)
+    } else {
+      println(f"SCALECHECK OK: median ratio $median%.2fx <= bound $bound%.1fx over ${rows.length} queries")
+    }
+  }
+}
