@@ -20,6 +20,7 @@ object PinnedBaselines {
     * 50 k — always skipped). */
   val designSize: Map[String, (String, Long)] = Map(
     "sim_lsh_neardup"    -> (("embeddings", 4096L)), // 3 planes = 8 buckets
+    "sim_lsh_neardup6"   -> (("embeddings", 4096L)), // 6 planes = 64 buckets × 64/bucket
     "dd_simhash_hamming" -> (("documents", 8192L)))  // 16-bit sig, 8-bit bands
 
   private val countCache = scala.collection.mutable.Map.empty[(String, String), Long]

@@ -216,10 +216,24 @@ object Dedup {
                            k: Int = 2, bits: Int = 60): DataFrame =
     hammingPairsOfSigs(simhashWide(spark, dir, bits), k, bits)
 
-  /** Banded hamming-≤k candidate join over ANY (doc_id, simhash) frame —
-    * the k+1-band pigeonhole machinery shared by the token-level queries
-    * and the multimodal byte-signature near-dup
-    * ([[Multimodal.byteNearDupPairs]]). */
+  /** Banded hamming-≤k candidate generation over ANY (doc_id, simhash)
+    * frame — the k+1-band pigeonhole machinery shared by the token-level
+    * queries and the multimodal byte-signature near-dup
+    * ([[Multimodal.byteNearDupPairs]]).
+    *
+    * Pairs are generated BUCKET-LOCALLY (groupBy (band, bkey) →
+    * sort_array → in-array i<j combinations) rather than by a band
+    * self-join: a self-join evaluates the signature subplan ONCE PER
+    * SIDE — for the byte-gram signatures that alone doubled the query —
+    * and pays two exchanges plus a distinct shuffle, where this shape
+    * computes signatures once and shuffles once (the groupBy). The
+    * candidate set is identical (sorted array ⇒ doc_a < doc_b by
+    * construction). Per-bucket work is quadratic in OCCUPANCY, which is
+    * exactly what banding bounds (and exact-dedup-first caps verbatim
+    * cliques — [[dedupPipelinePairs]]); under adversarial skew the
+    * band-join formulation would spread one bucket across tasks, but it
+    * recomputes signatures per side, and a mega-bucket means the band
+    * geometry is undersized — fix k/bits, not the join. */
   private[operators] def hammingPairsOfSigs(sigs: DataFrame,
                                             k: Int, bits: Int): DataFrame = {
     val bandStructs = hammingBands(bits, k).zipWithIndex.map {
@@ -227,16 +241,18 @@ object Dedup {
         val mask = (1L << w) - 1
         s"struct($b as band, shiftright(simhash, $lo) & ${mask}L as bkey)"
     }.mkString("array(", ", ", ")")
-    val banded = sigs
+    sigs
       .select(col("doc_id"), col("simhash"), explode(expr(bandStructs)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bkey"))
-    val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
-      col("band"), col("bkey"))
-    val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
-      col("band"), col("bkey"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b", "sig_a", "sig_b")
+      .groupBy("band", "bkey")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(ds, (x, i) ->
+             transform(slice(ds, i + 2, size(ds) - i - 1),
+               y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,
+                           x.simhash as sig_a, y.simhash as sig_b))))""")).as("p"))
+      .select("p.*")
       .distinct()
       .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
       .filter(col("hamming") <= k)
@@ -356,10 +372,32 @@ object Dedup {
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
     dedupGroupsOf(Tables.documents(spark, dir))
 
+  /** End-to-end CANONICAL-CORPUS summary — the step that consumes the
+    * keep-set: per language, how many documents survive dedup
+    * (`is_canonical`) and how many characters the cleaned corpus keeps.
+    * This is the number a training-data pipeline actually reports
+    * ("corpus shrank 4.2% after near-dedup"); keeping it grouped means
+    * the full doc-level keep-set never has to leave the cluster. */
+  def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame =
+    dedupCorpusSummaryOf(Tables.documents(spark, dir))
+
+  /** [[dedupCorpusSummary]] over any (doc_id, text, lang, n_chars)
+    * frame (spec entry point). */
+  def dedupCorpusSummaryOf(docs: DataFrame): DataFrame =
+    docs.join(dedupGroupsOf(docs).select("doc_id", "is_canonical"), "doc_id")
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        count(when(col("is_canonical"), 1)).as("n_kept"),
+        coalesce(sum(when(col("is_canonical"), col("n_chars"))), lit(0L))
+          .as("chars_kept"))
+      .orderBy("lang")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_dedup_groups"        -> dedupGroups _,
+    "dd_dedup_corpus"        -> dedupCorpusSummary _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
@@ -404,6 +442,31 @@ object Dedup {
            UNION ALL
            SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig)"""
 
+  // Shared oracle fragment for the dedup-groups family: exact-group
+  // representatives → LSH candidate pairs → recursive-CTE connected
+  // components → g(doc_id, group_id) for every original document.
+  private lazy val dedupGroupsCtes: String =
+    s"""WITH RECURSIVE reps AS (
+           SELECT min(doc_id) AS doc_id, min(text) AS text
+           FROM documents GROUP BY md5(text)),
+         ${shingleCteFrom("reps")},
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                   UNION ALL SELECT doc_b, doc_a FROM pairs),
+         walk AS (
+           SELECT doc_id AS node, doc_id AS label FROM reps
+           UNION
+           SELECT e.dst AS node, w.label AS label
+           FROM walk w JOIN edges e ON w.node = e.src),
+         comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+               FROM documents),
+         g AS (SELECT m.doc_id, c.group_id FROM m JOIN comp c ON m.rep = c.node)"""
+
   val oracles: Map[String, String] = Map(
     "dd_exact_summary" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
@@ -447,31 +510,20 @@ object Dedup {
     // every label that can reach node; min per node = the component id —
     // the declarative mirror of the Spark side's label propagation
     "dd_dedup_groups" ->
-      s"""WITH RECURSIVE reps AS (
-           SELECT min(doc_id) AS doc_id, min(text) AS text
-           FROM documents GROUP BY md5(text)),
-         ${shingleCteFrom("reps")},
-         $minhashBandCtes,
-         pairs AS (
-           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-           WHERE a.doc_id < b.doc_id),
-         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-                   UNION ALL SELECT doc_b, doc_a FROM pairs),
-         walk AS (
-           SELECT doc_id AS node, doc_id AS label FROM reps
-           UNION
-           SELECT e.dst AS node, w.label AS label
-           FROM walk w JOIN edges e ON w.node = e.src),
-         comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
-         m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-               FROM documents),
-         g AS (SELECT m.doc_id, c.group_id FROM m JOIN comp c ON m.rep = c.node),
+      s"""$dedupGroupsCtes,
          sizes AS (SELECT group_id, count(*) AS group_size FROM g GROUP BY group_id)
          SELECT g.doc_id, g.group_id, s.group_size,
                 g.doc_id = g.group_id AS is_canonical
          FROM g JOIN sizes s ON g.group_id = s.group_id
          ORDER BY doc_id""",
+    "dd_dedup_corpus" ->
+      s"""$dedupGroupsCtes
+         SELECT d.lang, count(*) AS n_docs,
+           count(CASE WHEN g.doc_id = g.group_id THEN 1 END) AS n_kept,
+           CAST(coalesce(sum(CASE WHEN g.doc_id = g.group_id THEN d.n_chars END), 0) AS BIGINT)
+             AS chars_kept
+         FROM g JOIN documents d ON g.doc_id = d.doc_id
+         GROUP BY d.lang ORDER BY lang""",
     "dd_simhash16" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok

@@ -125,17 +125,51 @@ object Multimodal {
       s"""transform(sequence(1, $dims), i ->
             cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) / 65535.0 as float))"""))
 
+  /** The composed media pipeline decode → resize → frame-sample as ONE
+    * oracle-gated query: per sampled frame, the decoded dims, the
+    * bounding-boxed dims, and the frame index. Over the text stand-in
+    * payloads every row takes [[decode]]'s deterministic synthetic
+    * branch, which a DuckDB oracle can replay from md5(payload) — the
+    * REAL JPEG branch is gated separately by MultimodalSpec against
+    * ImageIO (an oracle can't parse SOF headers). Still a single
+    * codegen'd projection + one explode per row: no UDF, no shuffle,
+    * linear in payload count. */
+  def decodeResizeFrames(spark: SparkSession, dir: String): DataFrame =
+    frameSample(resizeStub(decode(binaryized(spark, dir))), everyK = 4)
+      .select(
+        col("doc_id"),
+        col("decoded.width").as("width"),
+        col("decoded.height").as("height"),
+        col("decoded.n_frames").as("n_frames"),
+        col("resized.width").as("r_width"),
+        col("resized.height").as("r_height"),
+        col("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+
   /** Byte-level SimHash signature per payload: distinct byte 4-grams
     * (as hex strings, so both engines hash the identical token text) →
     * `bits`-wide SimHash. No codec needed — the signature reads the raw
     * bytes, so it works on ANY binary payload (JPEG, audio, the text
-    * stand-ins) and a few flipped bytes only flip a few signature bits. */
-  def byteSimhash(bin: DataFrame, bits: Int = 60): DataFrame =
+    * stand-ins) and a few flipped bytes only flip a few signature bits.
+    *
+    * Grams are STRIDED (step 4, non-overlapping) over a bounded payload
+    * prefix (`maxBytes`): overlapping per-byte grams cost 4× the md5
+    * work for the same in-place-perturbation sensitivity (a flipped byte
+    * flips one gram either way, just out of 4× fewer), and an unbounded
+    * signature over multi-MB media payloads would make the cost track
+    * payload size instead of corpus size — prefix-sampling is the
+    * standard fingerprinting move. The tradeoff: strided grams are not
+    * shift-robust (an insertion re-aligns every later gram), which
+    * byte-level near-dup does not promise anyway — format-aware dedup
+    * (re-encodes, crops) needs the decode path, not byte grams. */
+  def byteSimhash(bin: DataFrame, bits: Int = 60,
+                  stride: Int = 4, maxBytes: Int = 65536): DataFrame =
     bin
       .filter(length(col("payload")) >= 4)
-      .withColumn("hx", lower(hex(col("payload"))))
+      .withColumn("hx", lower(hex(substring(col("payload"), 1, maxBytes))))
       .withColumn("grams", array_distinct(expr(
-        "transform(sequence(0, cast(length(payload) as int) - 4), i -> substring(hx, i*2+1, 8))")))
+        s"""transform(sequence(0, least(cast(length(payload) as int), $maxBytes) - 4, $stride),
+              i -> substring(hx, i*2+1, 8))""")))
       .withColumn("simhash", graft.functions.MinHash.simhashSig(col("grams"), bits))
       .select("doc_id", "simhash")
 
@@ -153,8 +187,9 @@ object Multimodal {
     byteNearDupPairsOf(binaryized(spark, dir).select("doc_id", "payload"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_binary_meta"   -> binaryMeta _,
-    "mm_neardup_pairs" -> byteNearDupPairs _,
+    "mm_binary_meta"    -> binaryMeta _,
+    "mm_neardup_pairs"  -> byteNearDupPairs _,
+    "mm_decode_frames"  -> decodeResizeFrames _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,7 +199,30 @@ object Multimodal {
            sha256(text) AS sha256,
            lower(substr(hex(encode(text)), 1, 8)) AS magic_hex
          FROM documents ORDER BY doc_id""",
-    // byte 4-grams as lowercase hex strings over the UTF-8 payload —
+    // synthetic-decode branch replay: dims from md5 of the UTF-8 payload
+    // (text payloads are never JPEG, so the SOF branch — gated by
+    // MultimodalSpec vs ImageIO — is unreachable here); resize truncates
+    // the double division exactly as Spark's ANSI double→int cast does
+    "mm_decode_frames" ->
+      """WITH b AS (SELECT doc_id, md5(text) AS h FROM documents),
+         dm AS (SELECT doc_id,
+             16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 1024) AS width,
+             16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 1024) AS height,
+             1 + (CAST('0x' || substr(h, 9, 2) AS INTEGER) % 32) AS n_frames
+           FROM b),
+         r AS (SELECT doc_id, width, height, n_frames,
+             CASE WHEN greatest(width, height) <= 256 THEN width
+                  ELSE greatest(1, CAST(trunc(width * 256.0 / greatest(width, height)) AS INTEGER))
+             END AS r_width,
+             CASE WHEN greatest(width, height) <= 256 THEN height
+                  ELSE greatest(1, CAST(trunc(height * 256.0 / greatest(width, height)) AS INTEGER))
+             END AS r_height
+           FROM dm)
+         SELECT doc_id, width, height, n_frames, r_width, r_height,
+                CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+         FROM r ORDER BY doc_id, frame_idx""",
+    // byte 4-grams (strided, bounded prefix — same geometry as
+    // byteSimhash) as lowercase hex strings over the UTF-8 payload —
     // token text identical to the Spark side, then the shared hamming
     // oracle machinery
     "mm_neardup_pairs" -> Dedup.hammingKOracleFrom(
@@ -173,7 +231,7 @@ object Multimodal {
               FROM documents),
          toks AS (
            SELECT doc_id,
-             unnest(list_distinct(list_transform(range(0, n - 3),
+             unnest(list_distinct(list_transform(range(0, least(n, 65536) - 3, 4),
                i -> substr(hx, CAST(i*2 + 1 AS BIGINT), 8)))) AS tok
            FROM p WHERE n >= 4)""", k = 3, bits = 60),
   )
