@@ -325,6 +325,34 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Batch multi-query EXACT top-k — the brute-force ground truth the
+    * IVF variant ([[ivfMultiQueryTopK]]) trades recall against, at the
+    * same probe-table shape: the query set broadcasts, the data side is
+    * scanned ONCE (one broadcast nested-loop join, no per-query scans),
+    * and the per-query top-k runs as the typed [[graft.functions.TopKByScore]]
+    * partial aggregation so the one shuffle carries ≤ k rows per
+    * (query, mapper). At 100 TB this is the exact-search baseline you
+    * run on a sample to measure ANN recall. */
+  def annMultiQueryTopK(spark: SparkSession, dir: String,
+                        probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("na", quantNormSq(col("embedding")))
+    val queries = e.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("na").as("qna"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("vec_id"), col("col.score").as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
     * product — only vectors sharing the `planes`-bit sign bucket are ever
     * paired (the [[minhashStyleBuckets]] building block, oracle-gated at
@@ -353,6 +381,7 @@ object Similarity {
     "sim_ivf_topk"       -> ivfTopK _,
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
     "sim_ivf_multiquery" -> ((s: SparkSession, d: String) => ivfMultiQueryTopK(s, d)),
+    "sim_ann_multiquery" -> ((s: SparkSession, d: String) => annMultiQueryTopK(s, d)),
     "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
@@ -525,6 +554,25 @@ object Similarity {
                FROM sc)
          SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
          ORDER BY q_id, rnk""",
+    "sim_ann_multiquery" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         p AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
+         d AS (SELECT q_id, vec_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM p GROUP BY q_id, vec_id),
+         s AS (SELECT q_id, vec_id,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+               FROM s)
+         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

@@ -57,4 +57,31 @@ class DedupGroupsSpec extends AnyFunSuite {
     // exactly one canonical per group, and it is the min doc_id
     assert(got.filter(_._4).map(g => (g._1, g._2)).toSet == Set((0L, 0L), (20L, 20L)))
   }
+
+  test("canonical-corpus summary: per-lang kept counts reflect the keep-set") {
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different content with no shared shingles at all " +
+      "zebra quartz violin mountain seventeen"
+    // en: the merged group of 5 (3 verbatim + 2 near-dup) -> 1 kept;
+    // de: two distinct unrelated docs -> both kept
+    val docs = Seq(
+      (0L, base, "en"), (1L, base, "en"), (2L, base, "en"),
+      (10L, base.replace("today", "tonight"), "en"),
+      (11L, base.replace("today", "tonight"), "en"),
+      (20L, other, "de"),
+      (21L, "ein ganz anderer text ohne gemeinsame schindeln mit irgendwem " +
+        "sieben acht neun zehn elf zwoelf", "de")
+    ).toDF("doc_id", "text", "lang")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length($"text").cast("long"))
+    val got = Dedup.dedupCorpusSummaryOf(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 2)
+    val byLang = got.map(g => g._1 -> g).toMap
+    assert(byLang("en")._2 == 5L && byLang("en")._3 == 1L,
+      s"en should keep 1 of 5: ${byLang("en")}")
+    assert(byLang("en")._4 == base.length.toLong)
+    assert(byLang("de")._2 == 2L && byLang("de")._3 == 2L,
+      s"de should keep both: ${byLang("de")}")
+  }
 }

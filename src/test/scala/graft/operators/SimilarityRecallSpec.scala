@@ -73,6 +73,39 @@ class SimilarityRecallSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-query: brute force is the exact ground truth; IVF recall is measured against it") {
+    // brute-force multi-query at q_id=0 must agree with the single-query
+    // brute force (same corpus, same tie-break) on the first 5 ranks
+    val single = topIds(annBrute()).take(5)
+    val multi = Similarity.annMultiQueryTopK(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val q0 = multi.filter(_._1 == 0L).sortBy(_._2).map(_._3).toSeq
+    assert(q0 == single, s"q_id=0 multi-query $q0 != single-query brute $single")
+    // every probe answered with exactly k ranks 1..5
+    val byQ = multi.groupBy(_._1)
+    assert(byQ.keySet == (0L until 20L).toSet)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.sortBy(_._2).map(_._2).toSeq == (1 to 5), s"ranks off for q=$q")
+    }
+    // IVF multi-query recall@5 vs the exact answer: bounded below, and
+    // every IVF hit that is a true hit carries the identical cosine
+    val ivf = Similarity.ivfMultiQueryTopK(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val bruteSets = byQ.map { case (q, rows) => q -> rows.map(_._3).toSet }
+    val bruteCosByQ = multi.map(m => (m._1, m._3) -> m._4).toMap
+    val recalls = ivf.groupBy(_._1).map { case (q, rows) =>
+      rows.count(r => bruteSets(q)(r._3)).toDouble / 5.0
+    }
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.3, s"IVF multi-query mean recall@5 $mean collapsed")
+    ivf.foreach { case (q, _, id, c) =>
+      bruteCosByQ.get((q, id)).foreach(bc =>
+        assert(math.abs(bc - c) < 1e-12, s"cos drift for ($q,$id)"))
+    }
+  }
+
   test("sign-LSH planes refine buckets: 6-plane candidate pairs are a subset of 3-plane") {
     import org.apache.spark.sql.functions._
     def pairs(planes: Int): Set[(Long, Long)] = {
