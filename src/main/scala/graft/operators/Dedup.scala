@@ -221,38 +221,58 @@ object Dedup {
     * queries and the multimodal byte-signature near-dup
     * ([[Multimodal.byteNearDupPairs]]).
     *
-    * Pairs are generated BUCKET-LOCALLY (groupBy (band, bkey) →
-    * sort_array → in-array i<j combinations) rather than by a band
-    * self-join: a self-join evaluates the signature subplan ONCE PER
-    * SIDE — for the byte-gram signatures that alone doubled the query —
-    * and pays two exchanges plus a distinct shuffle, where this shape
-    * computes signatures once and shuffles once (the groupBy). The
-    * candidate set is identical (sorted array ⇒ doc_a < doc_b by
-    * construction). Per-bucket work is quadratic in OCCUPANCY, which is
-    * exactly what banding bounds (and exact-dedup-first caps verbatim
-    * cliques — [[dedupPipelinePairs]]); under adversarial skew the
-    * band-join formulation would spread one bucket across tasks, but it
-    * recomputes signatures per side, and a mega-bucket means the band
-    * geometry is undersized — fix k/bits, not the join. */
-  private[operators] def hammingPairsOfSigs(sigs: DataFrame,
-                                            k: Int, bits: Int): DataFrame = {
+    * Two pair-generation shapes, chosen by how expensive the signature
+    * subplan is (both emit the identical candidate set, so the oracle is
+    * shared):
+    *
+    *  - `bucketLocal = false` (default): band self-JOIN. Two exchanges
+    *    plus a distinct shuffle, and the signature subplan evaluates
+    *    once per side — the right trade when signatures are cheap
+    *    (token-level SimHash: ~50 tokens/doc), because the join
+    *    parallelizes candidate scoring across tasks and AQE handles
+    *    bucket skew. Measured at sf1 the k=2 token query runs ~8 s this
+    *    way vs ~12 s bucket-locally (the interpreted combination lambda
+    *    is the overhead).
+    *  - `bucketLocal = true`: groupBy (band, bkey) → sort_array →
+    *    in-array i<j combinations. Signatures compute ONCE and shuffle
+    *    once — the right trade when the signature dominates (byte-gram
+    *    SimHash over payload prefixes: the self-join's per-side
+    *    re-evaluation alone doubled the query; measured 33 s → 2.4 s at
+    *    sf0.1). Per-bucket work is quadratic in occupancy, which is what
+    *    banding bounds; a mega-bucket means the band geometry is
+    *    undersized — fix k/bits, not the shape. */
+  private[operators] def hammingPairsOfSigs(sigs: DataFrame, k: Int, bits: Int,
+                                            bucketLocal: Boolean = false): DataFrame = {
     val bandStructs = hammingBands(bits, k).zipWithIndex.map {
       case ((lo, w), b) =>
         val mask = (1L << w) - 1
         s"struct($b as band, shiftright(simhash, $lo) & ${mask}L as bkey)"
     }.mkString("array(", ", ", ")")
-    sigs
+    val banded = sigs
       .select(col("doc_id"), col("simhash"), explode(expr(bandStructs)).as("e"))
       .select(col("doc_id"), col("simhash"), col("e.band"), col("e.bkey"))
-      .groupBy("band", "bkey")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(ds, (x, i) ->
-             transform(slice(ds, i + 2, size(ds) - i - 1),
-               y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,
-                           x.simhash as sig_a, y.simhash as sig_b))))""")).as("p"))
-      .select("p.*")
+    val cand =
+      if (bucketLocal)
+        banded
+          .groupBy("band", "bkey")
+          .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+          .filter(size(col("ds")) > 1)
+          .select(explode(expr(
+            """flatten(transform(ds, (x, i) ->
+                 transform(slice(ds, i + 2, size(ds) - i - 1),
+                   y -> struct(x.doc_id as doc_a, y.doc_id as doc_b,
+                               x.simhash as sig_a, y.simhash as sig_b))))""")).as("p"))
+          .select("p.*")
+      else {
+        val a = banded.select(col("doc_id").as("doc_a"), col("simhash").as("sig_a"),
+          col("band"), col("bkey"))
+        val b = banded.select(col("doc_id").as("doc_b"), col("simhash").as("sig_b"),
+          col("band"), col("bkey"))
+        a.join(b, Seq("band", "bkey"))
+          .filter(col("doc_a") < col("doc_b"))
+          .select("doc_a", "doc_b", "sig_a", "sig_b")
+      }
+    cand
       .distinct()
       .withColumn("hamming", expr("cast(bit_count(sig_a ^ sig_b) as bigint)"))
       .filter(col("hamming") <= k)

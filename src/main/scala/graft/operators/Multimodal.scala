@@ -180,7 +180,7 @@ object Multimodal {
     * gets the same near-dup query as every other modality: a JPEG and a
     * few-bytes-perturbed copy of itself land within hamming ≤ k. */
   def byteNearDupPairsOf(bin: DataFrame, k: Int = 3, bits: Int = 60): DataFrame =
-    Dedup.hammingPairsOfSigs(byteSimhash(bin, bits), k, bits)
+    Dedup.hammingPairsOfSigs(byteSimhash(bin, bits), k, bits, bucketLocal = true)
 
   /** [[byteNearDupPairsOf]] over the binaryized documents payloads. */
   def byteNearDupPairs(spark: SparkSession, dir: String): DataFrame =
