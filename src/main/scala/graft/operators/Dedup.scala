@@ -339,7 +339,14 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
-    var labels = nodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    // Iterate ONLY over nodes that appear in a pair: every other node is
+    // a singleton by construction (its label can never change), so it
+    // joins back at the end. At corpus scale this is the difference
+    // between iterating over every representative and iterating over the
+    // (tiny) near-dup graph — the loop's joins shrink from O(corpus) to
+    // O(pairs) rows per round.
+    val pairNodes = edges.select(col("src").as("node")).distinct()
+    var labels = pairNodes.select(col("node"), col("node").as("label")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -348,10 +355,13 @@ object Dedup {
       val propagated = labels.select("node", "label").union(neighborMin)
         .groupBy("node").agg(min(col("label")).as("label"))
       val jump = propagated.select(col("node").as("jn"), col("label").as("jl"))
+      // lazy checkpoint: the changed-count job below materializes it, so
+      // each round runs ONE job instead of an eager-checkpoint job + the
+      // count job (lineage is still truncated for the next round)
       val next = propagated.join(jump, propagated("label") === jump("jn"), "left")
         .select(propagated("node"),
           coalesce(col("jl"), propagated("label")).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val changed = next
         .join(labels.select(col("node"), col("label").as("prev")), "node")
         .filter(col("label") =!= col("prev")).limit(1).count()
@@ -361,7 +371,9 @@ object Dedup {
     }
     edges.unpersist()
     require(converged, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("node"), col("label").as("group_id"))
+    // singletons (nodes with no pair) keep their own id as the group id
+    nodes.join(labels, Seq("node"), "left")
+      .select(col("node"), coalesce(col("label"), col("node")).as("group_id"))
   }
 
   /** Corpus dedup GROUPS: the full pairs → components → keep-set
