@@ -34,6 +34,15 @@ object Bucketing {
       .option("path", path)
       .saveAsTable(name)
 
+  /** Write `df` hive-partitioned by `cols` (one directory per value) —
+    * the layout move for low-cardinality predicate columns: a reader
+    * filtering on them scans only the matching directories (partition
+    * pruning — `PartitionFilters` in the scan, zero I/O for the rest).
+    * Complements bucketing: partition by what you FILTER on, bucket by
+    * what you JOIN on. */
+  def writePartitioned(df: DataFrame, path: String, cols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(cols: _*).parquet(path)
+
   /** Per-order revenue over two tables pre-bucketed on the order key:
     * join AND aggregation run with ZERO exchanges — the scan's bucketing
     * satisfies both distribution requirements. `ordersTable` /

@@ -45,4 +45,19 @@ class BucketingSpec extends AnyFunSuite {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("partitioned layout: a lang filter prunes to its partition directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-partitioned").toString
+    val docs = Tables.documents(spark, dir)
+    Bucketing.writePartitioned(docs, s"$tmp/docs", Seq("lang"))
+    val en = spark.read.parquet(s"$tmp/docs").filter(col("lang") === "en")
+    en.collect()
+    val plan = en.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert("PartitionFilters: \\[.*\\(lang#\\d+ = en\\)".r.findFirstIn(plan).isDefined,
+      s"lang filter not pruned to partitions:\n${plan.take(2000)}")
+    // pruning is real: only the lang=en directory is read
+    val expectEn = docs.filter(col("lang") === "en").count()
+    assert(en.count() == expectEn)
+    assert(expectEn > 0)
+  }
 }
