@@ -113,6 +113,50 @@ object TextAnalysis {
       .orderBy("lang")
   }
 
+  /** The FULL corpus-preparation pipeline composed end-to-end — the
+    * C4-style recipe a training-data run actually executes, each stage
+    * one of the already-gated operators:
+    *
+    *   quality gate (token count + stopword ratio)
+    *     → NEAR-dedup keep-set over survivors (exact groups → LSH pairs
+    *       → connected components → canonical docs,
+    *       [[graft.operators.Dedup.dedupGroupsOf]])
+    *     → deterministic train/val/test split on the canonical docs
+    *     → per (lang, split) corpus accounting.
+    *
+    * Unlike [[cleanCorpus]] (exact dedup only), the dedup stage here is
+    * the transitive-closure keep-set, so near-duplicate survivors of the
+    * quality gate collapse to one training document. Output is grouped
+    * accounting — the doc-level keep-set never leaves the cluster. */
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
+    corpusPipelineOf(Tables.documents(spark, dir))
+
+  /** [[corpusPipeline]] over any (doc_id, text, lang) frame (spec entry
+    * point). */
+  def corpusPipelineOf(docs: DataFrame): DataFrame = {
+    val q = docs
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("stop_ratio",
+        size(expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and'))"))
+          .cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= 10 && col("stop_ratio") <= 0.4)
+    val canonical = graft.operators.Dedup
+      .dedupGroupsOf(q.select("doc_id", "text"))
+      .filter(col("is_canonical"))
+      .select("doc_id")
+    q.join(canonical, "doc_id")
+      .withColumn("bucket", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("n_tokens_total"))
+      .orderBy("lang", "split")
+  }
+
   /** PII scrubbing as a corpus operator — the standard training-data
     * cleaning step: redact emails then phone numbers from every document,
     * reusing the reference's extraction regexes
@@ -152,6 +196,7 @@ object TextAnalysis {
         sum(col("n_phones").cast("long")).as("n_phones_total"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
     "ta_pii_scrub_summary" -> piiScrubSummary _,
     "ta_split_assign" -> splitAssign _,
@@ -186,6 +231,30 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the quality CTE `q` feeds the shared dedup-groups fragment; the
+    // final accounting runs over canonical survivors only
+    "ta_corpus_pipeline" ->
+      s"""WITH RECURSIVE q AS (
+           SELECT doc_id, text, lang,
+             len(string_split(text, ' ')) AS n_tokens
+           FROM documents
+           WHERE len(string_split(text, ' ')) >= 10
+             AND CAST(len(list_filter(string_split(lower(text), ' '),
+                          t -> t IN ('the','a','and'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) <= 0.4),
+         ${graft.operators.Dedup.dedupGroupsCtesFrom("q")},
+         keep AS (SELECT doc_id FROM g WHERE doc_id = group_id),
+         b AS (
+           SELECT q.lang, q.n_tokens,
+             list_reduce([strpos('0123456789abcdef', c) - 1
+                          FOR c IN string_split(substr(md5(CAST(q.doc_id AS VARCHAR)), 1, 8), '')],
+                         (a, v) -> a * 16 + v) % 100 AS bucket
+           FROM q JOIN keep ON q.doc_id = keep.doc_id)
+         SELECT lang,
+           CASE WHEN bucket < 90 THEN 'train'
+                WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+           count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total
+         FROM b GROUP BY 1, 2 ORDER BY lang, split""",
     "ta_pii_scrub" ->
       s"""WITH $piiScrubOracleCte
          SELECT doc_id, scrubbed, n_emails, n_phones FROM sc ORDER BY doc_id""",

@@ -474,13 +474,15 @@ object Dedup {
            UNION ALL
            SELECT doc_id, 3, CAST(mh6 AS VARCHAR) || '_' || CAST(mh7 AS VARCHAR) FROM sig)"""
 
-  // Shared oracle fragment for the dedup-groups family: exact-group
-  // representatives → LSH candidate pairs → recursive-CTE connected
-  // components → g(doc_id, group_id) for every original document.
-  private lazy val dedupGroupsCtes: String =
-    s"""WITH RECURSIVE reps AS (
+  /** Shared oracle fragment for the dedup-groups family: exact-group
+    * representatives → LSH candidate pairs → recursive-CTE connected
+    * components → g(doc_id, group_id) for every row of `src` (any
+    * relation with doc_id + text). Callers prepend `WITH RECURSIVE`
+    * (and any CTEs defining `src`). */
+  private[graft] def dedupGroupsCtesFrom(src: String): String =
+    s"""reps AS (
            SELECT min(doc_id) AS doc_id, min(text) AS text
-           FROM documents GROUP BY md5(text)),
+           FROM $src GROUP BY md5(text)),
          ${shingleCteFrom("reps")},
          $minhashBandCtes,
          pairs AS (
@@ -496,8 +498,11 @@ object Dedup {
            FROM walk w JOIN edges e ON w.node = e.src),
          comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
          m AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
-               FROM documents),
+               FROM $src),
          g AS (SELECT m.doc_id, c.group_id FROM m JOIN comp c ON m.rep = c.node)"""
+
+  private lazy val dedupGroupsCtes: String =
+    s"WITH RECURSIVE ${dedupGroupsCtesFrom("documents")}"
 
   val oracles: Map[String, String] = Map(
     "dd_exact_summary" ->

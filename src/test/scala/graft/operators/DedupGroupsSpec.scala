@@ -58,6 +58,33 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(got.filter(_._4).map(g => (g._1, g._2)).toSet == Set((0L, 0L), (20L, 20L)))
   }
 
+  test("random graphs: components match a reference union-find (20 trials)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 20) {
+      val n = 2 + rnd.nextInt(40)
+      val nodes = (0L until n.toLong)
+      val nPairs = rnd.nextInt(n * 2)
+      val pairs = Seq.fill(nPairs) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // reference: driver-side union-find with path compression
+      val parent = scala.collection.mutable.ArrayBuffer.tabulate(n)(identity)
+      def find(x: Int): Int = { if (parent(x) != x) parent(x) = find(parent(x)); parent(x) }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // canonical form: min node id per component
+      val want = nodes.map(i => i -> {
+        val root = find(i.toInt)
+        nodes.filter(j => find(j.toInt) == root).min
+      }).toMap
+      val got = components(nodes, pairs)
+      assert(got == want, s"trial $trial (n=$n, pairs=$pairs)")
+    }
+  }
+
   test("canonical-corpus summary: per-lang kept counts reflect the keep-set") {
     val base =
       "the quick brown fox jumps over the lazy dog near the river bank today"
