@@ -387,7 +387,10 @@ object Dedup {
     * dedup (analyze_insta_enhanced.py:1283,1316-1376) at corpus scale. */
   def dedupGroupsOf(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val reps = repsOf(docs)
+    // reps feeds three consumers (the LSH pair graph, the component node
+    // set, and the per-doc rep join) — persist so the exact-group
+    // aggregation runs once, not three times
+    val reps = repsOf(docs).persist()
     val pairs = lshPairsOf(reps.select("doc_id", "text"))
     val comp = connectedComponents(reps.select(col("doc_id").as("node")), pairs)
     val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
