@@ -124,6 +124,55 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** INCREMENTAL ingest dedup — the daily-batch shape: a new batch is
+    * admitted against an EXISTING corpus without re-pairing the corpus
+    * with itself. Two stages, mirroring [[dedupPipelinePairs]]:
+    *
+    *  1. exact: anti-join the batch's content hashes against the
+    *     corpus's (one shuffle on the md5 — at scale the corpus side is
+    *     a bucketed hash index, so this is a co-located join);
+    *  2. near: band the exact survivors and equi-join their (band,
+    *     bucket) keys against the CORPUS bands only — batch×corpus
+    *     candidates, never corpus×corpus (the corpus bands are computed
+    *     once per ingest and at scale live as a materialized band table,
+    *     appended per batch).
+    *
+    * Every new doc gets a verdict: 'dup_exact' (verbatim copy of a
+    * corpus doc), 'dup_near' (shares an LSH bucket with one), or
+    * 'accept'. Output is per-verdict accounting plus min/max doc_id so
+    * the gate pins membership, not just counts. The batch here is the
+    * deterministic doc_id % 10 = 0 slice standing in for today's crawl. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    incrementalDedupOf(
+      docs.filter(col("doc_id") % 10 === 0),
+      docs.filter(col("doc_id") % 10 =!= 0))
+  }
+
+  /** [[incrementalDedup]] over explicit batch/corpus frames (spec entry
+    * point). */
+  def incrementalDedupOf(batch: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("h")).distinct()
+    val exactSurvivors = batch.withColumn("h", md5(col("text")))
+      .join(corpusHashes, Seq("h"), "left_anti")
+    val batchBands = minhashBandsOf(exactSurvivors.select("doc_id", "text"))
+    val corpusBands = minhashBandsOf(corpus.select("doc_id", "text"))
+      .select(col("band"), col("bucket")).distinct()
+    val nearDups = batchBands.join(corpusBands, Seq("band", "bucket"))
+      .select("doc_id").distinct()
+    val verdicts = batch.select("doc_id")
+      .join(exactSurvivors.select(col("doc_id"), lit(true).as("survived")), Seq("doc_id"), "left")
+      .join(nearDups.select(col("doc_id"), lit(true).as("near")), Seq("doc_id"), "left")
+      .withColumn("verdict",
+        when(col("survived").isNull, lit("dup_exact"))
+          .when(col("near").isNotNull, lit("dup_near"))
+          .otherwise(lit("accept")))
+    verdicts.groupBy("verdict")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy("verdict")
+  }
+
   /** 16-bit SimHash per document from distinct tokens: token hash = first
     * 4 hex digits of md5; bit b of the signature is the sign of the
     * ±1 vote sum across tokens.
@@ -433,6 +482,7 @@ object Dedup {
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_dedup_groups"        -> dedupGroups _,
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
+    "dd_incremental"         -> incrementalDedup _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
@@ -564,6 +614,28 @@ object Dedup {
              AS chars_kept
          FROM g JOIN documents d ON g.doc_id = d.doc_id
          GROUP BY d.lang ORDER BY lang""",
+    // one shared bands CTE over ALL docs, sliced by side — batch bands
+    // join corpus bands only (batch×corpus, never corpus×corpus)
+    "dd_incremental" ->
+      s"""WITH $shingleCte,
+         $minhashBandCtes,
+         ch AS (SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 10 <> 0),
+         surv AS (SELECT d.doc_id FROM documents d LEFT JOIN ch ON md5(d.text) = ch.h
+                  WHERE d.doc_id % 10 = 0 AND ch.h IS NULL),
+         near AS (SELECT DISTINCT s.doc_id
+                  FROM bands bb JOIN surv s ON bb.doc_id = s.doc_id
+                  JOIN (SELECT DISTINCT band, bucket FROM bands WHERE doc_id % 10 <> 0) cb
+                    ON bb.band = cb.band AND bb.bucket = cb.bucket),
+         v AS (SELECT d.doc_id,
+                 CASE WHEN s.doc_id IS NULL THEN 'dup_exact'
+                      WHEN n.doc_id IS NOT NULL THEN 'dup_near'
+                      ELSE 'accept' END AS verdict
+               FROM documents d LEFT JOIN surv s ON d.doc_id = s.doc_id
+               LEFT JOIN near n ON d.doc_id = n.doc_id
+               WHERE d.doc_id % 10 = 0)
+         SELECT verdict, count(*) AS n_docs,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM v GROUP BY verdict ORDER BY verdict""",
     "dd_simhash16" ->
       """WITH toks AS (
            SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS tok
