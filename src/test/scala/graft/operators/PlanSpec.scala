@@ -204,4 +204,32 @@ class PlanSpec extends AnyFunSuite {
     val plan = planOf(graft.ig.Report.assemble(profiles, posts, graft.ig.IgClock.golden))
     assert(!plan.contains("CartesianProduct"), "unexpected cartesian product in report DAG")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true in the final plan)") {
+    import org.apache.spark.sql.functions._
+    // one hot key carrying ~200k rows vs 31 cold keys of 10 — the shape
+    // salting (Skew.saltedSum) handles for aggregations; for JOINS the
+    // engine-level answer is AQE's skew split, which this pins down
+    val saves = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+    ).map { case (k, v) =>
+      val prev = spark.conf.getOption(k); spark.conf.set(k, v); k -> prev
+    }
+    try {
+      val left = spark.range(200000).select(lit(0L).as("k"), col("id"))
+        .union(spark.range(310).select((col("id") % 31 + 1).as("k"), col("id")))
+      val right = spark.range(32).select(col("id").as("k"), (col("id") * 7).as("rv"))
+      val joined = left.join(right, "k")
+      // execute THIS query (count() would plan its own) so AQE finalizes
+      assert(joined.collect().length == 200000 + 310)
+      val plan = joined.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed partition:\n${plan.take(3000)}")
+    } finally saves.foreach { case (k, prev) =>
+      prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
 }
