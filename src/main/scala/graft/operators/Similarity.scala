@@ -112,14 +112,23 @@ object Similarity {
     * parquet; the bucket key is the sign-bit string of the first b
     * components so the DuckDB oracle can size itself from its own
     * count. */
-  def lshNearDupAuto(spark: SparkSession, dir: String, targetBucket: Long = 64L): DataFrame = {
+  /** Embeddings with an auto-sized sign-bit bucket column: b planes from
+    * the parquet footer row count ([[autoPlanes]]), bucket = the sign-bit
+    * string of the first b components. Shared by [[lshNearDupAuto]] and
+    * [[embeddingDedupGroups]]. */
+  private def autoBucketed(spark: SparkSession, dir: String,
+                           targetBucket: Long = 64L): DataFrame = {
     val e = Tables.embeddings(spark, dir)
     val n = Tables.footerRowCount(spark, dir, "embeddings").getOrElse(e.count())
     val planes = autoPlanes(n, targetBucket)
     val bucketExpr = (1 to planes)
       .map(i => s"CASE WHEN element_at(embedding, $i) >= 0 THEN '1' ELSE '0' END")
       .mkString("concat(", ", ", ")")
-    val b = e.withColumn("bucket", expr(bucketExpr))
+    e.withColumn("bucket", expr(bucketExpr))
+  }
+
+  def lshNearDupAuto(spark: SparkSession, dir: String, targetBucket: Long = 64L): DataFrame = {
+    val b = autoBucketed(spark, dir, targetBucket)
     val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
     val c = b.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
     val scored = a.join(c, Seq("bucket"))
@@ -325,6 +334,38 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** Embedding near-dup GROUPS — the vector-modality mirror of
+    * [[Dedup.dedupGroupsOf]]: auto-sized sign-LSH bucket join →
+    * cosine ≥ threshold pairs → connected components → keep-set
+    * (vec_id, group_id, group_size, is_canonical). Pairs only form
+    * inside a bucket (shuffle-bounded); the transitive closure collapses
+    * chains (a≈b, b≈c) into one group so downstream keeps exactly one
+    * vector per near-dup clique. The threshold is the caller's
+    * similarity contract; the synthetic corpus has no true duplicates,
+    * so the default exercises the machinery over moderate-similarity
+    * pairs. */
+  def embeddingDedupGroups(spark: SparkSession, dir: String,
+                           threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val b = autoBucketed(spark, dir)
+    val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+    val c = b.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+    val pairs = a.join(c, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        quantDot(col("ea"), col("eb")).cast("double")
+          / (sqrt(quantNormSq(col("ea")).cast("double"))
+            * sqrt(quantNormSq(col("eb")).cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node"))
+    Dedup.connectedComponents(nodes, pairs)
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
+      .withColumn("is_canonical", col("node") === col("group_id"))
+      .select(col("node").as("vec_id"), col("group_id"), col("group_size"), col("is_canonical"))
+      .orderBy("vec_id")
+  }
+
   /** Batch multi-query EXACT top-k — the brute-force ground truth the
     * IVF variant ([[ivfMultiQueryTopK]]) trades recall against, at the
     * same probe-table shape: the query set broadcasts, the data side is
@@ -385,6 +426,7 @@ object Similarity {
     "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
+    "sim_dedup_groups"   -> ((s: SparkSession, d: String) => embeddingDedupGroups(s, d)),
   )
 
   /** DuckDB oracle for [[lshNearDupAuto]]: the plane count comes from the
@@ -418,6 +460,49 @@ object Similarity {
          r AS (SELECT bucket, id_a, id_b, cos,
                  row_number() OVER (ORDER BY cos DESC, id_a ASC, id_b ASC) AS rnk FROM s)
          SELECT rnk, bucket, id_a, id_b, cos FROM r WHERE rnk <= 20 ORDER BY rnk"""
+  }
+
+  /** DuckDB oracle for [[embeddingDedupGroups]]: the auto-bucket +
+    * quantized-cosine pair predicate feeding a recursive-CTE transitive
+    * closure — the same walk shape as the document dedup-groups oracle. */
+  private def embeddingGroupsOracle(threshold: Double = 0.4,
+                                    targetBucket: Long = 64L): String = {
+    val caseB = (3 until 20)
+      .map(b => s"WHEN n <= ${targetBucket << b} THEN $b")
+      .mkString("CASE ", " ", " ELSE 20 END")
+    s"""WITH RECURSIVE params AS (SELECT $caseB AS b FROM (SELECT count(*) AS n FROM embeddings)),
+         bk AS (SELECT vec_id, embedding,
+                 list_aggregate(list_transform(range(1, (SELECT b FROM params) + 1),
+                   i -> CASE WHEN embedding[i] >= 0 THEN '1' ELSE '0' END),
+                   'string_agg', '') AS bucket
+               FROM embeddings),
+         pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                  unnest(a.embedding) AS x, unnest(b.embedding) AS y
+                FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+         d AS (SELECT id_a, id_b,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM pr GROUP BY id_a, id_b),
+         p AS (SELECT id_a, id_b FROM d
+               WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                     >= $threshold),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM p
+                   UNION ALL SELECT id_b, id_a FROM p),
+         walk AS (
+           SELECT vec_id AS node, vec_id AS label FROM embeddings
+           UNION
+           SELECT e.dst AS node, w.label AS label
+           FROM walk w JOIN edges e ON w.node = e.src),
+         comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+         sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+         SELECT c.node AS vec_id, c.group_id, s.group_size,
+                c.node = c.group_id AS is_canonical
+         FROM comp c JOIN sizes s ON c.group_id = s.group_id
+         ORDER BY vec_id"""
   }
 
   /** DuckDB oracle for [[lshNearDup]] at any plane count — generated from
@@ -594,6 +679,7 @@ object Similarity {
     "sim_lsh_neardup" -> lshOracle(3),
     "sim_lsh_neardup6" -> lshOracle(6),
     "sim_lsh_neardup_auto" -> lshAutoOracle(),
+    "sim_dedup_groups" -> embeddingGroupsOracle(),
     "sim_neardup_pairs" ->
       """WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
          pr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,

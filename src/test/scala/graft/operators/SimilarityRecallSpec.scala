@@ -125,6 +125,20 @@ class SimilarityRecallSpec extends AnyFunSuite {
       s"more planes should prune candidates (3-plane ${p3.size}, 6-plane ${p6.size})")
   }
 
+  test("embedding dedup groups: keep-set invariants hold") {
+    val rows = Similarity.embeddingDedupGroups(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    val n = graft.sources.Tables.embeddings(spark, dir).count()
+    assert(rows.length == n, "every vector gets a group row")
+    val byGroup = rows.groupBy(_._2)
+    byGroup.foreach { case (gid, members) =>
+      assert(members.map(_._1).min == gid, s"group id $gid is not the min member")
+      assert(members.count(_._4) == 1 && members.find(_._4).get._1 == gid,
+        s"group $gid canonical off")
+      assert(members.forall(_._3 == members.length), s"group $gid size column off")
+    }
+  }
+
   test("autoPlanes follows the exact integer thresholds b = ceil(log2(n/64)), floor 3") {
     assert(Similarity.autoPlanes(1) == 3)
     assert(Similarity.autoPlanes(512) == 3)   // 64·2^3 = 512 inclusive
