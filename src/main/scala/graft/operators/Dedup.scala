@@ -36,7 +36,7 @@ object Dedup {
 
   /** (band, bucket) rows for any (doc_id, text) frame — the map-side
     * MinHash signature + 4×2 banding shared by the LSH queries. */
-  private def minhashBandsOf(docs: DataFrame): DataFrame = {
+  private[graft] def minhashBandsOf(docs: DataFrame): DataFrame = {
     val sig = withShingles(docs)
       .withColumn("mh", graft.functions.MinHash.minhashSig(col("shingles")))
     sig.select(col("doc_id"), expr(

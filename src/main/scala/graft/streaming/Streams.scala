@@ -169,6 +169,64 @@ object Streams {
       .dropDuplicates("sig")
       .drop("toks", "shingles")
 
+  /** Streaming INCREMENTAL ingest dedup against a static corpus — the
+    * streaming mirror of [[graft.operators.Dedup.incrementalDedup]]:
+    * every arriving doc gets a verdict without the corpus ever being
+    * re-paired with itself.
+    *
+    *  - 'dup_exact': the doc's md5 exists in the corpus hash set
+    *    (stream-static LEFT join against the distinct corpus hashes —
+    *    the static side broadcasts or bucket-joins; re-planned per
+    *    micro-batch so a refreshed corpus snapshot is picked up);
+    *  - 'dup_near': any of the doc's MinHash LSH bands hits a corpus
+    *    band bucket (stream-static join against the distinct corpus
+    *    (band, bucket) table, then max over the doc's 4 bands — at
+    *    scale this is the materialized band index the batch operator
+    *    documents);
+    *  - 'accept' otherwise.
+    *
+    * Docs with < 3 tokens carry no bands and can only be exact-dups or
+    * accepts, matching the batch semantics. Pure stream-static joins +
+    * a grouped max — no stream state beyond the shuffle, so this
+    * composes freely with the stateful in-stream dedup
+    * ([[exactThenMinhashDedup]]) upstream of it. */
+  def incrementalDedupStream(docs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("h"))
+      .distinct().withColumn("is_exact", lit(true))
+    val corpusBands = graft.operators.Dedup
+      .minhashBandsOf(corpus.select("doc_id", "text"))
+      .select(col("band"), col("bucket")).distinct()
+    // per-row band buckets, null-guarded so short docs (no shingles)
+    // survive with null buckets (a null key matches nothing in a left
+    // join — they can only be exact-dups or accepts, as in batch)
+    var enriched = docs
+      .withColumn("toks_", split(lower(col("text")), " "))
+      .withColumn("shingles_", when(size(col("toks_")) >= 3, array_distinct(expr(
+        "transform(sequence(1, size(toks_) - 2), i -> concat_ws(' ', toks_[i-1], toks_[i], toks_[i+1]))"))))
+      .withColumn("mh_", when(col("shingles_").isNotNull,
+        graft.functions.MinHash.minhashSig(col("shingles_"))))
+      .withColumn("h", md5(col("text")))
+      .join(corpusHashes, Seq("h"), "left")
+    // one stateless stream-static left join per band (an aggregation or
+    // dropDuplicates back over the stream would be stateful)
+    for (b <- 0 to 3) {
+      val bucketCol = s"bucket${b}_"
+      enriched = enriched
+        .withColumn(bucketCol, when(col("mh_").isNotNull,
+          expr(s"concat(cast(mh_[${2 * b}] as string), '_', cast(mh_[${2 * b + 1}] as string))")))
+        .join(corpusBands.filter(col("band") === b)
+            .select(col("bucket").as(bucketCol), lit(true).as(s"hit${b}_")),
+          Seq(bucketCol), "left")
+    }
+    enriched
+      .withColumn("verdict",
+        when(col("is_exact").isNotNull, lit("dup_exact"))
+          .when(coalesce(col("hit0_"), col("hit1_"), col("hit2_"), col("hit3_")) === true,
+            lit("dup_near"))
+          .otherwise(lit("accept")))
+      .select(docs.columns.map(col) :+ col("verdict"): _*)
+  }
+
   // ------------------------------------------------------- sessionize
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

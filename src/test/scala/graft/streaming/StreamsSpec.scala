@@ -75,6 +75,33 @@ class StreamsSpec extends AnyFunSuite {
     assert(mhRows <= 3, s"minhash state grew past distinct texts: $mhRows")
   }
 
+  test("incrementalDedupStream verdicts arriving docs against a static corpus, statelessly") {
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val other = "completely different content with no shared shingles at all " +
+      "zebra quartz violin mountain seventeen"
+    val corpus = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ingest_ts")
+    val q = Streams.incrementalDedupStream(docs, corpus).writeStream
+      .format("memory").queryName("incr_out").outputMode(OutputMode.Append()).start()
+    in.addData(
+      (100L, base, ts(0)),                           // verbatim corpus copy
+      (101L, other.replace("zebra", "yak"), ts(1)),  // near-dup of corpus doc 2
+      (102L, "ein ganz anderer text ohne gemeinsame schindeln mit irgendwem " +
+        "sieben acht neun zehn elf zwoelf", ts(2)),  // fresh
+      (103L, "tiny doc", ts(3)))                     // short: no bands -> accept
+    q.processAllAvailable()
+    val verdicts = spark.table("incr_out").select("doc_id", "verdict")
+      .as[(Long, String)].collect().toMap
+    // stateless: no state operators at all — every verdict is a
+    // stream-static join, so restart/redelivery cannot corrupt state
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    q.stop()
+    assert(verdicts == Map(100L -> "dup_exact", 101L -> "dup_near",
+      102L -> "accept", 103L -> "accept"), s"verdicts: $verdicts")
+    assert(ops.isEmpty, s"expected a stateless query, got: ${ops.map(_.operatorName).toSeq}")
+  }
+
   test("pageMergeDedupWithin dedups inside the watermark window") {
     val in = MemoryStream[(String, Long, java.sql.Timestamp)]
     val posts = in.toDF().toDF("creator_key", "id", "ingest_ts")
