@@ -30,11 +30,15 @@ object PinnedBaselines {
   def skipReason(spark: SparkSession, sfDir: String, name: String): Option[String] =
     designSize.get(name).flatMap { case (table, bound) =>
       val n = countCache.getOrElseUpdate((sfDir, table), {
-        val t = table match {
-          case "documents"  => graft.sources.Tables.documents(spark, sfDir)
-          case "embeddings" => graft.sources.Tables.embeddings(spark, sfDir)
+        // footer metadata first (zero scan, zero jobs) — the same
+        // table-stats path the auto-sizing operators use
+        graft.sources.Tables.footerRowCount(spark, sfDir, table).getOrElse {
+          val t = table match {
+            case "documents"  => graft.sources.Tables.documents(spark, sfDir)
+            case "embeddings" => graft.sources.Tables.embeddings(spark, sfDir)
+          }
+          t.count()
         }
-        t.count()
       })
       if (n > bound)
         Some(s"$name: pinned-geometry oracle baseline sized for <=$bound " +
