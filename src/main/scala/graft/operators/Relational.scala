@@ -268,7 +268,26 @@ object Relational {
       .orderBy("event_id")
   }
 
+  private val allTables = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Catalog table stats: row count per table read from parquet FOOTER
+    * metadata (`Tables.footerRowCount` — zero data scan, zero jobs),
+    * with a count() fallback for non-parquet layouts. Hash-gating this
+    * against DuckDB's count(*) per table is what certifies the
+    * footer-stats path every self-sizing operator and size-guard relies
+    * on ([[Similarity.lshNearDupAuto]], `graft.PinnedBaselines`). */
+  def tableStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    allTables.map { t =>
+      val n = Tables.footerRowCount(spark, dir, t)
+        .getOrElse(Tables.table(spark, dir, t).count())
+      (t, n)
+    }.toDF("table_name", "n_rows").orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_table_stats"         -> tableStats _,
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_asof_join_native"    -> asOfJoinNative _,
     "rel_semi_join"            -> semiJoinBigItems _,
@@ -302,6 +321,9 @@ object Relational {
        ORDER BY event_id"""
 
   val oracles: Map[String, String] = Map(
+    "rel_table_stats" -> allTables.sorted
+      .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
+      .mkString("", "\n         UNION ALL\n         ", "\n         ORDER BY table_name"),
     "rel_asof_join" -> asofOracleSql,
     // identical semantics through the native AsOfJoinExec operator
     "rel_asof_join_native" -> asofOracleSql,
