@@ -394,6 +394,24 @@ object Similarity {
       .orderBy("q_id", "rnk")
   }
 
+  /** The ANN RECALL CONTRACT as a gated query: mean recall@k of the IVF
+    * multi-query search against the brute-force exact answer over the
+    * same probe table — the number an ANN deployment actually monitors.
+    * mean_recall is one exact-integer division (hits / (queries·k)), so
+    * both engines compute the identical double. */
+  def ivfMultiQueryRecall(spark: SparkSession, dir: String,
+                          probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val ivf = ivfMultiQueryTopK(spark, dir, probeBound, k).select("q_id", "vec_id")
+    val brute = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    ivf.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+      .agg(count(lit(1)).as("n_hits_total"))
+      .select(
+        lit(probeBound).cast("long").as("n_queries"),
+        col("n_hits_total"),
+        (col("n_hits_total").cast("double") / (probeBound * k)).as("mean_recall"))
+  }
+
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
     * product — only vectors sharing the `planes`-bit sign bucket are ever
     * paired (the [[minhashStyleBuckets]] building block, oracle-gated at
@@ -427,6 +445,7 @@ object Similarity {
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
     "sim_dedup_groups"   -> ((s: SparkSession, d: String) => embeddingDedupGroups(s, d)),
+    "sim_ivf_recall"     -> ((s: SparkSession, d: String) => ivfMultiQueryRecall(s, d)),
   )
 
   /** DuckDB oracle for [[lshNearDupAuto]]: the plane count comes from the
@@ -600,21 +619,9 @@ object Similarity {
                  row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS rnk FROM s)
          SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk"""
 
-  val oracles: Map[String, String] = Map(
-    "sim_ivf_topk" ->
-      s"""${ivfFitCtes()}
-         qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),
-         cand AS (SELECT a.vec_id, a.cell FROM assigned a, qcell
-                  WHERE a.cell = qcell.cell AND a.vec_id <> 0),
-         $ivfScoreSuffix""",
-    "sim_ivf_probe2" ->
-      s"""${ivfFitCtes()}
-         qcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
-         cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
-                  ON a.cell = q.cell WHERE a.vec_id <> 0),
-         $ivfScoreSuffix""",
-    "sim_ivf_multiquery" ->
-      s"""${ivfFitCtes()}
+  // full-statement oracles reused as CTE subqueries by the recall oracle
+  private lazy val ivfMultiOracle: String =
+    s"""${ivfFitCtes()}
          qs AS (SELECT vec_id AS q_id, cell AS qcell FROM assigned WHERE vec_id < 20),
          cand AS (SELECT q.q_id, a.vec_id FROM assigned a
                   JOIN qs q ON a.cell = q.qcell AND a.vec_id <> q.q_id),
@@ -638,9 +645,10 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
                FROM sc)
          SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
-         ORDER BY q_id, rnk""",
-    "sim_ann_multiquery" ->
-      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
+         ORDER BY q_id, rnk"""
+
+  private lazy val annMultiOracle: String =
+    """WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
          p AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
                FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
          d AS (SELECT q_id, vec_id,
@@ -657,7 +665,30 @@ object Similarity {
          r AS (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
                FROM s)
-         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""",
+         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  val oracles: Map[String, String] = Map(
+    "sim_ivf_topk" ->
+      s"""${ivfFitCtes()}
+         qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),
+         cand AS (SELECT a.vec_id, a.cell FROM assigned a, qcell
+                  WHERE a.cell = qcell.cell AND a.vec_id <> 0),
+         $ivfScoreSuffix""",
+    "sim_ivf_probe2" ->
+      s"""${ivfFitCtes()}
+         qcells AS (SELECT cell FROM ranked WHERE vec_id = 0 AND rn <= 2),
+         cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
+                  ON a.cell = q.cell WHERE a.vec_id <> 0),
+         $ivfScoreSuffix""",
+    "sim_ivf_multiquery" -> ivfMultiOracle,
+    "sim_ann_multiquery" -> annMultiOracle,
+    "sim_ivf_recall" -> s"""WITH ivf AS ($ivfMultiOracle),
+         brute AS ($annMultiOracle),
+         h AS (SELECT count(*) AS n_hits FROM ivf i
+               JOIN brute b ON i.q_id = b.q_id AND i.vec_id = b.vec_id)
+         SELECT CAST(20 AS BIGINT) AS n_queries,
+                (SELECT n_hits FROM h) AS n_hits_total,
+                CAST((SELECT n_hits FROM h) AS DOUBLE) / 100.0 AS mean_recall""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y
