@@ -55,9 +55,15 @@ object MmProbe {
     {
       import spark.implicits._
       import java.nio.file.{Files, Paths}
-      val users = new java.io.File("/root/reference").listFiles()
+      val users = Option(new java.io.File("/root/reference").listFiles())
+        .getOrElse(Array.empty)
         .filter(d => d.isDirectory && new java.io.File(d, s"${d.getName}.jpg").exists())
         .map(_.getName).sorted.take(3)
+      if (users.length < 2) {
+        println("JPEG probe skipped: need >=2 creator dirs with JPEGs under /root/reference")
+        spark.stop()
+        return
+      }
       val orig = Files.readAllBytes(Paths.get(s"/root/reference/${users(0)}/${users(0)}.jpg"))
       val other = Files.readAllBytes(Paths.get(s"/root/reference/${users(1)}/${users(1)}.jpg"))
       val perturbed = orig.clone()

@@ -23,7 +23,9 @@ object PinnedBaselines {
     "sim_lsh_neardup6"   -> (("embeddings", 4096L)), // 6 planes = 64 buckets × 64/bucket
     "dd_simhash_hamming" -> (("documents", 8192L)))  // 16-bit sig, 8-bit bands
 
-  private val countCache = scala.collection.mutable.Map.empty[(String, String), Long]
+  // TrieMap: bench/scale runners are single-threaded today, but the
+  // guard is library-surface — lock-free thread safety costs nothing
+  private val countCache = scala.collection.concurrent.TrieMap.empty[(String, String), Long]
 
   /** Some(reason) when `name` is a pinned baseline whose input at
     * `sfDir` exceeds its design size; None -> run it. */

@@ -7,9 +7,13 @@ package graft
   * data). Exits nonzero on breach, so CI/driver runs can't silently
   * regress the scaling behavior SCALE.md documents.
   *
-  * Usage: runMain graft.ScaleCheck <baseDir> <bigDir> [bound]
+  * Usage: runMain graft.ScaleCheck <baseDir> <bigDir> [bound] [perQueryBound]
   * (one command via tools/scale_check.sh, which also generates the
-  * stress data if missing).
+  * stress data if missing). The run fails when the MEDIAN breaches
+  * `bound` (default 10) OR when any single query breaches
+  * `perQueryBound` (default 12 — looser than the median bound so one
+  * noisy outlier doesn't flap the gate, but a genuinely superlinear
+  * query still fails the run instead of just printing CHECK-OVER).
   *
   * Method (same as graft.Scale, which feeds SCALE.md): per query, run
   * once warm (codegen compile + page cache) then once measured, at each
@@ -25,6 +29,7 @@ object ScaleCheck {
     val baseDir = args(0)
     val bigDir = args(1)
     val bound = if (args.length > 2) args(2).toDouble else 10.0
+    val perQueryBound = if (args.length > 3) args(3).toDouble else 12.0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, appName = "graft-scale-check")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -62,18 +67,24 @@ object ScaleCheck {
       else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
       else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
     val over = rows.filter(_._4 > bound).sortBy(-_._4)
+    val overPerQuery = rows.filter(_._4 > perQueryBound).sortBy(-_._4)
     val qs = rows.map { case (k, b, g, r) =>
       f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f}"""
     }.mkString("{", ",", "}")
     println(
-      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"queries":$qs}""")
+      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"queries":$qs}""")
     over.foreach { case (k, _, _, r) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
     spark.stop()
     if (median > bound) {
       println(f"SCALECHECK FAIL: median ratio $median%.2fx > bound $bound%.1fx")
       sys.exit(1)
+    } else if (overPerQuery.nonEmpty) {
+      overPerQuery.foreach { case (k, _, _, r) =>
+        println(f"SCALECHECK FAIL: $k ratio $r%.2fx > per-query bound $perQueryBound%.1fx")
+      }
+      sys.exit(1)
     } else {
-      println(f"SCALECHECK OK: median ratio $median%.2fx <= bound $bound%.1fx over ${rows.length} queries")
+      println(f"SCALECHECK OK: median ratio $median%.2fx <= bound $bound%.1fx, all ${rows.length} queries <= $perQueryBound%.1fx")
     }
   }
 }

@@ -381,9 +381,23 @@ object Dedup {
     * self-join otherwise compounds the plan), and the fixpoint test is a
     * changed-row count — a control-flow scalar, not a data collect. At
     * 100 TB this is the standard iterative-CC shape: edges are persisted
-    * once and every round is two shuffles on the node key. */
+    * once and every round is two shuffles on the node key.
+    *
+    * `checkpointDir`: when set, per-round lineage truncation uses
+    * RELIABLE `checkpoint()` into that directory instead of
+    * executor-local blocks — the cluster-grade variant: localCheckpoint
+    * blocks die with their executor, so on a real cluster an executor
+    * loss mid-loop kills the job; reliable checkpoints survive it at the
+    * cost of a distributed-FS write per round. Default (None) keeps the
+    * single-box behavior. */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-                          maxIters: Int = 50): DataFrame = {
+                          maxIters: Int = 50,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    // eager=false in both modes: the changed-count job each round is what
+    // materializes the checkpoint, so every round stays ONE job
+    def truncate(df: DataFrame, eager: Boolean): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -395,7 +409,7 @@ object Dedup {
     // (tiny) near-dup graph — the loop's joins shrink from O(corpus) to
     // O(pairs) rows per round.
     val pairNodes = edges.select(col("src").as("node")).distinct()
-    var labels = pairNodes.select(col("node"), col("node").as("label")).localCheckpoint()
+    var labels = truncate(pairNodes.select(col("node"), col("node").as("label")), eager = true)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -407,10 +421,11 @@ object Dedup {
       // lazy checkpoint: the changed-count job below materializes it, so
       // each round runs ONE job instead of an eager-checkpoint job + the
       // count job (lineage is still truncated for the next round)
-      val next = propagated.join(jump, propagated("label") === jump("jn"), "left")
-        .select(propagated("node"),
-          coalesce(col("jl"), propagated("label")).as("label"))
-        .localCheckpoint(false)
+      val next = truncate(
+        propagated.join(jump, propagated("label") === jump("jn"), "left")
+          .select(propagated("node"),
+            coalesce(col("jl"), propagated("label")).as("label")),
+        eager = false)
       val changed = next
         .join(labels.select(col("node"), col("label").as("prev")), "node")
         .filter(col("label") =!= col("prev")).limit(1).count()
@@ -434,16 +449,23 @@ object Dedup {
     * every verbatim copy, is_canonical = the one row per group to keep).
     * The pipeline analog of the reference's keep-first `seen_collabs`
     * dedup (analyze_insta_enhanced.py:1283,1316-1376) at corpus scale. */
-  def dedupGroupsOf(docs: DataFrame): DataFrame = {
+  def dedupGroupsOf(docs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // reps feeds three consumers (the LSH pair graph, the component node
-    // set, and the per-doc rep join) — persist so the exact-group
-    // aggregation runs once, not three times
+    // reps feeds the LSH pair graph twice (the band self-join evaluates
+    // its subplan once per side) — persist so the exact-group aggregation
+    // runs once. The per-doc rep comes from a window-min over the same
+    // md5 group instead of a join back to reps, so by the time the
+    // component loop returns (labels checkpointed, edges consumed)
+    // NOTHING lazy references reps and it can be unpersisted here rather
+    // than leaking cached blocks for the session lifetime.
     val reps = repsOf(docs).persist()
     val pairs = lshPairsOf(reps.select("doc_id", "text"))
-    val comp = connectedComponents(reps.select(col("doc_id").as("node")), pairs)
     val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
-      .join(reps.select(col("h"), col("doc_id").as("rep")), "h")
+      .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("h")))
+    val comp = connectedComponents(
+      docRep.select(col("rep").as("node")).distinct(), pairs,
+      checkpointDir = checkpointDir)
+    reps.unpersist()
     docRep
       .join(comp.select(col("node").as("rep"), col("group_id")), "rep")
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))

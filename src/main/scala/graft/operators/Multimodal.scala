@@ -178,7 +178,16 @@ object Multimodal {
     * ([[Dedup.hammingPairsOfSigs]]) — candidates only from band-bucket
     * collisions, shuffle-bounded, never all-pairs. The multimodal column
     * gets the same near-dup query as every other modality: a JPEG and a
-    * few-bytes-perturbed copy of itself land within hamming ≤ k. */
+    * few-bytes-perturbed copy of itself land within hamming ≤ k.
+    *
+    * Default-k CONTRACT (intentional, pinned by MultimodalSpec): under
+    * the strided-gram geometry each flipped byte changes ONE gram
+    * (≈2 signature bits of vote shift), so k=3 pairs payloads differing
+    * by 1-2 in-place byte tweaks; size k ≈ 2× the expected flipped-byte
+    * count for larger perturbations (the 3-byte spec case uses k=6).
+    * Payloads identical only in the first `maxBytes` also pair — the
+    * documented prefix-sampling trade, same as any fingerprinting
+    * scheme that doesn't read the full payload. */
   def byteNearDupPairsOf(bin: DataFrame, k: Int = 3, bits: Int = 60): DataFrame =
     Dedup.hammingPairsOfSigs(byteSimhash(bin, bits), k, bits, bucketLocal = true)
 

@@ -404,12 +404,19 @@ object Similarity {
     val ivf = ivfMultiQueryTopK(spark, dir, probeBound, k).select("q_id", "vec_id")
     val brute = annMultiQueryTopK(spark, dir, probeBound, k)
       .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    // denominator from the ACTUAL probe-table size (a corpus smaller than
+    // probeBound would otherwise misreport n_queries/mean_recall) — a
+    // 1-row broadcast attachment, not a scan of the data side
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
     ivf.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
       .agg(count(lit(1)).as("n_hits_total"))
+      .crossJoin(broadcast(nQueries))
       .select(
-        lit(probeBound).cast("long").as("n_queries"),
+        col("n_queries"),
         col("n_hits_total"),
-        (col("n_hits_total").cast("double") / (probeBound * k)).as("mean_recall"))
+        (col("n_hits_total").cast("double") / (col("n_queries") * k)).as("mean_recall"))
   }
 
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
@@ -684,11 +691,13 @@ object Similarity {
     "sim_ann_multiquery" -> annMultiOracle,
     "sim_ivf_recall" -> s"""WITH ivf AS ($ivfMultiOracle),
          brute AS ($annMultiOracle),
+         nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),
          h AS (SELECT count(*) AS n_hits FROM ivf i
                JOIN brute b ON i.q_id = b.q_id AND i.vec_id = b.vec_id)
-         SELECT CAST(20 AS BIGINT) AS n_queries,
+         SELECT (SELECT n_queries FROM nq) AS n_queries,
                 (SELECT n_hits FROM h) AS n_hits_total,
-                CAST((SELECT n_hits FROM h) AS DOUBLE) / 100.0 AS mean_recall""",
+                CAST((SELECT n_hits FROM h) AS DOUBLE)
+                  / ((SELECT n_queries FROM nq) * 5) AS mean_recall""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

@@ -58,6 +58,32 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(got.filter(_._4).map(g => (g._1, g._2)).toSet == Set((0L, 0L), (20L, 20L)))
   }
 
+  test("reliable-checkpoint option yields identical groups to localCheckpoint") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val nodes = (1L to 32L).toDF("node")
+    val chain = (1L until 32L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val local = Dedup.connectedComponents(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val reliable = Dedup.connectedComponents(nodes, chain,
+        checkpointDir = Some(tmp))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reliable == local)
+    assert(local == (1L to 32L).map(_ -> 1L).toMap)
+    // the reliable variant actually wrote checkpoint data to the dir
+    val wrote = new java.io.File(tmp).listFiles()
+    assert(wrote != null && wrote.nonEmpty, "no reliable checkpoint written")
+    // the full groups pipeline accepts the option too
+    val base =
+      "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (0L, base), (1L, base),
+      (10L, base.replace("today", "tonight"))).toDF("doc_id", "text")
+    val g1 = Dedup.dedupGroupsOf(docs).collect().map(_.toSeq).toSeq
+    val g2 = Dedup.dedupGroupsOf(docs, checkpointDir = Some(tmp))
+      .collect().map(_.toSeq).toSeq
+    assert(g1 == g2)
+  }
+
   test("random graphs: components match a reference union-find (20 trials)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 20) {

@@ -89,6 +89,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(hit._3 <= 6, s"hamming too large: $hit")
   }
 
+  test("default k=3 contract: a 1-byte tweak pairs, an unrelated JPEG doesn't") {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths}
+    val users = new java.io.File("/root/reference").listFiles()
+      .filter(d => d.isDirectory && new java.io.File(d, s"${d.getName}.jpg").exists())
+      .map(_.getName).sorted.take(2)
+    assert(users.length >= 2, "need at least two reference JPEGs")
+    val orig = Files.readAllBytes(Paths.get(s"/root/reference/${users(0)}/${users(0)}.jpg"))
+    val other = Files.readAllBytes(Paths.get(s"/root/reference/${users(1)}/${users(1)}.jpg"))
+    val perturbed = orig.clone()
+    perturbed(orig.length / 2) = (perturbed(orig.length / 2) ^ 0x5a).toByte
+    val bin = Seq((0L, orig), (1L, perturbed), (2L, other)).toDF("doc_id", "payload")
+    // DEFAULT k — the corpus query's geometry: 1-2 byte tweaks must pair
+    val pairs = Multimodal.byteNearDupPairsOf(bin)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L),
+      s"1-byte-perturbed copy not paired at default k: ${pairs.toSeq}")
+    assert(!pairs.exists(p => p._2 == 2L || p._1 == 2L),
+      s"unrelated JPEG wrongly paired: ${pairs.toSeq}")
+  }
+
   test("frameSample emits ceil(n_frames/k) rows per doc, stride k") {
     val k = 4
     val sampled = Multimodal.frameSample(decoded, k)
