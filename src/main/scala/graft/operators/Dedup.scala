@@ -478,6 +478,75 @@ object Dedup {
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
     dedupGroupsOf(Tables.documents(spark, dir))
 
+  // ---------------------------------------------- paragraph-level dedup
+
+  /** Fixed-span "paragraphs": consecutive `tokensPerPara`-token windows
+    * of each document, ordinal-keyed — the span granularity for corpora
+    * WITHOUT structural markers (the synthetic documents table is one
+    * line of tokens). A single posexplode'd projection per doc; the
+    * final span keeps whatever tokens remain. */
+  private[graft] def paragraphs(docs: DataFrame, tokensPerPara: Int = 25): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, cast(ceil(size(toks) / ${tokensPerPara}.0) as int) - 1),
+              i -> concat_ws(' ', slice(toks, i * $tokensPerPara + 1, $tokensPerPara)))""")))
+      .toDF("doc_id", "para_idx", "para")
+
+  /** Delimiter paragraphs for documents that DO carry structure
+    * (newline-separated paragraphs, etc.) — same (doc_id, para_idx,
+    * para) contract as [[paragraphs]]; blank paragraphs are dropped but
+    * ordinals still reflect the original positions. */
+  private[graft] def paragraphsByDelim(docs: DataFrame, delim: String = "\n"): DataFrame =
+    docs.filter(length(col("text")) > 0)
+      .select(col("doc_id"), posexplode(split(col("text"), delim)))
+      .toDF("doc_id", "para_idx", "para")
+      .filter(length(trim(col("para"))) > 0)
+
+  /** SUBSTRING/PARAGRAPH-level dedup with span-removal accounting — the
+    * dedup family document-level LSH cannot express: repeated spans
+    * (boilerplate headers, license blocks, the reference's re-scanned
+    * caption text, analyze_insta_enhanced.py:1590-1609) embedded in
+    * otherwise-distinct documents. The C4/RefinedWeb-style step.
+    *
+    * Every paragraph becomes a row of the EXISTING dedup-groups pipeline
+    * ([[dedupGroupsOf]]: exact md5 collapse → MinHash LSH candidate
+    * pairs → connected components → keep-set) keyed by
+    * `pid = doc_id · pidMultiplier + para_idx` — so "keep the first
+    * occurrence" is the same min-id rule at paragraph granularity, and
+    * the whole span graph (not just pairwise candidates) collapses
+    * before anything is removed. Output is the number a corpus-prep run
+    * reports per document: (doc_id, n_paras, n_removed, chars_removed).
+    *
+    * Scale: paragraphs multiply the row count by the spans-per-doc
+    * factor but shrink per-row text by the same factor, so the shingle/
+    * signature work stays linear in corpus bytes; the pair graph and CC
+    * loop see paragraph nodes only (near-dup spans), never the corpus.
+    * `pidMultiplier` must exceed the max paragraph count per document
+    * (2^63 / multiplier bounds doc_id — 1e5 leaves ~9e13 doc ids). */
+  def paragraphDedupOf(paras: DataFrame, pidMultiplier: Long = 100000L): DataFrame = {
+    val pid = paras.select(
+      (col("doc_id") * pidMultiplier + col("para_idx")).as("doc_id"),
+      col("para").as("text"))
+    val groups = dedupGroupsOf(pid)
+    groups
+      .join(pid.select(col("doc_id"), length(col("text")).as("pchars")), "doc_id")
+      .withColumn("odoc", expr(s"doc_id div $pidMultiplier"))
+      .groupBy("odoc")
+      .agg(
+        count(lit(1)).as("n_paras"),
+        count(when(!col("is_canonical"), 1)).as("n_removed"),
+        coalesce(sum(when(!col("is_canonical"), col("pchars"))), lit(0L))
+          .as("chars_removed"))
+      .select(col("odoc").as("doc_id"), col("n_paras"), col("n_removed"),
+        col("chars_removed"))
+      .orderBy("doc_id")
+  }
+
+  /** [[paragraphDedupOf]] over 25-token spans of the documents table. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupOf(paragraphs(Tables.documents(spark, dir)))
+
   /** End-to-end CANONICAL-CORPUS summary — the step that consumes the
     * keep-set: per language, how many documents survive dedup
     * (`is_canonical`) and how many characters the cleaned corpus keeps.
@@ -504,6 +573,7 @@ object Dedup {
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_dedup_groups"        -> dedupGroups _,
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
+    "dd_paragraph_dedup"     -> paragraphDedup _,
     "dd_incremental"         -> incrementalDedup _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
@@ -628,6 +698,27 @@ object Dedup {
                 g.doc_id = g.group_id AS is_canonical
          FROM g JOIN sizes s ON g.group_id = s.group_id
          ORDER BY doc_id""",
+    // paragraph spans as rows of the SAME groups machinery: p0/pe/pp
+    // build the 25-token spans with pid = doc_id*1e5 + ordinal, then the
+    // shared reps→pairs→recursive-walk CTEs close the span graph and the
+    // final aggregate folds the keep-set back to per-document accounting
+    "dd_paragraph_dedup" ->
+      s"""WITH RECURSIVE p0 AS (
+           SELECT doc_id, string_split(text, ' ') AS t
+           FROM documents WHERE length(text) > 0),
+         pe AS (SELECT doc_id, t, unnest(range(0, (len(t) + 24) // 25)) AS i FROM p0),
+         pp AS (SELECT doc_id * 100000 + i AS doc_id,
+                       array_to_string(t[i*25+1 : i*25+25], ' ') AS text
+                FROM pe),
+         ${dedupGroupsCtesFrom("pp")},
+         pc AS (SELECT doc_id, length(text) AS pchars FROM pp)
+         SELECT g.doc_id // 100000 AS doc_id,
+                count(*) AS n_paras,
+                count(CASE WHEN g.doc_id <> g.group_id THEN 1 END) AS n_removed,
+                CAST(coalesce(sum(CASE WHEN g.doc_id <> g.group_id THEN pc.pchars END), 0) AS BIGINT)
+                  AS chars_removed
+         FROM g JOIN pc ON g.doc_id = pc.doc_id
+         GROUP BY 1 ORDER BY doc_id""",
     "dd_dedup_corpus" ->
       s"""$dedupGroupsCtes
          SELECT d.lang, count(*) AS n_docs,
