@@ -174,6 +174,30 @@ class PlanSpec extends AnyFunSuite {
       s"no partial top-k aggregation:\n${plan.take(3000)}")
   }
 
+  test("persisted IVF index: bucketed scan feeds the probe join with no " +
+    "exchange on the data side and no fit/assign work") {
+    val df = Similarity.ivfMultiQueryPersisted(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // the data side is the STORED cell-bucketed assignment table — the
+    // probe join consumes the scan directly, so the only shuffle in the
+    // whole plan is the bounded top-k aggregation exchange on q_id
+    assert(plan.contains("Bucketed: true"),
+      s"probe join not reading the bucketed index scan:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"probe table not broadcast:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the top-k exchange, got $exchanges:\n${plan.take(3000)}")
+    // zero query-time assignment: the literal-centroid argmax fold would
+    // show up as an `aggregate(transform(...` projection over the scan
+    assert(!plan.contains("aggregate(transform("),
+      s"persisted plan still assigns cells at query time:\n${plan.take(3000)}")
+    // and the results are row-identical to the fit-at-query-time variant
+    val fresh = Similarity.ivfMultiQueryTopK(spark, dir).collect().map(_.toSeq).toSeq
+    val stored = df.collect().map(_.toSeq).toSeq
+    assert(stored == fresh, "persisted index diverged from fresh fit+assign")
+  }
+
   test("banded range join is an equi join on band, not a nested loop") {
     val df = Relational.rangeJoinBanded(spark, dir)
     val plan = planOf(df)
