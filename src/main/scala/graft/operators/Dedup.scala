@@ -143,21 +143,42 @@ object Dedup {
     * the gate pins membership, not just counts. The batch here is the
     * deterministic doc_id % 10 = 0 slice standing in for today's crawl. */
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
     val docs = Tables.documents(spark, dir)
-    incrementalDedupOf(
-      docs.filter(col("doc_id") % 10 === 0),
-      docs.filter(col("doc_id") % 10 =!= 0))
+    val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+    // the corpus hash set and band table are the INDEX side of every
+    // future batch admission — materialize them once per (session,
+    // corpus) as bucketed tables instead of re-deriving the corpus
+    // MinHash signatures on every run (at 100 TB these are the
+    // ingest-maintained tables the operator's doc promises; appends per
+    // admitted batch keep them current)
+    val key = IndexStore.keyOf(dir)
+    val corpusHashes = IndexStore.orBuild(spark, s"dd_chash_$key", 32, Seq("h"))(
+      corpus.select(md5(col("text")).as("h")).distinct())
+    val corpusBands = IndexStore.orBuild(spark, s"dd_cbands_$key", 32, Seq("band", "bucket"))(
+      minhashBandsOf(corpus.select("doc_id", "text"))
+        .select(col("band"), col("bucket")).distinct())
+    incrementalDedupWith(docs.filter(col("doc_id") % 10 === 0),
+      corpusHashes, corpusBands)
   }
 
   /** [[incrementalDedup]] over explicit batch/corpus frames (spec entry
-    * point). */
-  def incrementalDedupOf(batch: DataFrame, corpus: DataFrame): DataFrame = {
-    val corpusHashes = corpus.select(md5(col("text")).as("h")).distinct()
+    * point — derives the corpus hash/band tables inline). */
+  def incrementalDedupOf(batch: DataFrame, corpus: DataFrame): DataFrame =
+    incrementalDedupWith(batch,
+      corpus.select(md5(col("text")).as("h")).distinct(),
+      minhashBandsOf(corpus.select("doc_id", "text"))
+        .select(col("band"), col("bucket")).distinct())
+
+  /** The admission core over a prebuilt corpus index: `corpusHashes` is
+    * the distinct md5 set, `corpusBands` the distinct (band, bucket)
+    * table — stored ([[incrementalDedup]]) or derived
+    * ([[incrementalDedupOf]]). */
+  private def incrementalDedupWith(batch: DataFrame, corpusHashes: DataFrame,
+                                   corpusBands: DataFrame): DataFrame = {
     val exactSurvivors = batch.withColumn("h", md5(col("text")))
       .join(corpusHashes, Seq("h"), "left_anti")
     val batchBands = minhashBandsOf(exactSurvivors.select("doc_id", "text"))
-    val corpusBands = minhashBandsOf(corpus.select("doc_id", "text"))
-      .select(col("band"), col("bucket")).distinct()
     val nearDups = batchBands.join(corpusBands, Seq("band", "bucket"))
       .select("doc_id").distinct()
     val verdicts = batch.select("doc_id")

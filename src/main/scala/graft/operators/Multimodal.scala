@@ -191,9 +191,20 @@ object Multimodal {
   def byteNearDupPairsOf(bin: DataFrame, k: Int = 3, bits: Int = 60): DataFrame =
     Dedup.hammingPairsOfSigs(byteSimhash(bin, bits), k, bits, bucketLocal = true)
 
-  /** [[byteNearDupPairsOf]] over the binaryized documents payloads. */
-  def byteNearDupPairs(spark: SparkSession, dir: String): DataFrame =
-    byteNearDupPairsOf(binaryized(spark, dir).select("doc_id", "payload"))
+  /** [[byteNearDupPairsOf]] over the binaryized documents payloads, with
+    * the byte-gram signatures persisted per (session, corpus)
+    * ([[graft.sources.IndexStore]]): the signature derivation (hex +
+    * strided grams + 60-bit SimHash over 64 KB prefixes) dominates the
+    * query, and it is pure per-payload state — exactly the artifact an
+    * ingest pipeline materializes once and appends to, not something to
+    * re-derive per run. */
+  def byteNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val sigs = IndexStore.orBuild(spark,
+      s"mm_sig_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      byteSimhash(binaryized(spark, dir).select("doc_id", "payload")))
+    Dedup.hammingPairsOfSigs(sigs, k = 3, bits = 60, bucketLocal = true)
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> binaryMeta _,

@@ -358,8 +358,7 @@ object Similarity {
     *    physical layout that lets a probe read only its cell's buckets.
     * Returns (assignTable, centroidTable) catalog names. */
   def buildIvfIndex(spark: SparkSession, dir: String): (String, String) = {
-    val key = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12)
+    val key = graft.sources.IndexStore.keyOf(dir)
     val assignName = s"ivf_assign_$key"
     val centName = s"ivf_cents_$key"
     if (!spark.catalog.tableExists(assignName) ||
