@@ -378,6 +378,19 @@ object Similarity {
     (assignName, centName)
   }
 
+  /** Cell assignment of ANY (vec_id, embedding) frame — batch or
+    * STREAMING — against the PERSISTED centroid table: the ≤k centroid
+    * rows are index metadata loaded once at plan time and inlined as
+    * literals, so per-row assignment stays the same codegen'd argmax
+    * fold with zero joins, zero shuffles, zero streaming state — exactly
+    * what an online query router does with a stored index. */
+  def assignWithStoredCentroids(spark: SparkSession, centTable: String,
+                                vecs: DataFrame): DataFrame = {
+    val cents = spark.table(centTable).select("cell", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
+    assignCells(vecs, fittedCentsLit(cents))
+  }
+
   /** [[ivfMultiQueryTopK]] served from the PERSISTED index: the probe
     * join reads the stored cell-bucketed assignment table — no centroid
     * fit, no per-row argmax, no exchange on the data side (the bucketed

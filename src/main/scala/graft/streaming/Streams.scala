@@ -227,6 +227,40 @@ object Streams {
       .select(docs.columns.map(col) :+ col("verdict"): _*)
   }
 
+  /** Streaming ANN probe against the static PERSISTED IVF index — the
+    * online half of a retrieval pipeline (the batch half is
+    * [[graft.operators.Similarity.ivfMultiQueryPersisted]]), mirroring
+    * [[incrementalDedupStream]]'s zero-state design:
+    *
+    *  - query-cell assignment is the literal-centroid per-row fold
+    *    ([[graft.operators.Similarity.assignWithStoredCentroids]] — the
+    *    stored centroid table is plan-time metadata, not a join side);
+    *  - candidate fetch is ONE stream-static cell equi-join against the
+    *    stored cell-bucketed assignment table (re-planned per
+    *    micro-batch, so a refreshed index snapshot is picked up);
+    *  - scoring is a projection.
+    *
+    * No streaming state anywhere. Per-query top-k belongs in the SINK
+    * (foreachBatch running the same TopKByScore aggregation the batch
+    * path uses) because an in-stream global top-k would be a stateful
+    * aggregation over an unbounded key space — per micro-batch it is a
+    * plain bounded batch aggregation. Emits (q_id, vec_id, cos) scored
+    * candidates. */
+  def annProbeStream(spark: SparkSession, queryVecs: DataFrame, dir: String): DataFrame = {
+    import graft.functions.VectorOps.quantDot
+    val (assignName, centName) = graft.operators.Similarity.buildIvfIndex(spark, dir)
+    val q = graft.operators.Similarity
+      .assignWithStoredCentroids(spark, centName, queryVecs)
+      .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
+        col("embedding").as("qe"), col("na").as("qna"))
+    val index = spark.table(assignName)
+    q.join(index, col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+      .select(col("q_id"), col("vec_id"), col("cos"))
+  }
+
   // ------------------------------------------------------- sessionize
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

@@ -263,4 +263,54 @@ class StreamsSpec extends AnyFunSuite {
     assert(sessions(0).n_events == 2 && sessions(0).total_value == 3.0)
     assert(sessions(1).n_events == 1 && sessions(1).total_value == 4.0)
   }
+
+  test("streaming ANN probe: per-batch top-k matches the batch persisted-index " +
+    "search, recall vs exact search preserved") {
+    import org.apache.spark.sql.{Dataset, Row}
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, Seq[Float])]
+    val probed = Streams.annProbeStream(spark, in.toDF().toDF("vec_id", "embedding"), dir)
+    // per-batch top-k in the SINK — the same TopKByScore aggregation the
+    // batch path runs, over each micro-batch's scored candidates
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Double)]
+    val topk = udaf(new graft.functions.TopKByScore(5))
+    val q = probed.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        collected.synchronized {
+          collected ++= batch.groupBy("q_id")
+            .agg(topk(col("cos"), col("vec_id")).as("top"))
+            .select(col("q_id"), posexplode(col("top")))
+            .select(col("q_id"), (col("pos") + 1).as("rnk"),
+              col("col.key").as("vec_id"), col("col.score").as("cos"))
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        }
+        ()
+      }
+      .start()
+    // two micro-batches of query vectors (taken FROM the corpus so the
+    // batch persisted-index answer over vec_id < 10 is the ground truth)
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(vecs.length == 10)
+    in.addData(vecs.take(5).toSeq)
+    q.processAllAvailable()
+    in.addData(vecs.drop(5).toSeq)
+    q.processAllAvailable()
+    q.stop()
+    val got = collected.sortBy(t => (t._1, t._2))
+    val want = Similarity.ivfMultiQueryPersisted(spark, dir, probeBound = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.toSeq == want,
+      s"streaming probe diverged from batch index search:\n$got\nvs\n$want")
+    // recall@5 vs the batch EXACT search is therefore the batch recall
+    val exact = Similarity.annMultiQueryTopK(spark, dir, probeBound = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hits = got.count(g => exact.contains((g._1, g._3)))
+    val recall = hits.toDouble / exact.size
+    assert(recall > 0.3, s"streaming probe recall collapsed: $recall")
+  }
 }
