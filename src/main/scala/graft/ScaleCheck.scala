@@ -7,7 +7,7 @@ package graft
   * data). Exits nonzero on breach, so CI/driver runs can't silently
   * regress the scaling behavior SCALE.md documents.
   *
-  * Usage: runMain graft.ScaleCheck <baseDir> <bigDir> [bound] [perQueryBound]
+  * Usage: runMain graft.ScaleCheck <baseDir> <bigDir> [bound] [perQueryBound] [names]
   * (one command via tools/scale_check.sh, which also generates the
   * stress data if missing). The run fails when the MEDIAN breaches
   * `bound` (default 10) OR when any single query breaches
@@ -30,6 +30,9 @@ object ScaleCheck {
     val bigDir = args(1)
     val bound = if (args.length > 2) args(2).toDouble else 10.0
     val perQueryBound = if (args.length > 3) args(3).toDouble else 12.0
+    // optional comma-list restricting the sweep (the --sf10 headline
+    // mode); default = every registered query
+    val only = if (args.length > 4) Some(args(4).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, appName = "graft-scale-check")
     def force(df: org.apache.spark.sql.DataFrame): Unit =
@@ -44,6 +47,7 @@ object ScaleCheck {
     force(SparkEntry.entry(spark))
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
     val rows = names.flatMap { name =>
       val fn = SparkEntry.queries(name)
       val skip = PinnedBaselines.skipReason(spark, baseDir, name)

@@ -1,5 +1,6 @@
 #!/usr/bin/env python3
-"""Generate sf1-scale stress data (~10x sf0.1) under target/sf1.
+"""Generate stress data replicated from sf0.1 (default 10x under
+target/sf1; SF_REPLICAS=100 + SF1_DIR=target/sf10 gives the 100x point).
 
 Dev-side tool (like tools/check.py): the engine itself never synthesizes
 data; this exists only for the SCALE.md stress run, because the driver
@@ -25,7 +26,7 @@ import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
 DST = os.environ.get("SF1_DIR", "/root/repo/target/sf1")
-R = 10
+R = int(os.environ.get("SF_REPLICAS", "10"))
 
 os.makedirs(DST, exist_ok=True)
 
@@ -112,7 +113,13 @@ def emb_transform(t, i):
         return t
     emb = t["embedding"].combine_chunks()
     mat = np.array(emb.to_pylist(), dtype=np.float32)
-    mat = np.roll(mat, i, axis=1)
+    # roll wraps at the vector width: replica i = width would be an EXACT
+    # copy of the original (a synthetic dup explosion real 100x corpora
+    # don't have), so wrapped rounds are negated to stay distinct
+    w = mat.shape[1]
+    mat = np.roll(mat, i % w, axis=1)
+    if i >= w:
+        mat = -mat
     rolled = pa.array(list(mat), type=t.schema.field("embedding").type)
     cols = [t[n].combine_chunks() if n != "embedding" else rolled
             for n in t.column_names]

@@ -1,18 +1,34 @@
 #!/usr/bin/env bash
-# One-command sf1 scale-regression gate (VERDICT r4 ask #8):
-# generates the 10x stress data if missing, then runs graft.ScaleCheck
-# over EVERY SparkEntry query at sf0.1 vs sf1 and exits nonzero when the
-# median big/base wall-clock ratio breaches the contract (default 10x —
-# at-most-linear in the median for 10x data).
+# One-command scale-regression gates (VERDICT r4 ask #8 + r5 ask #3):
 #
-#   tools/scale_check.sh [bound]
+#   tools/scale_check.sh [bound] [perQueryBound]
+#     generates the 10x stress data if missing, runs graft.ScaleCheck
+#     over EVERY SparkEntry query at sf0.1 vs sf1; fails when the median
+#     ratio breaches bound (default 10 — at-most-linear in the median
+#     for 10x data) or any query breaches perQueryBound (default 12).
+#
+#   tools/scale_check.sh --sf10 [bound] [perQueryBound]
+#     the 100x point: generates target/sf10 (100 shifted replicas of
+#     sf0.1) if missing and gates the HEADLINE eight at sf0.1 vs sf10
+#     against an at-most-linear-for-100x contract (defaults 100 / 120).
 set -euo pipefail
 cd "$(dirname "$0")/.."
-BOUND="${1:-10}"
 BASE_DIR="${BASE_DIR:-/root/testdata/sf0.1}"
+if [ "${1:-}" = "--sf10" ]; then
+  SF10_DIR="${SF10_DIR:-target/sf10}"
+  if [ ! -f "$SF10_DIR/lineitem.parquet" ]; then
+    echo "generating $SF10_DIR from $BASE_DIR (100 shifted replicas)..."
+    SF1_DIR="$SF10_DIR" SF_REPLICAS=100 python3 tools/make_sf1.py
+  fi
+  HEADLINE="ig_report_synth,dd_dedup_groups,dd_dedup_corpus,dd_incremental"
+  HEADLINE="$HEADLINE,ta_corpus_pipeline,mm_neardup_pairs,sim_ivf_multiquery,win_topk_per_customer"
+  exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF10_DIR ${2:-100} ${3:-120} $HEADLINE"
+fi
+BOUND="${1:-10}"
+PER_QUERY_BOUND="${2:-12}"
 SF1_DIR="${SF1_DIR:-target/sf1}"
 if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "generating $SF1_DIR from $BASE_DIR (10 shifted replicas)..."
   SF1_DIR="$SF1_DIR" python3 tools/make_sf1.py
 fi
-exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF1_DIR $BOUND"
+exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF1_DIR $BOUND $PER_QUERY_BOUND"
