@@ -1,0 +1,302 @@
+package graft.functions
+
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Corpus-preparation operators past the cleaning/dedup families already
+  * gated: benchmark decontamination, repetition filters, domain-mixture
+  * sampling, and token-budget sequence packing. These are the remaining
+  * standard stages of a training-data pipeline (C4/Gopher/The-Pile style
+  * recipes); each is built shuffle-minimal and oracle-gated like the
+  * rest of the engine.
+  */
+object CorpusOps {
+
+  // ---------------------------------------------------------------- decontamination
+
+  /** The "benchmark suite" for decontamination: a tiny held-out sentence
+    * set (in a real pipeline: every eval-benchmark prompt/answer). Small
+    * by nature — the whole point of the broadcast shape below. */
+  val benchmarkSentences: Seq[String] = Seq(
+    "the fast scan joins the small table with a hash value",
+    "a window orders each batch by customer key and time",
+    "der hash join und der merge scan sind schnell und klein",
+  )
+
+  private val gram5 =
+    "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+
+  /** Benchmark decontamination — flag training documents whose 5-token
+    * grams overlap the benchmark set (the standard n-gram-overlap
+    * decontamination check run before training). Shape: the benchmark
+    * gram set is tiny and BROADCAST; the corpus side explodes its
+    * distinct 5-grams once, left-joins the broadcast set map-side, and
+    * aggregates per doc in ONE shuffle (conditional count — no second
+    * pass for the hit count). Linear in corpus size, never corpus×corpus.
+    *
+    * The synthetic corpus has almost no natural 5-gram overlap (measured:
+    * 1 doc in 500), so — same move as the PII-scrub gate — every 13th doc
+    * gets a benchmark sentence appended (the identical plant on both
+    * engines); the gate then exercises both flagged and clean paths.
+    * `contaminated` requires ≥2 gram hits so a lone coincidental gram
+    * (which real corpora do produce) is not a positive. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateOf(spark, Tables.documents(spark, dir))
+
+  /** [[decontaminate]] over any (doc_id, text) frame (spec entry point). */
+  def decontaminateOf(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val plantArr = array(benchmarkSentences.map(lit): _*)
+    val planted = docs
+      .withColumn("ctext", concat(col("text"),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" "), element_at(plantArr,
+            expr("cast((doc_id div 13) % 3 as int)") + 1)))
+          .otherwise(lit(""))))
+    val benchGrams = benchmarkSentences.toDF("sent")
+      .withColumn("toks", split(lower(col("sent")), " "))
+      .select(explode(array_distinct(expr(gram5))).as("g"))
+      .distinct()
+      .withColumn("hit", lit(1))
+    val grams = planted
+      .withColumn("toks", split(lower(col("ctext")), " "))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), explode(array_distinct(expr(gram5))).as("g"))
+    val perDoc = grams
+      .join(broadcast(benchGrams), Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        count(col("hit")).as("n_hits"))
+    planted.select("doc_id")
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) >= 2).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- repetition filters
+
+  /** Gopher-style repetition filters (Rae et al. 2021, appendix A1.1):
+    * per-document duplicate-token fraction and top-bigram fraction, plus
+    * the keep/drop gate. The bigram mode is computed via explode →
+    * two-level partial-aggregated groupBy (linear, map-side combined) —
+    * NOT an in-row O(len²) array fold, so cost stays linear in corpus
+    * size for arbitrarily long documents. Thresholds sized to the
+    * synthetic corpus distribution (measured p50 top-bigram 0.033 /
+    * dup-token 0.54) so both branches of the gate are exercised. */
+  def repetitionStats(spark: SparkSession, dir: String): DataFrame =
+    repetitionStatsOf(Tables.documents(spark, dir))
+
+  /** [[repetitionStats]] over any (doc_id, text) frame (spec entry point). */
+  def repetitionStatsOf(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .filter(size(col("toks")) >= 2)
+    val tokStats = toks.select(col("doc_id"),
+      size(col("toks")).cast("long").as("n_tokens"),
+      size(array_distinct(col("toks"))).cast("long").as("n_distinct"))
+    val bigramCounts = toks
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat_ws(' ', toks[i-1], toks[i]))")).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(max(col("c")).as("top_c"), sum(col("c")).as("n_bigrams"))
+    tokStats.join(bigramCounts, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_token_frac"),
+        col("n_bigrams"),
+        (col("top_c").cast("double") / col("n_bigrams")).as("top_bigram_frac"),
+        ((col("top_c").cast("double") / col("n_bigrams")) <= 0.05 &&
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")) <= 0.6).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- domain mixture
+
+  /** Domain-mixture sampling: cap every source (domain) at
+    * C = total/32 documents — the "cap head domains, keep the tail"
+    * rebalancing a multi-source corpus runs before training. Membership
+    * is decided per doc by content hash against the cap:
+    * `bucket(doc_id)·n_source < 10000·C` — cross-multiplied INTEGER
+    * arithmetic, so both engines agree bit-for-bit (no float rate), no
+    * per-domain window/sort, and the whole decision is a broadcast of
+    * the per-source counts + a map-side filter. Sources under the cap
+    * keep everything (bucket ≤ 9999 always passes); over-cap sources
+    * keep a uniform deterministic ≈C-doc sample. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame =
+    domainMixOf(Tables.documents(spark, dir))
+
+  /** [[domainMix]] over any (doc_id, source) frame (spec entry point). */
+  def domainMixOf(docs: DataFrame): DataFrame = {
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.select("doc_id", "source")
+      .withColumn("bucket", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 10000)"))
+      .join(broadcast(counts), "source")
+      .crossJoin(broadcast(total))
+      .withColumn("keep",
+        col("bucket") * col("n_docs") < lit(10000L) * expr("total div 32"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+      .orderBy("source")
+  }
+
+  // ---------------------------------------------------------------- sequence packing
+
+  /** Token-budget sequence packing (concat-and-chop sharding): assign
+    * every document a global token start-offset in doc_id order and
+    * shard at `budget`-token boundaries — how a training run turns a
+    * document corpus into fixed-length sequences.
+    *
+    * The global running sum is a DISTRIBUTED two-phase prefix sum, not a
+    * single-partition window: range-partition by doc_id (global order
+    * across partition index), per-partition token totals (one small row
+    * per partition — the bounded collect), prefix the totals on the
+    * driver, then stream each partition once adding its offset. Scales
+    * to any corpus size at full parallelism; the equivalent
+    * `sum() over (order by doc_id)` window would move the entire corpus
+    * into ONE partition. The partitioned frame is persisted across the
+    * two passes so both see identical range bounds. */
+  def packSequences(spark: SparkSession, dir: String, budget: Long = 512L): DataFrame =
+    packSequencesOf(spark,
+      Tables.documents(spark, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      budget)
+
+  /** [[packSequences]] over any (doc_id, n_tokens) frame (spec entry
+    * point). */
+  def packSequencesOf(spark: SparkSession, docTokens: DataFrame, budget: Long): DataFrame = {
+    import spark.implicits._
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val sorted = docTokens
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .repartitionByRange(nParts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .as[(Long, Long)]
+      .persist()
+    try {
+      val partSums = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, t) => s += t }
+        Iterator((pid, s))
+      }.collect() // one row per partition — bounded by parallelism, not data
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        partSums.sortBy(_._1).map { case (pid, s) =>
+          val off = acc; acc += s; pid -> off
+        }.toMap
+      }
+      val bOffsets = spark.sparkContext.broadcast(offsets)
+      val withOff = sorted.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = bOffsets.value.getOrElse(pid, 0L)
+        it.map { case (id, t) =>
+          val start = run; run += t; (id, t, start)
+        }
+      }.toDF("doc_id", "n_tokens", "start_off")
+      val out = withOff
+        .withColumn("shard", expr(s"start_off div $budget"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy("shard")
+      // materialize before unpersisting the two-pass frame beneath it
+      out.localCheckpoint(eager = true)
+    } finally sorted.unpersist()
+  }
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_decontaminate"    -> decontaminate _,
+    "ta_repetition_stats" -> repetitionStats _,
+    "ta_domain_mix"       -> domainMix _,
+    "ta_pack_sequences"   -> ((s: SparkSession, d: String) => packSequences(s, d)),
+  )
+
+  // oracle benchmark-sentence VALUES list (with explicit plant index)
+  // generated from the same Scala constant the operator broadcasts, so
+  // engine and oracle cannot drift
+  private val benchValues =
+    benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "ta_decontaminate" ->
+      s"""WITH bench(i, sent) AS (VALUES $benchValues),
+           bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+                    range(1, len(t) - 3),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+                  FROM (SELECT string_split(lower(sent), ' ') AS t FROM bench)
+                  WHERE len(t) >= 5),
+           p AS (SELECT doc_id,
+                   text || CASE WHEN doc_id % 13 = 0
+                     THEN ' ' || (SELECT sent FROM bench WHERE i = (doc_id // 13) % 3)
+                     ELSE '' END AS ctext
+                 FROM documents),
+           g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+                   range(1, len(t) - 3),
+                   i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]))) AS g
+                 FROM (SELECT doc_id, string_split(lower(ctext), ' ') AS t FROM p)
+                 WHERE len(t) >= 5),
+           per AS (SELECT g.doc_id, count(*) AS n_grams,
+                     count(bg.g) AS n_hits
+                   FROM g LEFT JOIN bg ON g.g = bg.g GROUP BY 1)
+         SELECT p.doc_id,
+           COALESCE(per.n_grams, 0) AS n_grams,
+           COALESCE(per.n_hits, 0) AS n_hits,
+           COALESCE(per.n_hits, 0) >= 2 AS contaminated
+         FROM p LEFT JOIN per ON p.doc_id = per.doc_id
+         ORDER BY p.doc_id""",
+    "ta_repetition_stats" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t
+                       FROM documents WHERE len(string_split(lower(text), ' ')) >= 2),
+           bg AS (SELECT doc_id, unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS b
+                  FROM toks),
+           cnt AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+           per AS (SELECT doc_id, max(c) AS top_c, sum(c) AS n_bigrams FROM cnt GROUP BY 1),
+           tok AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+                     CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct
+                   FROM toks)
+         SELECT tok.doc_id, n_tokens,
+           1.0 - CAST(n_distinct AS DOUBLE) / n_tokens AS dup_token_frac,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(top_c AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(top_c AS DOUBLE) / n_bigrams <= 0.05
+             AND 1.0 - CAST(n_distinct AS DOUBLE) / n_tokens <= 0.6 AS keep
+         FROM tok JOIN per ON tok.doc_id = per.doc_id
+         ORDER BY tok.doc_id""",
+    "ta_domain_mix" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+           t AS (SELECT count(*) AS total FROM documents),
+           b AS (SELECT d.doc_id, d.source, c.n_docs, t.total,
+                   list_reduce([strpos('0123456789abcdef', ch) - 1
+                                FOR ch IN string_split(substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8), '')],
+                               (a, v) -> a * 16 + v) % 10000 AS bucket
+                 FROM documents d JOIN c ON d.source = c.source CROSS JOIN t)
+         SELECT source, count(*) AS n_docs,
+           count(CASE WHEN bucket * n_docs < 10000 * (total // 32) THEN 1 END) AS n_kept
+         FROM b GROUP BY source ORDER BY source""",
+    "ta_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+                    FROM documents),
+           c AS (SELECT doc_id, n_tokens,
+                   COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_off
+                 FROM t)
+         SELECT CAST(start_off // 512 AS BIGINT) AS shard, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+         FROM c GROUP BY 1 ORDER BY shard""",
+  )
+}
