@@ -25,8 +25,17 @@ object CorpusOps {
     "der hash join und der merge scan sind schnell und klein",
   )
 
-  private val gram5 =
+  private[graft] val gram5 =
     "transform(sequence(1, size(toks) - 4), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3]))"
+
+  /** The benchmark's distinct lowercase 5-grams, computed driver-side —
+    * the plan-time literal set the STREAMING admission filter
+    * ([[graft.streaming.Streams.decontaminateStream]]) compiles into its
+    * per-row projection. Small by construction (the benchmark is every
+    * eval prompt/answer, not a corpus). */
+  lazy val benchmarkGrams: Seq[String] = benchmarkSentences
+    .flatMap(_.toLowerCase.split(" ").toSeq.sliding(5).filter(_.length == 5).map(_.mkString(" ")))
+    .distinct
 
   /** Benchmark decontamination — flag training documents whose 5-token
     * grams overlap the benchmark set (the standard n-gram-overlap

@@ -195,6 +195,38 @@ object TextAnalysis {
         sum(col("n_emails").cast("long")).as("n_emails_total"),
         sum(col("n_phones").cast("long")).as("n_phones_total"))
 
+  /** Inverted index: token → document frequency + a CAPPED posting list
+    * (first `cap` doc_ids ascending, comma-joined) — the retrieval-side
+    * index build a corpus search/attribution pipeline runs.
+    *
+    * Skew shape, the part that matters at 100 TB: a stopword token's
+    * postings are the whole corpus, so the cap must be enforced BEFORE
+    * rows concentrate. No per-token `row_number` window (that shuffles
+    * every (token, doc) occurrence of the heaviest token into one
+    * partition); instead the typed [[graft.functions.TopKByScore]]
+    * partial aggregation keeps ≤ cap postings per token per MAPPER
+    * (score = −doc_id, so score-desc = doc_id-asc), and `df` rides the
+    * same partial-aggregated groupBy. The one post-distinct shuffle
+    * carries ≤ cap + 1 values per (token, mapper) regardless of token
+    * frequency. */
+  def invertedIndex(spark: SparkSession, dir: String, cap: Int = 8): DataFrame =
+    invertedIndexOf(Tables.documents(spark, dir), cap)
+
+  /** [[invertedIndex]] over any (doc_id, text) frame (spec entry point). */
+  def invertedIndexOf(docs: DataFrame, cap: Int = 8): DataFrame = {
+    val topk = udaf(new graft.functions.TopKByScore(cap))
+    docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        topk(-col("doc_id").cast("double"), col("doc_id")).as("top"))
+      .select(col("token"), col("df"),
+        array_join(expr("transform(top, x -> cast(x.key as string))"), ",").as("postings"))
+      .orderBy("token")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
@@ -205,6 +237,7 @@ object TextAnalysis {
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
+    "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
   )
 
   // oracle fragment shared by the two PII queries: plant + scrub chain,
@@ -328,5 +361,16 @@ object TextAnalysis {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "ta_inverted_index" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                      FROM documents),
+           td AS (SELECT DISTINCT doc_id, token FROM tok WHERE len(token) > 0),
+           r AS (SELECT token, doc_id,
+                   row_number() OVER (PARTITION BY token ORDER BY doc_id) AS rn
+                 FROM td)
+         SELECT token, count(*) AS df,
+           string_agg(CASE WHEN rn <= 8 THEN CAST(doc_id AS VARCHAR) END, ','
+                      ORDER BY doc_id) AS postings
+         FROM r GROUP BY token ORDER BY token""",
   )
 }

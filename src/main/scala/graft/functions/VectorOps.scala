@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, LongType}
 
 /** Static helpers the generated code calls (plain Java statics). */
 object VectorOpsUtil {
@@ -39,6 +39,19 @@ object VectorOpsUtil {
     var acc = 0L; var i = 0
     while (i < n) {
       acc += a.getLong(i) * b.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  /** Int8 (SQ8) code vectors — plain integer dot product over tinyint
+    * arrays: the compressed-domain scoring loop (1 byte/element in
+    * Tungsten, 4× smaller than fp32). */
+  def quantDotB(a: ArrayData, b: ArrayData, scale: Double): Long = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var acc = 0L; var i = 0
+    while (i < n) {
+      acc += a.getByte(i).toLong * b.getByte(i).toLong
       i += 1
     }
     acc
@@ -82,6 +95,7 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double = 100
       case (DoubleType, DoubleType) => "quantDotD"
       case (LongType, LongType) => "quantDotL" // already-quantized integer vectors
       case (FloatType, LongType) => "quantDotFL" // data vector × fitted centroid
+      case (ByteType, ByteType) => "quantDotB" // SQ8 int8 code vectors
       case other => throw new IllegalStateException(s"unreachable: $other")
     }
   override def dataType: DataType = LongType
@@ -93,6 +107,7 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double = 100
       case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => true
       case (ArrayType(LongType, _), ArrayType(LongType, _)) => true
       case (ArrayType(FloatType, _), ArrayType(LongType, _)) => true
+      case (ArrayType(ByteType, _), ArrayType(ByteType, _)) => true
       case _ => false
     }
     if (ok)
@@ -108,6 +123,8 @@ case class QuantizedDot(left: Expression, right: Expression, scale: Double = 100
       VectorOpsUtil.quantDotD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
     case "quantDotFL" =>
       VectorOpsUtil.quantDotFL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
+    case "quantDotB" =>
+      VectorOpsUtil.quantDotB(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
     case _ =>
       VectorOpsUtil.quantDotL(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], scale)
   }

@@ -490,6 +490,89 @@ object Similarity {
         (col("n_hits_total").cast("double") / (col("n_queries") * k)).as("mean_recall"))
   }
 
+  // ---------------------------------------------------------------- SQ8
+
+  /** SQ8 scalar quantization: every embedding compressed to an int8 code
+    * vector (1 byte/element — 4× smaller than fp32, the memory lever
+    * that decides whether a 100 TB vector corpus fits its cluster) plus
+    * one per-vector max-abs scale. All arithmetic is INTEGER and
+    * engine-exact: milli-quantized components (the engine-wide
+    * `round(x·1000)` contract), per-vector `ma = max(|mᵢ|)` (floored at
+    * 1), and `codeᵢ = sign(mᵢ) · ((2·|mᵢ|·127 + ma) div (2·ma))` — an
+    * explicit round-half-up in integer space, operands kept nonnegative
+    * so Spark's truncating `div` and DuckDB's flooring `//` agree.
+    * Cosine needs no dequantization: the uniform per-vector scale
+    * cancels, so compressed-domain scoring is a plain int8 dot product
+    * (`quantDotB`, a codegen'd primitive loop over tinyint arrays). */
+  private[operators] def sq8Coded(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .withColumn("mv", expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 1000) as bigint))"))
+      .withColumn("ma", expr(
+        "greatest(aggregate(mv, 0L, (a, x) -> greatest(a, abs(x))), 1L)"))
+      .withColumn("code", expr(
+        "transform(mv, x -> cast(case when x >= 0 then (2*x*127 + ma) div (2*ma) " +
+          "else -((2*(-x)*127 + ma) div (2*ma)) end as tinyint))"))
+      .withColumn("n8", expr(
+        "aggregate(code, 0L, (a, x) -> a + cast(x as bigint) * cast(x as bigint))"))
+      .select("vec_id", "code", "n8")
+
+  /** Batch multi-query top-k over the SQ8-COMPRESSED corpus — the
+    * compressed-domain search a quantized ANN deployment serves. Same
+    * probe shape as [[annMultiQueryTopK]] (queries broadcast, data side
+    * scanned once, typed TopKByScore partial aggregation bounds the one
+    * shuffle at ≤k rows per (query, mapper)) but the scan reads 1-byte
+    * codes instead of 4-byte floats — at 100 TB the scan is the cost, so
+    * the compression IS the speedup. */
+  def sq8MultiQueryTopK(spark: SparkSession, dir: String,
+                        probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val c = sq8Coded(spark, dir)
+    val queries = c.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("code").as("qc"), col("n8").as("qn"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    c.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("code"), col("qc")).cast("double")
+          / (sqrt(col("n8").cast("double")) * sqrt(col("qn").cast("double"))))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("vec_id"), col("col.score").as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** The SQ8 accuracy/footprint CONTRACT as a gated query: mean recall@k
+    * of compressed-domain search against full-precision exact search,
+    * plus the storage accounting (fp32 bytes vs int8 code bytes + one
+    * 8-byte norm per vector) — the recall-vs-memory trade a quantized
+    * index deployment actually monitors. All columns derive from exact
+    * integer counts, so both engines compute identical values. */
+  def sq8Recall(spark: SparkSession, dir: String,
+                probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val sq8 = sq8MultiQueryTopK(spark, dir, probeBound, k).select("q_id", "vec_id")
+    val brute = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    val stats = Tables.embeddings(spark, dir)
+      .agg(count(lit(1)).as("n_vectors"),
+        max(size(col("embedding"))).cast("long").as("dims"))
+    sq8.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+      .agg(count(lit(1)).as("n_hits_total"))
+      .crossJoin(broadcast(nQueries))
+      .crossJoin(broadcast(stats))
+      .select(
+        col("n_queries"),
+        col("n_hits_total"),
+        (col("n_hits_total").cast("double") / (col("n_queries") * k)).as("mean_recall"),
+        col("n_vectors"),
+        col("dims"),
+        (col("n_vectors") * col("dims") * 4).as("bytes_fp32"),
+        (col("n_vectors") * (col("dims") + 8)).as("bytes_sq8"))
+  }
+
   /** Scale-path near-dup: sign-LSH bucket join instead of an all-pairs
     * product — only vectors sharing the `planes`-bit sign bucket are ever
     * paired (the [[minhashStyleBuckets]] building block, oracle-gated at
@@ -525,6 +608,8 @@ object Similarity {
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
     "sim_dedup_groups"   -> ((s: SparkSession, d: String) => embeddingDedupGroups(s, d)),
     "sim_ivf_recall"     -> ((s: SparkSession, d: String) => ivfMultiQueryRecall(s, d)),
+    "sim_sq8_multiquery" -> ((s: SparkSession, d: String) => sq8MultiQueryTopK(s, d)),
+    "sim_sq8_recall"     -> ((s: SparkSession, d: String) => sq8Recall(s, d)),
   )
 
   /** DuckDB oracle for [[lshNearDupAuto]]: the plane count comes from the
@@ -726,6 +811,38 @@ object Similarity {
          SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
          ORDER BY q_id, rnk"""
 
+  /** DuckDB replay of the SQ8 compress→score→top-k path — the identical
+    * integer quantization (milli components, per-vector max-abs ≥ 1,
+    * round-half-up code with nonnegative `//` operands) so codes match
+    * bit-for-bit, then the same int8 dot + per-query top-5. */
+  private lazy val sq8MultiOracle: String =
+    """WITH m AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+           FROM embeddings),
+         s AS (SELECT vec_id, mv,
+                 greatest(list_reduce(list_transform(mv, x -> abs(x)),
+                   (a, b) -> greatest(a, b)), 1) AS ma
+               FROM m),
+         c AS (SELECT vec_id, list_transform(mv,
+                 x -> CASE WHEN x >= 0 THEN (2*x*127 + ma) // (2*ma)
+                      ELSE -((2*(-x)*127 + ma) // (2*ma)) END) AS cv
+               FROM s),
+         n AS (SELECT vec_id, cv,
+                 list_reduce(list_transform(cv, x -> x*x), (a, b) -> a + b) AS n8
+               FROM c),
+         qs AS (SELECT vec_id AS q_id, cv AS qv, n8 AS qn FROM n WHERE vec_id < 20),
+         p AS (SELECT q.q_id, e.vec_id, unnest(e.cv) AS x, unnest(q.qv) AS y
+               FROM n e, qs q WHERE e.vec_id <> q.q_id),
+         d AS (SELECT q_id, vec_id, SUM(x*y) AS dot FROM p GROUP BY q_id, vec_id),
+         sc AS (SELECT d.q_id, d.vec_id,
+                  CAST(d.dot AS DOUBLE)
+                    / (sqrt(CAST(e.n8 AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE))) AS cos
+                FROM d JOIN n e ON d.vec_id = e.vec_id JOIN qs q ON d.q_id = q.q_id),
+         r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+               FROM sc)
+         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
   private lazy val annMultiOracle: String =
     """WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
          p AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
@@ -774,6 +891,22 @@ object Similarity {
                 (SELECT n_hits FROM h) AS n_hits_total,
                 CAST((SELECT n_hits FROM h) AS DOUBLE)
                   / ((SELECT n_queries FROM nq) * 5) AS mean_recall""",
+    "sim_sq8_multiquery" -> sq8MultiOracle,
+    "sim_sq8_recall" -> s"""WITH sq8 AS ($sq8MultiOracle),
+         brute AS ($annMultiOracle),
+         nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),
+         st AS (SELECT count(*) AS n_vectors,
+                  CAST(max(len(embedding)) AS BIGINT) AS dims FROM embeddings),
+         h AS (SELECT count(*) AS n_hits_total FROM sq8 i
+               JOIN brute b ON i.q_id = b.q_id AND i.vec_id = b.vec_id)
+         SELECT (SELECT n_queries FROM nq) AS n_queries,
+                (SELECT n_hits_total FROM h) AS n_hits_total,
+                CAST((SELECT n_hits_total FROM h) AS DOUBLE)
+                  / ((SELECT n_queries FROM nq) * 5) AS mean_recall,
+                (SELECT n_vectors FROM st) AS n_vectors,
+                (SELECT dims FROM st) AS dims,
+                (SELECT n_vectors FROM st) * (SELECT dims FROM st) * 4 AS bytes_fp32,
+                (SELECT n_vectors FROM st) * ((SELECT dims FROM st) + 8) AS bytes_sq8""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

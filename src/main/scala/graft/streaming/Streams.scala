@@ -261,6 +261,27 @@ object Streams {
       .select(col("q_id"), col("vec_id"), col("cos"))
   }
 
+  /** Streaming benchmark decontamination — the admission-time mirror of
+    * [[graft.functions.CorpusOps.decontaminateOf]]: flag arriving
+    * documents whose 5-token grams overlap the benchmark set before they
+    * enter the corpus. The benchmark grams are PLAN-TIME LITERALS (the
+    * set is small by construction — eval prompts/answers, not a corpus),
+    * so the verdict is one per-row `array_intersect` projection:
+    * join-free, explode-free, zero streaming state — it composes
+    * upstream or downstream of any stateful dedup stage. Same ≥ minHits
+    * contract as batch (a lone coincidental gram is not a positive). */
+  def decontaminateStream(docs: DataFrame, minHits: Int = 2): DataFrame = {
+    val benchArr = array(graft.functions.CorpusOps.benchmarkGrams.map(lit): _*)
+    docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("grams_", when(size(col("toks")) >= 5,
+        array_distinct(expr(graft.functions.CorpusOps.gram5)))
+        .otherwise(array().cast("array<string>")))
+      .withColumn("n_hits", size(array_intersect(col("grams_"), benchArr)))
+      .withColumn("contaminated", col("n_hits") >= minHits)
+      .drop("toks", "grams_")
+  }
+
   // ------------------------------------------------------- sessionize
 
   case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)

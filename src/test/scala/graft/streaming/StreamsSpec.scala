@@ -313,4 +313,31 @@ class StreamsSpec extends AnyFunSuite {
     val recall = hits.toDouble / exact.size
     assert(recall > 0.3, s"streaming probe recall collapsed: $recall")
   }
+
+  test("decontaminateStream flags benchmark-overlapping docs at admission, statelessly") {
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.decontaminateStream(docs).writeStream
+      .format("memory").queryName("decon_out").outputMode(OutputMode.Append()).start()
+    val bench = graft.functions.CorpusOps.benchmarkSentences.head
+    in.addData(
+      (1L, s"some training document that quotes a benchmark: $bench"),
+      (2L, "a perfectly clean document about distributed query engines"),
+      (3L, "short doc"), // < 5 tokens: no grams, can never be flagged
+      // exactly ONE overlapping gram (first 5 benchmark tokens, then
+      // diverges) — under the >= 2 hits contract a lone gram is clean
+      (4L, bench.split(" ").take(5).mkString(" ") + " and then something else entirely"))
+    q.processAllAvailable()
+    val got = spark.table("decon_out")
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    q.stop()
+    assert(got.length == 4)
+    assert(got(0)._3, s"planted doc not flagged: ${got(0)}")
+    assert(got(0)._2 >= 2)
+    assert(!got(1)._3 && got(1)._2 == 0, s"clean doc flagged: ${got(1)}")
+    assert(!got(2)._3 && got(2)._2 == 0, s"short doc flagged: ${got(2)}")
+    assert(!got(3)._3 && got(3)._2 == 1, s"lone-gram doc misjudged: ${got(3)}")
+  }
 }
