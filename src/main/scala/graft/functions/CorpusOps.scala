@@ -235,8 +235,8 @@ object CorpusOps {
 
   // oracle benchmark-sentence VALUES list (with explicit plant index)
   // generated from the same Scala constant the operator broadcasts, so
-  // engine and oracle cannot drift
-  private val benchValues =
+  // engine and oracle cannot drift (shared with the BM25 oracle)
+  private[graft] val benchValues =
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(

@@ -227,6 +227,65 @@ object TextAnalysis {
       .orderBy("token")
   }
 
+  /** BM25 ranked retrieval over the corpus — the query half of the
+    * retrieval stack whose build half is [[invertedIndex]]. The query
+    * set is the benchmark sentences (tiny by nature → BROADCAST); the
+    * corpus side computes (doc_id, token, tf) + doc lengths in
+    * partial-aggregated groupBys; scoring joins the broadcast query
+    * tokens into the postings ONCE and aggregates per (query, doc) in
+    * one shuffle; ranking is the typed top-k partial aggregation.
+    *
+    * Engine-exact scoring, the part that makes this oracle-gateable:
+    * the standard BM25 log-idf is replaced by its log-FREE core
+    * `idf = (N − df + 0.5)/(df + 0.5)` (the same monotone ranking
+    * inside the log; `ln` is the one piece of BM25 whose last-ulp
+    * behavior differs across math libraries), every per-token score is
+    * quantized to integer MICROS (`round(idf·tfn·1e6)`), and the
+    * per-(query, doc) total is an exact integer sum — order-independent
+    * across any partitioning, bit-identical across engines. k1 = 1.2,
+    * b = 0.75 (the textbook constants). */
+  def bm25TopK(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    bm25TopKOf(spark, Tables.documents(spark, dir), k)
+
+  /** [[bm25TopK]] over any (doc_id, text) frame (spec entry point). */
+  def bm25TopKOf(spark: SparkSession, docs: DataFrame, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
+      .toDF("q_id", "token")
+    // postings restricted to query tokens (broadcast filter), then df
+    // per query token off that small slice — itself broadcast back
+    val tfq = tf.join(broadcast(qtok.select("token").distinct()), "token")
+    val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    val scored = tfq
+      .join(broadcast(qtok), "token")
+      .join(broadcast(dfq), "token")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_micro", expr(
+        // idf core × tf saturation, quantized to exact integer micros
+        "cast(round(((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) " +
+          "* (cast(tf as double) / (cast(tf as double) + 1.2 * (0.25 + 0.75 * " +
+          "(cast(dl as double) / (cast(total_len as double) / cast(n_docs as double)))))) " +
+          "* 1000000.0) as bigint)"))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("score_micro")).as("score"))
+    scored
+      .groupBy("q_id")
+      .agg(topk(col("score").cast("double"), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("doc_id"), col("col.score").cast("long").as("score_micro"))
+      .orderBy("q_id", "rnk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
@@ -238,6 +297,7 @@ object TextAnalysis {
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
     "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
+    "ta_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
   )
 
   // oracle fragment shared by the two PII queries: plant + scrub chain,
@@ -361,6 +421,36 @@ object TextAnalysis {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
+    "ta_bm25_topk" ->
+      s"""WITH bench(i, sent) AS (VALUES ${CorpusOps.benchValues}),
+           qt AS (SELECT DISTINCT CAST(i AS BIGINT) AS q_id,
+                    unnest(string_split(lower(sent), ' ')) AS token FROM bench),
+           tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
+                   FROM documents),
+           tokf AS (SELECT doc_id, token FROM tok WHERE len(token) > 0),
+           tf AS (SELECT doc_id, token, count(*) AS tf FROM tokf GROUP BY 1, 2),
+           dl AS (SELECT doc_id, count(*) AS dl FROM tokf GROUP BY 1),
+           st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_len FROM dl),
+           dfq AS (SELECT token, count(*) AS df FROM tf
+                   WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+           sc AS (SELECT q.q_id, t.doc_id,
+                    CAST(round(((CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+                      * (CAST(t.tf AS DOUBLE) / (CAST(t.tf AS DOUBLE)
+                        + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                          / (CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+                      * 1000000.0) AS BIGINT) AS score_micro
+                  FROM tf t JOIN qt q ON t.token = q.token
+                  JOIN dfq d ON t.token = d.token
+                  JOIN dl l ON t.doc_id = l.doc_id
+                  CROSS JOIN st),
+           agg AS (SELECT q_id, doc_id, CAST(sum(score_micro) AS BIGINT) AS score
+                   FROM sc GROUP BY 1, 2),
+           r AS (SELECT q_id, doc_id, score,
+                   row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+                 FROM agg)
+         SELECT q_id, rnk, doc_id, score AS score_micro FROM r
+         WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "ta_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                       FROM documents),

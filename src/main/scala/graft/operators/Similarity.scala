@@ -405,6 +405,54 @@ object Similarity {
     ivfProbeJoinTopK(spark.table(assignName), probeBound, k)
   }
 
+  /** PERSISTED QUANTIZED index — the two storage levers composed, i.e.
+    * the IVF+SQ8 layout a production vector store actually ships: cell
+    * partitioning bounds what a probe READS, int8 codes bound what a
+    * cell COSTS (4× less memory/IO than fp32). Built once per (session,
+    * corpus): the [[buildIvfIndex]] cell assignment joined to the
+    * [[sq8Coded]] code vectors, written cell-bucketed so a probe's cell
+    * equi-join needs no Exchange on the index side. Returns the catalog
+    * table name. */
+  def buildIvfSq8Index(spark: SparkSession, dir: String): String = {
+    val (assignName, _) = buildIvfIndex(spark, dir)
+    val key = graft.sources.IndexStore.keyOf(dir)
+    val name = s"ivf_sq8_$key"
+    if (!spark.catalog.tableExists(name)) {
+      graft.sources.Bucketing.writeBucketed(
+        spark.table(assignName).select("vec_id", "cell")
+          .join(sq8Coded(spark, dir), "vec_id"),
+        name, new java.io.File(s"target/index/$name").getAbsolutePath,
+        buckets = 8, keys = Seq("cell"))
+    }
+    name
+  }
+
+  /** Batch multi-query ANN over the persisted IVF+SQ8 index: candidate
+    * fetch is the stored-cell equi-join (queries broadcast, zero
+    * fit/assign/quantize work at query time), scoring is the
+    * compressed-domain int8 dot, and the one shuffle is the bounded
+    * typed-top-k exchange — the full quantized-index serving path as a
+    * gated query. */
+  def ivfSq8MultiQuery(spark: SparkSession, dir: String,
+                       probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val idx = spark.table(buildIvfSq8Index(spark, dir))
+    val queries = idx.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
+        col("code").as("qc"), col("n8").as("qn"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    idx.join(broadcast(queries),
+        col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("code"), col("qc")).cast("double")
+          / (sqrt(col("n8").cast("double")) * sqrt(col("qn").cast("double"))))
+      .groupBy("q_id")
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(col("q_id"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("vec_id"), col("col.score").as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** Embedding near-dup GROUPS — the vector-modality mirror of
     * [[Dedup.dedupGroupsOf]]: auto-sized sign-LSH bucket join →
     * cosine ≥ threshold pairs → connected components → keep-set
@@ -610,6 +658,7 @@ object Similarity {
     "sim_ivf_recall"     -> ((s: SparkSession, d: String) => ivfMultiQueryRecall(s, d)),
     "sim_sq8_multiquery" -> ((s: SparkSession, d: String) => sq8MultiQueryTopK(s, d)),
     "sim_sq8_recall"     -> ((s: SparkSession, d: String) => sq8Recall(s, d)),
+    "sim_ivf_sq8"        -> ((s: SparkSession, d: String) => ivfSq8MultiQuery(s, d)),
   )
 
   /** DuckDB oracle for [[lshNearDupAuto]]: the plane count comes from the
@@ -892,6 +941,42 @@ object Similarity {
                 CAST((SELECT n_hits FROM h) AS DOUBLE)
                   / ((SELECT n_queries FROM nq) * 5) AS mean_recall""",
     "sim_sq8_multiquery" -> sq8MultiOracle,
+    // IVF+SQ8: the fit/assign CTEs give each vector its cell; the SQ8
+    // CTEs (fresh names — the fit block owns samp/c0../qall/pa/da)
+    // quantize; candidates come from the query's cell, scored int8
+    "sim_ivf_sq8" -> s"""${ivfFitCtes()}
+         m8 AS (SELECT vec_id, list_transform(embedding,
+                  x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS mv
+                FROM embeddings),
+         s8 AS (SELECT vec_id, mv,
+                  greatest(list_reduce(list_transform(mv, x -> abs(x)),
+                    (a, b) -> greatest(a, b)), 1) AS ma
+                FROM m8),
+         c8 AS (SELECT vec_id, list_transform(mv,
+                  x -> CASE WHEN x >= 0 THEN (2*x*127 + ma) // (2*ma)
+                       ELSE -((2*(-x)*127 + ma) // (2*ma)) END) AS cv
+                FROM s8),
+         n8t AS (SELECT vec_id, cv,
+                  list_reduce(list_transform(cv, x -> x*x), (a, b) -> a + b) AS n8
+                FROM c8),
+         q8 AS (SELECT a.vec_id AS q_id, a.cell, t.cv AS qv, t.n8 AS qn
+                FROM assigned a JOIN n8t t ON a.vec_id = t.vec_id
+                WHERE a.vec_id < 20),
+         cand8 AS (SELECT q.q_id, a.vec_id FROM assigned a
+                   JOIN q8 q ON a.cell = q.cell AND a.vec_id <> q.q_id),
+         p8 AS (SELECT c.q_id, c.vec_id, unnest(t.cv) AS x, unnest(q.qv) AS y
+                FROM cand8 c JOIN n8t t ON t.vec_id = c.vec_id
+                JOIN q8 q ON q.q_id = c.q_id),
+         d8 AS (SELECT q_id, vec_id, SUM(x*y) AS dot FROM p8 GROUP BY q_id, vec_id),
+         sc8 AS (SELECT d.q_id, d.vec_id,
+                   CAST(d.dot AS DOUBLE)
+                     / (sqrt(CAST(t.n8 AS DOUBLE)) * sqrt(CAST(q.qn AS DOUBLE))) AS cos
+                 FROM d8 d JOIN n8t t ON d.vec_id = t.vec_id
+                 JOIN q8 q ON d.q_id = q.q_id),
+         r8 AS (SELECT q_id, vec_id, cos,
+                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+                FROM sc8)
+         SELECT q_id, rnk, vec_id, cos FROM r8 WHERE rnk <= 5 ORDER BY q_id, rnk""",
     "sim_sq8_recall" -> s"""WITH sq8 AS ($sq8MultiOracle),
          brute AS ($annMultiOracle),
          nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),

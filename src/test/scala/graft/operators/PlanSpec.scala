@@ -198,6 +198,26 @@ class PlanSpec extends AnyFunSuite {
     assert(stored == fresh, "persisted index diverged from fresh fit+assign")
   }
 
+  test("persisted IVF+SQ8 index: bucketed scan, no exchange on the index side, " +
+    "no quantize work at query time") {
+    val df = Similarity.ivfSq8MultiQuery(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("Bucketed: true"),
+      s"probe join not reading the bucketed quantized index:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), s"probe table not broadcast:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected only the top-k exchange, got $exchanges:\n${plan.take(3000)}")
+    // zero query-time quantization: the milli→max-abs→code chain would
+    // appear as transform(...) projections over the embeddings scan
+    assert(!plan.contains("transform("),
+      s"plan still quantizes at query time:\n${plan.take(3000)}")
+    // the index side reads CODES, never the fp32 embedding column
+    assert(!plan.contains("embedding#"),
+      s"quantized probe still reads the fp32 column:\n${plan.take(3000)}")
+  }
+
   test("banded range join is an equi join on band, not a nested loop") {
     val df = Relational.rangeJoinBanded(spark, dir)
     val plan = planOf(df)
