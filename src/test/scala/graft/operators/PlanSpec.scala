@@ -218,6 +218,19 @@ class PlanSpec extends AnyFunSuite {
       s"quantized probe still reads the fp32 column:\n${plan.take(3000)}")
   }
 
+  test("inverted index caps postings map-side: partial top-k, no per-token window") {
+    val df = graft.functions.TextAnalysis.invertedIndex(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    // the cap must be partial aggregation (≤cap per token per mapper),
+    // NEVER a row_number window shuffling every occurrence of the
+    // heaviest token into one partition
+    assert(plan.toLowerCase.contains("partial_topkbyscore"),
+      s"posting cap not a partial aggregation:\n${plan.take(3000)}")
+    assert(!plan.contains("Window"),
+      s"inverted index fell back to a per-token window:\n${plan.take(3000)}")
+  }
+
   test("banded range join is an equi join on band, not a nested loop") {
     val df = Relational.rangeJoinBanded(spark, dir)
     val plan = planOf(df)
