@@ -39,6 +39,11 @@ object Scale {
     val spark = Sessions.local(cpus, appName = "graft-scale")
     sys.env.get("SPARK_GRAFT_SHUFFLE")
       .foreach(s => spark.conf.set("spark.sql.shuffle.partitions", s))
+    // broadcast-threshold sensitivity (SCALE.md): the report DAG's
+    // executor-resident memory is its broadcast relations, so the
+    // threshold is the knob that trades resident memory vs shuffle
+    sys.env.get("SPARK_GRAFT_BROADCAST")
+      .foreach(b => spark.conf.set("spark.sql.autoBroadcastJoinThreshold", b))
     val metrics = new TaskMetricsListener
     spark.sparkContext.addSparkListener(metrics)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
