@@ -57,11 +57,15 @@ object Scale {
         case None =>
           val fn = SparkEntry.queries(name)
           force(fn(spark, sfDir)) // warm (codegen + page cache)
+          // drain the async listener bus at BOTH boundaries: reset must
+          // not swallow late warm-run events into the measured window,
+          // and the read must not run before measured events arrive
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
           metrics.reset()
           val t0 = System.nanoTime()
           force(fn(spark, sfDir))
           val sec = (System.nanoTime() - t0) / 1e9
-          Thread.sleep(300) // let the async listener bus drain
+          org.apache.spark.GraftListenerBridge.drain(spark.sparkContext)
           val peakMb = metrics.maxTaskPeak.get() / 1e6
           val spillMb = (metrics.spilledMem.get() + metrics.spilledDisk.get()) / 1e6
           println(f"SCALE> $name%-32s $sec%8.2f s  task-peak $peakMb%8.1f MB  spill $spillMb%8.1f MB")

@@ -46,6 +46,13 @@ object ScaleCheck {
     }
     force(SparkEntry.entry(spark))
 
+    // a misspelled/renamed name in the headline list must FAIL the gate,
+    // not silently shrink it to fewer queries with a green exit
+    only.foreach { o =>
+      val unknown = o -- SparkEntry.queries.keySet
+      require(unknown.isEmpty,
+        s"unknown query names in subset: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     val rows = names.flatMap { name =>

@@ -64,11 +64,11 @@ object CorpusOps {
           concat(lit(" "), element_at(plantArr,
             expr("cast((doc_id div 13) % 3 as int)") + 1)))
           .otherwise(lit(""))))
-    val benchGrams = benchmarkSentences.toDF("sent")
-      .withColumn("toks", split(lower(col("sent")), " "))
-      .select(explode(array_distinct(expr(gram5))).as("g"))
-      .distinct()
-      .withColumn("hit", lit(1))
+    // ONE source of truth for the benchmark gram set: the same
+    // driver-side [[benchmarkGrams]] the streaming admission filter
+    // compiles in — a SQL-side re-derivation here could silently
+    // diverge the batch verdict from the streaming one
+    val benchGrams = benchmarkGrams.toDF("g").withColumn("hit", lit(1))
     val grams = planted
       .withColumn("toks", split(lower(col("ctext")), " "))
       .filter(size(col("toks")) >= 5)

@@ -263,7 +263,6 @@ object TextAnalysis {
     // per query token off that small slice — itself broadcast back
     val tfq = tf.join(broadcast(qtok.select("token").distinct()), "token")
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
-    val topk = udaf(new graft.functions.TopKByScore(k))
     val scored = tfq
       .join(broadcast(qtok), "token")
       .join(broadcast(dfq), "token")
@@ -277,13 +276,10 @@ object TextAnalysis {
           "* 1000000.0) as bigint)"))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("score_micro")).as("score"))
-    scored
-      .groupBy("q_id")
-      .agg(topk(col("score").cast("double"), col("doc_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.key").as("doc_id"), col("col.score").cast("long").as("score_micro"))
-      .orderBy("q_id", "rnk")
+    graft.functions.TopKByScore
+      .serveTopK(scored, "q_id", col("score").cast("double"), col("doc_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
+        col("score").cast("long").as("score_micro"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

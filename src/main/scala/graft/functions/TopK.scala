@@ -62,3 +62,26 @@ class TopKByScore(k: Int) extends Aggregator[Scored, Array[Scored], Array[Scored
   override def bufferEncoder: Encoder[Array[Scored]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Scored]] = ExpressionEncoder()
 }
+
+object TopKByScore {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.functions._
+
+  /** The shared per-group serving tail every ranked query uses: bounded
+    * typed top-k per `groupCol` (map-side partial keeps ≤ k rows per
+    * group·mapper) → exploded `(groupCol, rnk, key, score)` rows ordered
+    * by (group, rnk). One definition so the ranking contract — score
+    * desc, key asc tie-break, 1-based rnk — cannot drift between the
+    * ANN, quantized-index and BM25 queries that share it; callers rename
+    * `key`/`score` to their domain columns. */
+  def serveTopK(df: DataFrame, groupCol: String,
+                score: Column, key: Column, k: Int): DataFrame = {
+    val topk = udaf(new TopKByScore(k))
+    df.groupBy(groupCol)
+      .agg(topk(score, key).as("top"))
+      .select(col(groupCol), posexplode(col("top")))
+      .select(col(groupCol), (col("pos") + 1).as("rnk"),
+        col("col.key").as("key"), col("col.score").as("score"))
+      .orderBy(groupCol, "rnk")
+  }
+}

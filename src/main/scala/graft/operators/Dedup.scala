@@ -416,9 +416,21 @@ object Dedup {
                           checkpointDir: Option[String] = None): DataFrame = {
     checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
     // eager=false in both modes: the changed-count job each round is what
-    // materializes the checkpoint, so every round stays ONE job
+    // materializes the checkpoint, so every round stays ONE compute.
+    // Reliable mode additionally persists the frame BEFORE checkpointing:
+    // Spark writes reliable checkpoint files in a follow-up job that
+    // otherwise RECOMPUTES the full lineage (the documented
+    // persist-before-checkpoint rule) — cached, that job is a cache scan.
+    // The cache is dropped right after the round's action materializes
+    // the checkpoint files.
+    var roundCache: Option[DataFrame] = None
     def truncate(df: DataFrame, eager: Boolean): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager) else df.localCheckpoint(eager)
+      if (checkpointDir.isDefined) {
+        val cached = df.persist()
+        roundCache.foreach(_.unpersist())
+        roundCache = Some(cached)
+        cached.checkpoint(eager)
+      } else df.localCheckpoint(eager)
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
@@ -455,6 +467,7 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
+    roundCache.foreach(_.unpersist())
     require(converged, s"label propagation did not converge in $maxIters rounds")
     // singletons (nodes with no pair) keep their own id as the group id
     nodes.join(labels, Seq("node"), "left")
@@ -546,8 +559,17 @@ object Dedup {
     * `pidMultiplier` must exceed the max paragraph count per document
     * (2^63 / multiplier bounds doc_id — 1e5 leaves ~9e13 doc ids). */
   def paragraphDedupOf(paras: DataFrame, pidMultiplier: Long = 100000L): DataFrame = {
+    // ENFORCE the scaladoc's precondition instead of silently folding a
+    // >pidMultiplier-paragraph document's spans into its neighbor's
+    // accounting: a codegen'd per-row check, no extra job
+    val guarded = when(col("para_idx") >= pidMultiplier,
+      raise_error(concat(
+        lit(s"para_idx >= pidMultiplier $pidMultiplier for doc "),
+        col("doc_id").cast("string"),
+        lit(" — raise pidMultiplier"))).cast("long"))
+      .otherwise(col("para_idx"))
     val pid = paras.select(
-      (col("doc_id") * pidMultiplier + col("para_idx")).as("doc_id"),
+      (col("doc_id") * pidMultiplier + guarded).as("doc_id"),
       col("para").as("text"))
     val groups = dedupGroupsOf(pid)
     groups

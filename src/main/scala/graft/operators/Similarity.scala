@@ -328,19 +328,14 @@ object Similarity {
     val queries = assigned.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
         col("embedding").as("qe"), col("na").as("qna"))
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    assigned
+    val scored = assigned
       .join(broadcast(queries),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         quantDot(col("embedding"), col("qe")).cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
-      .groupBy("q_id")
-      .agg(topk(col("cos"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.key").as("vec_id"), col("col.score").as("cos"))
-      .orderBy("q_id", "rnk")
+    graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
   }
 
   /** PERSISTED IVF index: the build-once/store/query-many lifecycle a
@@ -439,18 +434,13 @@ object Similarity {
     val queries = idx.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
         col("code").as("qc"), col("n8").as("qn"))
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    idx.join(broadcast(queries),
+    val scored = idx.join(broadcast(queries),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         quantDot(col("code"), col("qc")).cast("double")
           / (sqrt(col("n8").cast("double")) * sqrt(col("qn").cast("double"))))
-      .groupBy("q_id")
-      .agg(topk(col("cos"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.key").as("vec_id"), col("col.score").as("cos"))
-      .orderBy("q_id", "rnk")
+    graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
   }
 
   /** Embedding near-dup GROUPS — the vector-modality mirror of
@@ -500,17 +490,12 @@ object Similarity {
     val queries = e.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
         col("na").as("qna"))
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val scored = e.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         quantDot(col("embedding"), col("qe")).cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
-      .groupBy("q_id")
-      .agg(topk(col("cos"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.key").as("vec_id"), col("col.score").as("cos"))
-      .orderBy("q_id", "rnk")
+    graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
   }
 
   /** The ANN RECALL CONTRACT as a gated query: mean recall@k of the IVF
@@ -577,17 +562,12 @@ object Similarity {
     val c = sq8Coded(spark, dir)
     val queries = c.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("code").as("qc"), col("n8").as("qn"))
-    val topk = udaf(new graft.functions.TopKByScore(k))
-    c.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+    val scored = c.join(broadcast(queries), col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         quantDot(col("code"), col("qc")).cast("double")
           / (sqrt(col("n8").cast("double")) * sqrt(col("qn").cast("double"))))
-      .groupBy("q_id")
-      .agg(topk(col("cos"), col("vec_id")).as("top"))
-      .select(col("q_id"), posexplode(col("top")))
-      .select(col("q_id"), (col("pos") + 1).as("rnk"),
-        col("col.key").as("vec_id"), col("col.score").as("cos"))
-      .orderBy("q_id", "rnk")
+    graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
   }
 
   /** The SQ8 accuracy/footprint CONTRACT as a gated query: mean recall@k

@@ -117,6 +117,12 @@ def emb_transform(t, i):
     # copy of the original (a synthetic dup explosion real 100x corpora
     # don't have), so wrapped rounds are negated to stay distinct
     w = mat.shape[1]
+    # roll + sign distinguishes only 2*w replicas (replica i and i-2w
+    # share both) — fail loudly rather than silently emit exact dups at
+    # the next scale step
+    assert R <= 2 * w, (
+        f"SF_REPLICAS={R} > 2*width={2*w}: replicas past 2*width "
+        "repeat roll+sign exactly; add a third distinguisher first")
     mat = np.roll(mat, i % w, axis=1)
     if i >= w:
         mat = -mat
