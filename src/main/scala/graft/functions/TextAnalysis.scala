@@ -268,12 +268,76 @@ object TextAnalysis {
       .join(broadcast(dfq), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(stats))
-      .withColumn("score_micro", expr(
-        // idf core × tf saturation, quantized to exact integer micros
-        "cast(round(((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) " +
-          "* (cast(tf as double) / (cast(tf as double) + 1.2 * (0.25 + 0.75 * " +
-          "(cast(dl as double) / (cast(total_len as double) / cast(n_docs as double)))))) " +
-          "* 1000000.0) as bigint)"))
+      // idf core × tf saturation, quantized to exact integer micros
+      .withColumn("score_micro", expr(bm25ScoreMicroSql))
+      .groupBy("q_id", "doc_id")
+      .agg(sum(col("score_micro")).as("score"))
+    graft.functions.TopKByScore
+      .serveTopK(scored, "q_id", col("score").cast("double"), col("doc_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
+  /** PERSISTED BM25 postings index: the corpus side of [[bm25TopKOf]]
+    * built ONCE — `(doc_id, token, tf, dl)` written token-bucketed
+    * ([[graft.sources.Bucketing.writeBucketed]]) plus a 1-row corpus
+    * stats table — so query time never re-tokenizes the corpus. This is
+    * the amortization that fixes the measured ta_bm25_topk profile
+    * (SCALE.md: its full-corpus tf/dl groupBys were the 24×/2.8 GB-spill
+    * row; the persisted probe reads only the query tokens' postings,
+    * and the df-per-token aggregation runs exchange-free off the
+    * bucketed scan). Returns (postingsTable, statsTable). */
+  /** The engine-exact BM25 per-token score in integer micros — ONE
+    * definition shared by the scan-time and persisted-index variants so
+    * the scoring contract cannot drift (columns in scope: tf, df, dl,
+    * n_docs, total_len). */
+  private val bm25ScoreMicroSql: String =
+    "cast(round(((cast(n_docs as double) - cast(df as double) + 0.5) / (cast(df as double) + 0.5)) " +
+      "* (cast(tf as double) / (cast(tf as double) + 1.2 * (0.25 + 0.75 * " +
+      "(cast(dl as double) / (cast(total_len as double) / cast(n_docs as double)))))) " +
+      "* 1000000.0) as bigint)"
+
+  def buildBm25Index(spark: SparkSession, dir: String): (String, String) = {
+    val key = graft.sources.IndexStore.keyOf(dir)
+    val postName = s"bm25_postings_$key"
+    val statName = s"bm25_stats_$key"
+    if (!spark.catalog.tableExists(postName) ||
+        !spark.catalog.tableExists(statName)) {
+      val toks = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+        .filter(length(col("token")) > 0)
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+        .write.mode("overwrite")
+        .option("path", new java.io.File(s"target/index/$statName").getAbsolutePath)
+        .saveAsTable(statName)
+      graft.sources.Bucketing.writeBucketed(
+        tf.join(dl, "doc_id"), postName,
+        new java.io.File(s"target/index/$postName").getAbsolutePath,
+        buckets = 8, keys = Seq("token"))
+    }
+    (postName, statName)
+  }
+
+  /** [[bm25TopK]] served from the persisted postings index —
+    * row-identical by construction (same tokenization, same integer
+    * scoring, just computed at BUILD time), so it shares the
+    * ta_bm25_topk oracle verbatim. */
+  def bm25Persisted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    import spark.implicits._
+    val (postName, statName) = buildBm25Index(spark, dir)
+    val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
+      .toDF("q_id", "token")
+    val tfq = spark.table(postName)
+      .join(broadcast(qtok.select("token").distinct()), "token")
+    val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tfq
+      .join(broadcast(qtok), "token")
+      .join(broadcast(dfq), "token")
+      .crossJoin(broadcast(spark.table(statName)))
+      .withColumn("score_micro", expr(bm25ScoreMicroSql))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("score_micro")).as("score"))
     graft.functions.TopKByScore
@@ -294,6 +358,7 @@ object TextAnalysis {
     "ta_fingerprint"  -> fingerprint _,
     "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "ta_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
+    "ta_bm25_persisted" -> ((s: SparkSession, d: String) => bm25Persisted(s, d)),
   )
 
   // oracle fragment shared by the two PII queries: plant + scrub chain,
@@ -417,7 +482,14 @@ object TextAnalysis {
       """SELECT doc_id,
            md5(array_to_string(list_sort(list_distinct(string_split(lower(text), ' '))), ' ')) AS fp
          FROM documents ORDER BY doc_id""",
-    "ta_bm25_topk" ->
+    // the persisted-index variant must return IDENTICAL rows — same
+    // tokenization, same integer scoring, computed at build time — so
+    // it shares the scan-time oracle verbatim
+    "ta_bm25_persisted" -> bm25Oracle,
+    "ta_bm25_topk" -> bm25Oracle,
+  ) ++ invertedOracles
+
+  private lazy val bm25Oracle: String =
       s"""WITH bench(i, sent) AS (VALUES ${CorpusOps.benchValues}),
            qt AS (SELECT DISTINCT CAST(i AS BIGINT) AS q_id,
                     unnest(string_split(lower(sent), ' ')) AS token FROM bench),
@@ -446,7 +518,11 @@ object TextAnalysis {
                    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
                  FROM agg)
          SELECT q_id, rnk, doc_id, score AS score_micro FROM r
-         WHERE rnk <= 5 ORDER BY q_id, rnk""",
+         WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  // lazy: referenced by `oracles` above its declaration (object vals
+  // initialize in declaration order)
+  private lazy val invertedOracles: Map[String, String] = Map(
     "ta_inverted_index" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
                       FROM documents),

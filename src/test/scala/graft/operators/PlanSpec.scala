@@ -231,6 +231,22 @@ class PlanSpec extends AnyFunSuite {
       s"inverted index fell back to a per-token window:\n${plan.take(3000)}")
   }
 
+  test("persisted BM25 postings: bucketed scan, no corpus re-tokenization, " +
+    "row-identical to the scan-time variant") {
+    val df = graft.functions.TextAnalysis.bm25Persisted(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString.split("Initial Plan")(0)
+    assert(plan.contains("Bucketed: true"),
+      s"probe not reading the bucketed postings index:\n${plan.take(3000)}")
+    // zero query-time tokenization: the corpus split/explode chain would
+    // appear in the plan as a split(...) projection + Generate
+    assert(!plan.contains("split("),
+      s"persisted plan still tokenizes the corpus:\n${plan.take(3000)}")
+    val fresh = graft.functions.TextAnalysis.bm25TopK(spark, dir).collect().map(_.toSeq).toSeq
+    val stored = df.collect().map(_.toSeq).toSeq
+    assert(stored == fresh, "persisted postings diverged from scan-time BM25")
+  }
+
   test("banded range join is an equi join on band, not a nested loop") {
     val df = Relational.rangeJoinBanded(spark, dir)
     val plan = planOf(df)

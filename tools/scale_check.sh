@@ -23,8 +23,8 @@ if [ "${1:-}" = "--sf10" ]; then
   HEADLINE="ig_report_synth,dd_dedup_groups,dd_dedup_corpus,dd_incremental"
   HEADLINE="$HEADLINE,ta_corpus_pipeline,mm_neardup_pairs,sim_ivf_multiquery,win_topk_per_customer"
   # round-6 additions: paragraph-granularity dedup, quantized index probe,
-  # BM25 retrieval — the three new families with nontrivial scale shapes
-  HEADLINE="$HEADLINE,dd_paragraph_dedup,sim_ivf_sq8,ta_bm25_topk"
+  # BM25 retrieval (scan-time + persisted-postings serving path)
+  HEADLINE="$HEADLINE,dd_paragraph_dedup,sim_ivf_sq8,ta_bm25_topk,ta_bm25_persisted"
   exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF10_DIR ${2:-100} ${3:-120} $HEADLINE"
 fi
 BOUND="${1:-10}"
