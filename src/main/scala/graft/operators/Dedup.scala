@@ -590,6 +590,90 @@ object Dedup {
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupOf(paragraphs(Tables.documents(spark, dir)))
 
+  // ---------------------------------------------- repeated-span removal
+
+  /** The boilerplate sentence [[spanDedup]]'s gate plants (12 tokens —
+    * wide enough that 8-token grams land fully inside it). In a real
+    * pipeline this is the license header / cookie banner the span pass
+    * exists to remove. */
+  private[graft] val boilerplate: String =
+    "this work is licensed under a creative commons attribution share alike license"
+
+  /** Corpus-wide repeated-SPAN detection — the shuffle-bounded
+    * approximation of suffix-array substring dedup (the ExactSubstr
+    * pass of Lee et al. 2021): any `w`-token window whose content
+    * occurs ≥ 2 times ANYWHERE in the corpus (other documents or the
+    * same one) is a repeated span; overlapping/adjacent spans merge
+    * into maximal islands; output is per-document removal accounting
+    * `(doc_id, n_tokens, n_spans, tokens_in_spans)`.
+    *
+    * This is the substring-granularity family paragraph dedup
+    * ([[paragraphDedupOf]]) cannot express: a license header embedded
+    * in otherwise-distinct documents never pays document- or
+    * fixed-paragraph-level hashing, but every 8-gram inside it repeats
+    * corpus-wide. The reference's caption-repetition rescans
+    * (analyze_insta_enhanced.py:1590-1609) are the in-domain miniature.
+    *
+    * Scale shape: the gram stream (one row per token position, md5 of
+    * the window as a fixed-width key) crosses the wire ONCE — the
+    * corpus-wide occurrence count is a window count over the gram-hash
+    * partition, so there is no second tokenize+explode branch and no
+    * self-join; a suffix array at 100 TB is exactly this shuffle in
+    * disguise. The island merge windows over MATCHED spans only
+    * (repeated grams, a small fraction of positions); its worst case —
+    * a fully-duplicated giant document — is bounded by that document's
+    * own token count. */
+  def spanDedupOf(docs: DataFrame, w: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toked = docs.select(col("doc_id"),
+      split(lower(col("text")), " ").as("toks"))
+    val gramCols = (0 until w).map(j => s"toks[i-1+$j]").mkString(", ")
+    val occ = toked.filter(size(col("toks")) >= w)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${w - 1}),
+              i -> named_struct('pos', i, 'gh', md5(concat_ws(' ', $gramCols))))""")).as("o"))
+      .select(col("doc_id"), col("o.pos").as("s"),
+        (col("o.pos") + (w - 1)).as("e"), col("o.gh").as("gh"))
+    // corpus-wide occurrence count without re-deriving the gram stream:
+    // one exchange on gh, count over the hash partition, filter ≥ 2
+    val spans = occ
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
+      .filter(col("c") >= 2)
+      .select("doc_id", "s", "e")
+    // merge overlapping/adjacent spans into maximal islands: a span
+    // starts a new island iff it begins past the running max end + 1
+    val byStart = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
+    val runPrev = byStart.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = spans
+      .withColumn("ni",
+        when(col("s") > coalesce(max(col("e")).over(runPrev), lit(-1)) + 1, 1)
+          .otherwise(0))
+      .withColumn("iid", sum(col("ni"))
+        .over(byStart.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("doc_id", "iid")
+      .agg((max(col("e")) - min(col("s")) + 1).cast("long").as("sz"))
+    val perDoc = islands.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"), sum(col("sz")).as("tokens_in_spans"))
+    toked.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("tokens_in_spans"), lit(0L)).as("tokens_in_spans"))
+      .orderBy("doc_id")
+  }
+
+  /** [[spanDedupOf]] over the documents table, with the gate's plant:
+    * every 5th document gets [[boilerplate]] appended (the identical
+    * plant on both engines — the synthetic corpus has almost no natural
+    * 8-gram repetition, so the gate must exercise the removal path). */
+  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
+    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + boilerplate))
+          .otherwise(lit(""))).as("text"))
+    spanDedupOf(planted)
+  }
+
   /** End-to-end CANONICAL-CORPUS summary — the step that consumes the
     * keep-set: per language, how many documents survive dedup
     * (`is_canonical`) and how many characters the cleaned corpus keeps.
@@ -617,6 +701,7 @@ object Dedup {
     "dd_dedup_groups"        -> dedupGroups _,
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
     "dd_paragraph_dedup"     -> paragraphDedup _,
+    "dd_span_dedup"          -> spanDedup _,
     "dd_incremental"         -> incrementalDedup _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
@@ -762,6 +847,43 @@ object Dedup {
                   AS chars_removed
          FROM g JOIN pc ON g.doc_id = pc.doc_id
          GROUP BY 1 ORDER BY doc_id""",
+    // repeated spans: 1-based start positions; t[i : i+7] is DuckDB's
+    // inclusive 8-element slice of the same window Spark's concat_ws
+    // builds; islands via the identical running-max-end window
+    "dd_span_dedup" ->
+      s"""WITH pl AS (
+           SELECT doc_id,
+             string_split(lower(text ||
+               CASE WHEN doc_id % 5 = 0 THEN ' $boilerplate' ELSE '' END), ' ') AS t
+           FROM documents),
+         occ AS (
+           SELECT doc_id, i AS s, i + 7 AS e,
+                  md5(array_to_string(t[i : i+7], ' ')) AS gh
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                 FROM pl WHERE len(t) >= 8)),
+         rep AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+         sp AS (SELECT o.doc_id, o.s, o.e FROM occ o JOIN rep USING (gh)),
+         isl AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+           FROM sp),
+         isl2 AS (
+           SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+           FROM isl),
+         ag AS (SELECT doc_id, iid, max(e) - min(s) + 1 AS sz
+                FROM isl2 GROUP BY doc_id, iid),
+         pd AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(sz) AS BIGINT) AS tokens_in_spans
+                FROM ag GROUP BY doc_id)
+         SELECT pl.doc_id AS doc_id, CAST(len(pl.t) AS BIGINT) AS n_tokens,
+                CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(pd.tokens_in_spans, 0) AS BIGINT) AS tokens_in_spans
+         FROM pl LEFT JOIN pd ON pl.doc_id = pd.doc_id
+         ORDER BY 1""",
     "dd_dedup_corpus" ->
       s"""$dedupGroupsCtes
          SELECT d.lang, count(*) AS n_docs,
