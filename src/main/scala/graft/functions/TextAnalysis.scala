@@ -346,6 +346,43 @@ object TextAnalysis {
         col("score").cast("long").as("score_micro"))
   }
 
+  /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
+    * the lexical and vector rankings over the SAME query set: query i
+    * is the pair (benchmark sentence i, embedding vec_id = i), i < 3,
+    * the standard two-tower serving shape. Each doc's fused score is
+    * Σ 1/(60 + rank) over the lists it appears in, computed as integer
+    * MICROS via integer division (`1000000 div (60+rnk)`) so the fusion
+    * is bit-identical across engines and partitionings — same move as
+    * the BM25 integer-micro scoring.
+    *
+    * Scale shape: both input rankings are already top-k-bounded (≤ k
+    * rows per query each, regardless of corpus size), so the fusion
+    * union + groupBy + final top-k runs on O(queries · k) rows — the
+    * fusion stage is free at 100 TB; all the cost stays in the two
+    * retrieval legs, each already shuffle-bounded (BM25: broadcast
+    * query tokens into postings; ANN: one broadcast scan + typed
+    * top-k partial aggregation). */
+  def hybridRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val lex = bm25TopK(spark, dir, k).select("q_id", "doc_id", "rnk")
+    val vec = graft.operators.Similarity.annMultiQueryTopK(spark, dir, 3L, k)
+      .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
+    rrfFuseOf(lex, vec, k)
+  }
+
+  /** The fusion stage of [[hybridRrf]] over any two `(q_id, doc_id,
+    * rnk)` rank lists (spec entry point — the corpus legs rarely
+    * overlap, so the sum path needs controlled inputs to exercise). */
+  private[graft] def rrfFuseOf(lex: DataFrame, vec: DataFrame, k: Int): DataFrame = {
+    val contrib = expr("1000000 div (60 + rnk)")
+    val fused = lex.select(col("q_id"), col("doc_id"), contrib.as("c"))
+      .unionByName(vec.select(col("q_id"), col("doc_id"), contrib.as("c")))
+      .groupBy("q_id", "doc_id").agg(sum(col("c")).as("rrf"))
+    graft.functions.TopKByScore
+      .serveTopK(fused, "q_id", col("rrf").cast("double"), col("doc_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
+        col("score").cast("long").as("rrf_micro"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
@@ -359,6 +396,7 @@ object TextAnalysis {
     "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "ta_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "ta_bm25_persisted" -> ((s: SparkSession, d: String) => bm25Persisted(s, d)),
+    "ta_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
   )
 
   // oracle fragment shared by the two PII queries: plant + scrub chain,
@@ -487,10 +525,14 @@ object TextAnalysis {
     // it shares the scan-time oracle verbatim
     "ta_bm25_persisted" -> bm25Oracle,
     "ta_bm25_topk" -> bm25Oracle,
+    "ta_hybrid_rrf" -> hybridRrfOracle,
   ) ++ invertedOracles
 
-  private lazy val bm25Oracle: String =
-      s"""WITH bench(i, sent) AS (VALUES ${CorpusOps.benchValues}),
+  /** CTE fragment: the full BM25 scoring pipeline ending at
+    * `r(q_id, doc_id, score, rnk)` — shared by [[bm25Oracle]] and the
+    * hybrid-RRF fusion oracle so the lexical half cannot drift. */
+  private lazy val bm25Ctes: String =
+      s"""bench(i, sent) AS (VALUES ${CorpusOps.benchValues}),
            qt AS (SELECT DISTINCT CAST(i AS BIGINT) AS q_id,
                     unnest(string_split(lower(sent), ' ')) AS token FROM bench),
            tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token
@@ -516,8 +558,31 @@ object TextAnalysis {
                    FROM sc GROUP BY 1, 2),
            r AS (SELECT q_id, doc_id, score,
                    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
-                 FROM agg)
+                 FROM agg)"""
+
+  private lazy val bm25Oracle: String =
+    s"""WITH $bm25Ctes
          SELECT q_id, rnk, doc_id, score AS score_micro FROM r
+         WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Hybrid-retrieval fusion oracle: the shared BM25 CTEs (lexical
+    * ranks) + the shared exact-vector CTEs from Similarity (vector
+    * ranks, probe bound = the 3 benchmark queries), fused by
+    * reciprocal-rank contributions in pure integer arithmetic. */
+  private lazy val hybridRrfOracle: String =
+    s"""WITH $bm25Ctes,
+         ${graft.operators.Similarity.annMultiVecCtes(3)},
+         lex AS (SELECT q_id, doc_id, 1000000 // (60 + rnk) AS c
+                 FROM r WHERE rnk <= 5),
+         vec AS (SELECT q_id, vec_id AS doc_id, 1000000 // (60 + rnk) AS c
+                 FROM vr WHERE rnk <= 5),
+         u AS (SELECT * FROM lex UNION ALL SELECT * FROM vec),
+         f AS (SELECT q_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf
+               FROM u GROUP BY 1, 2),
+         fr AS (SELECT q_id, doc_id, rrf,
+                  row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id ASC) AS rnk
+                FROM f)
+         SELECT q_id, rnk, doc_id, rrf AS rrf_micro FROM fr
          WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   // lazy: referenced by `oracles` above its declaration (object vals

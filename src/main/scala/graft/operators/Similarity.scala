@@ -872,25 +872,33 @@ object Similarity {
                FROM sc)
          SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
-  private lazy val annMultiOracle: String =
-    """WITH qs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 20),
-         p AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
-               FROM embeddings e, qs q WHERE e.vec_id <> q.q_id),
-         d AS (SELECT q_id, vec_id,
+  /** CTE fragment: EXACT multi-query cosine ranking (milli-quantized,
+    * identical to [[annMultiQueryTopK]]'s scoring) over probe vectors
+    * `vec_id < bound`, with v-prefixed names so composing oracles
+    * (the hybrid-RRF fusion in TextAnalysis) can embed it next to their
+    * own CTEs. Ends at `vr(q_id, vec_id, cos, rnk)`. */
+  private[graft] def annMultiVecCtes(bound: Int): String =
+    s"""vqs AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < $bound),
+         vp AS (SELECT q.q_id, e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e, vqs q WHERE e.vec_id <> q.q_id),
+         vd AS (SELECT q_id, vec_id,
                  SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
                    * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
                  SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
                    * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
                  SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
                    * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
-               FROM p GROUP BY q_id, vec_id),
-         s AS (SELECT q_id, vec_id,
+               FROM vp GROUP BY q_id, vec_id),
+         vs AS (SELECT q_id, vec_id,
                  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
-               FROM d),
-         r AS (SELECT q_id, vec_id, cos,
+               FROM vd),
+         vr AS (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
-               FROM s)
-         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5 ORDER BY q_id, rnk"""
+               FROM vs)"""
+
+  private lazy val annMultiOracle: String =
+    s"""WITH ${annMultiVecCtes(20)}
+         SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   val oracles: Map[String, String] = Map(
     "sim_ivf_topk" ->
