@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
@@ -297,13 +297,22 @@ object TextAnalysis {
       "(cast(dl as double) / (cast(total_len as double) / cast(n_docs as double)))))) " +
       "* 1000000.0) as bigint)"
 
-  def buildBm25Index(spark: SparkSession, dir: String): (String, String) = {
+  def buildBm25Index(spark: SparkSession, dir: String): (String, String) =
+    buildBm25IndexOf(spark, dir, tag = "", pred = lit(true))
+
+  /** The BASE slice's index for the incremental variant: only documents
+    * with `doc_id % 7 != 0` — the corpus as of "yesterday's" build. */
+  def buildBm25BaseIndex(spark: SparkSession, dir: String): (String, String) =
+    buildBm25IndexOf(spark, dir, tag = "base_", pred = col("doc_id") % 7 =!= 0)
+
+  private def buildBm25IndexOf(spark: SparkSession, dir: String,
+                               tag: String, pred: Column): (String, String) = {
     val key = graft.sources.IndexStore.keyOf(dir)
-    val postName = s"bm25_postings_$key"
-    val statName = s"bm25_stats_$key"
+    val postName = s"bm25_${tag}postings_$key"
+    val statName = s"bm25_${tag}stats_$key"
     if (!spark.catalog.tableExists(postName) ||
         !spark.catalog.tableExists(statName)) {
-      val toks = Tables.documents(spark, dir)
+      val toks = Tables.documents(spark, dir).filter(pred)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
         .filter(length(col("token")) > 0)
       val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
@@ -325,18 +334,26 @@ object TextAnalysis {
     * scoring, just computed at BUILD time), so it shares the
     * ta_bm25_topk oracle verbatim. */
   def bm25Persisted(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    import spark.implicits._
     val (postName, statName) = buildBm25Index(spark, dir)
+    bm25Serve(spark, spark.table(postName), spark.table(statName), k)
+  }
+
+  /** The shared BM25 serving tail over any postings `(doc_id, token,
+    * tf, dl)` + 1-row stats `(n_docs, total_len)` pair — broadcast query
+    * tokens in, integer-micro scoring, typed top-k out. One definition
+    * so the persisted and incremental variants cannot drift. */
+  private def bm25Serve(spark: SparkSession, post: DataFrame,
+                        stats: DataFrame, k: Int): DataFrame = {
+    import spark.implicits._
     val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
       .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
       .toDF("q_id", "token")
-    val tfq = spark.table(postName)
-      .join(broadcast(qtok.select("token").distinct()), "token")
+    val tfq = post.join(broadcast(qtok.select("token").distinct()), "token")
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tfq
       .join(broadcast(qtok), "token")
       .join(broadcast(dfq), "token")
-      .crossJoin(broadcast(spark.table(statName)))
+      .crossJoin(broadcast(stats))
       .withColumn("score_micro", expr(bm25ScoreMicroSql))
       .groupBy("q_id", "doc_id")
       .agg(sum(col("score_micro")).as("score"))
@@ -344,6 +361,32 @@ object TextAnalysis {
       .serveTopK(scored, "q_id", col("score").cast("double"), col("doc_id"), k)
       .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
         col("score").cast("long").as("score_micro"))
+  }
+
+  /** Index MAINTENANCE — the daily-ingest shape of the retrieval stack:
+    * the BASE postings (docs with `doc_id % 7 != 0`) come from the
+    * persisted token-bucketed index built "yesterday"; the DELTA batch
+    * (every 7th doc) is tokenized at query time; serving runs over the
+    * union with combined corpus stats. Only the delta ever pays
+    * tokenization — the base side reads just the query tokens' postings
+    * off the bucketed layout — yet the result is row-identical to
+    * rebuilding over the full corpus (same tf/dl/df/stats arithmetic,
+    * df computed on the unioned postings), so it shares the ta_bm25_topk
+    * oracle verbatim. At 100 TB this is the difference between an
+    * index REBUILD and an index APPEND per ingest batch. */
+  def bm25Incremental(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val (postName, statName) = buildBm25BaseIndex(spark, dir)
+    val dtoks = Tables.documents(spark, dir).filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val dtf = dtoks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val ddl = dtoks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dstat = ddl.agg(count(lit(1)).as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+    val post = spark.table(postName).unionByName(dtf.join(ddl, "doc_id"))
+    val stats = spark.table(statName).unionByName(dstat)
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+    bm25Serve(spark, post, stats, k)
   }
 
   /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
@@ -396,6 +439,7 @@ object TextAnalysis {
     "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
     "ta_bm25_topk" -> ((s: SparkSession, d: String) => bm25TopK(s, d)),
     "ta_bm25_persisted" -> ((s: SparkSession, d: String) => bm25Persisted(s, d)),
+    "ta_bm25_incremental" -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
     "ta_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
   )
 
@@ -524,6 +568,9 @@ object TextAnalysis {
     // tokenization, same integer scoring, computed at build time — so
     // it shares the scan-time oracle verbatim
     "ta_bm25_persisted" -> bm25Oracle,
+    // incremental base+delta serving must equal the full-corpus answer
+    // (same tf/dl/df/stats arithmetic), so it shares the oracle verbatim
+    "ta_bm25_incremental" -> bm25Oracle,
     "ta_bm25_topk" -> bm25Oracle,
     "ta_hybrid_rrf" -> hybridRrfOracle,
   ) ++ invertedOracles

@@ -355,9 +355,23 @@ object Similarity {
   def buildIvfIndex(spark: SparkSession, dir: String): (String, String) = {
     val key = graft.sources.IndexStore.keyOf(dir)
     val assignName = s"ivf_assign_$key"
+    val centName = buildIvfCentroidTable(spark, dir)
+    if (!spark.catalog.tableExists(assignName)) {
+      graft.sources.Bucketing.writeBucketed(
+        assignWithStoredCentroids(spark, centName, Tables.embeddings(spark, dir)),
+        assignName, new java.io.File(s"target/index/$assignName").getAbsolutePath,
+        buckets = 8, keys = Seq("cell"))
+    }
+    (assignName, centName)
+  }
+
+  /** The fitted centroid table alone — the rarely-refit metadata half of
+    * the index, factored out so incremental assignment can reuse it
+    * without triggering a full corpus reassignment. */
+  def buildIvfCentroidTable(spark: SparkSession, dir: String): String = {
+    val key = graft.sources.IndexStore.keyOf(dir)
     val centName = s"ivf_cents_$key"
-    if (!spark.catalog.tableExists(assignName) ||
-        !spark.catalog.tableExists(centName)) {
+    if (!spark.catalog.tableExists(centName)) {
       val cents = fitIvfCentroids(spark, dir)
       import spark.implicits._
       cents.toSeq.map { case (id, cv) => (id, cv.map(x => x * x).sum, cv) }
@@ -365,12 +379,33 @@ object Similarity {
         .write.mode("overwrite")
         .option("path", new java.io.File(s"target/index/$centName").getAbsolutePath)
         .saveAsTable(centName)
-      graft.sources.Bucketing.writeBucketed(
-        assignCells(Tables.embeddings(spark, dir), fittedCentsLit(cents)),
-        assignName, new java.io.File(s"target/index/$assignName").getAbsolutePath,
-        buckets = 8, keys = Seq("cell"))
     }
-    (assignName, centName)
+    centName
+  }
+
+  /** Index MAINTENANCE for the vector side — the ingest-batch shape of
+    * a deployed ANN index: centroids are fitted rarely (the stored
+    * metadata); the BASE slice's cell assignments (`vec_id % 7 != 0`)
+    * are persisted cell-bucketed "yesterday"; the DELTA batch (every
+    * 7th vector) is assigned at query time against the STORED centroids
+    * — a pure per-row argmax projection, no refit, no base
+    * reassignment — and the probe joins the union. Assignment is
+    * per-row deterministic given the same centroids, so the result is
+    * row-identical to [[ivfMultiQueryTopK]] and shares its oracle
+    * verbatim. At 100 TB this is an index APPEND per batch instead of
+    * a full rebuild. */
+  def ivfMultiQueryIncremental(spark: SparkSession, dir: String,
+                               probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val centName = buildIvfCentroidTable(spark, dir)
+    val key = graft.sources.IndexStore.keyOf(dir)
+    val base = graft.sources.IndexStore.orBuild(
+      spark, s"ivf_base_assign_$key", buckets = 8, keys = Seq("cell")) {
+      assignWithStoredCentroids(spark, centName,
+        Tables.embeddings(spark, dir).filter(col("vec_id") % 7 =!= 0))
+    }
+    val delta = assignWithStoredCentroids(spark, centName,
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 7 === 0))
+    ivfProbeJoinTopK(base.unionByName(delta), probeBound, k)
   }
 
   /** Cell assignment of ANY (vec_id, embedding) frame — batch or
@@ -630,6 +665,7 @@ object Similarity {
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
     "sim_ivf_multiquery" -> ((s: SparkSession, d: String) => ivfMultiQueryTopK(s, d)),
     "sim_ivf_persisted"  -> ((s: SparkSession, d: String) => ivfMultiQueryPersisted(s, d)),
+    "sim_ivf_incremental" -> ((s: SparkSession, d: String) => ivfMultiQueryIncremental(s, d)),
     "sim_ann_multiquery" -> ((s: SparkSession, d: String) => annMultiQueryTopK(s, d)),
     "sim_lsh_neardup"    -> ((s: SparkSession, d: String) => lshNearDup(s, d, 3)),
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
@@ -918,6 +954,10 @@ object Similarity {
     // fit, same assignment, just computed at build time — so it shares
     // the multiquery oracle verbatim
     "sim_ivf_persisted" -> ivfMultiOracle,
+    // incremental maintenance must serve the IDENTICAL rows — same
+    // centroids, same per-row assignment, just base persisted + delta
+    // assigned at query time — so it shares the multiquery oracle too
+    "sim_ivf_incremental" -> ivfMultiOracle,
     "sim_ann_multiquery" -> annMultiOracle,
     "sim_ivf_recall" -> s"""WITH ivf AS ($ivfMultiOracle),
          brute AS ($annMultiOracle),
