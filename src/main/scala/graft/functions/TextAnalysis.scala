@@ -389,6 +389,50 @@ object TextAnalysis {
     bm25Serve(spark, post, stats, k)
   }
 
+  /** Model-based quality FILTERING via the hashing trick — the fastText
+    * shape (Joulin et al. 2016; hashing trick per Weinberger et al.
+    * 2009) of the quality-classifier gate every production corpus
+    * pipeline runs (CCNet/RefinedWeb style): every unigram and bigram
+    * hashes into a 4096-bucket feature space, each bucket carries an
+    * integer weight, a document's margin is the exact integer sum of
+    * its features' weights, keep = margin > 0 (the sigmoid is monotone
+    * and omitted). The weights here are a deterministic arithmetic
+    * surrogate for a trained model's — the gated contract is the
+    * serving ENGINE: hashing, margin accumulation, threshold gate.
+    *
+    * Scale shape: the hashing trick turns the weight-matrix lookup into
+    * pure arithmetic on the feature hash — no weight table, no join,
+    * nothing broadcast; scoring is one narrow projection (explode →
+    * bucket → weight) plus one per-doc partial-aggregated sum. The
+    * margin is an order-free integer sum, bit-identical across engines
+    * and partitionings. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    qualityClassifierOf(Tables.documents(spark, dir))
+
+  /** [[qualityClassifier]] over any (doc_id, text) frame (spec entry). */
+  def qualityClassifierOf(docs: DataFrame): DataFrame = {
+    val toks = docs.withColumn("toks", split(lower(col("text")), " "))
+    val feats = toks.select(col("doc_id"), explode(expr(
+      """concat(
+           filter(toks, t -> length(t) > 0),
+           if(size(toks) >= 2,
+              transform(sequence(1, size(toks) - 1),
+                i -> concat_ws(' ', toks[i-1], toks[i])),
+              cast(array() as array<string>)))""")).as("feat"))
+    val scored = feats
+      .withColumn("b", expr(
+        "pmod(cast(conv(substring(md5(feat), 1, 8), 16, 10) as bigint), 4096)"))
+      .withColumn("w", expr("pmod(b * 2654435761, 2001) - 1000"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("margin"))
+    docs.select("doc_id").join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("margin"), lit(0L)).as("margin"),
+        (coalesce(col("margin"), lit(0L)) > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
   /** HYBRID retrieval — reciprocal-rank fusion (Cormack et al. 2009) of
     * the lexical and vector rankings over the SAME query set: query i
     * is the pair (benchmark sentence i, embedding vec_id = i), i < 3,
@@ -441,6 +485,7 @@ object TextAnalysis {
     "ta_bm25_persisted" -> ((s: SparkSession, d: String) => bm25Persisted(s, d)),
     "ta_bm25_incremental" -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
     "ta_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "ta_quality_classifier" -> qualityClassifier _,
   )
 
   // oracle fragment shared by the two PII queries: plant + scrub chain,
@@ -573,6 +618,31 @@ object TextAnalysis {
     "ta_bm25_incremental" -> bm25Oracle,
     "ta_bm25_topk" -> bm25Oracle,
     "ta_hybrid_rrf" -> hybridRrfOracle,
+    // hashed linear classifier: the md5-hex→int bucket is the same
+    // list_reduce pattern as ta_split_assign; bigrams are t[i]||' '||
+    // t[i+1] over 1-based lists = Spark's toks[i-1],toks[i] 0-based
+    "ta_quality_classifier" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         uni AS (SELECT doc_id, unnest(list_filter(t, x -> len(x) > 0)) AS feat FROM tk),
+         bi AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS feat
+                FROM tk WHERE len(t) >= 2),
+         f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+         w AS (SELECT doc_id,
+                 ((list_reduce([strpos('0123456789abcdef', c) - 1
+                                FOR c IN string_split(substr(md5(feat), 1, 8), '')],
+                               (a, v) -> a * 16 + v) % 4096)
+                  * 2654435761) % 2001 - 1000 AS w
+               FROM f),
+         pd AS (SELECT doc_id, count(*) AS n_feats,
+                       CAST(sum(w) AS BIGINT) AS margin
+                FROM w GROUP BY doc_id)
+         SELECT tk.doc_id AS doc_id,
+                CAST(coalesce(pd.n_feats, 0) AS BIGINT) AS n_feats,
+                CAST(coalesce(pd.margin, 0) AS BIGINT) AS margin,
+                coalesce(pd.margin, 0) > 0 AS keep
+         FROM tk LEFT JOIN pd ON tk.doc_id = pd.doc_id
+         ORDER BY 1""",
   ) ++ invertedOracles
 
   /** CTE fragment: the full BM25 scoring pipeline ending at
