@@ -363,6 +363,25 @@ object TextAnalysis {
         col("score").cast("long").as("score_micro"))
   }
 
+  /** IMPACT-scored postings — `(token, doc_id, score_micro)` with the
+    * full per-token BM25 contribution precomputed at BUILD time. Every
+    * term of the score (tf, df, dl, corpus stats) is a static index
+    * quantity, so the whole contribution can be materialized into the
+    * index (the classic impact-ordered-index move): an online probe
+    * then needs no arithmetic, no df lookup, no stats — just an
+    * equi-join on token and a per-query sum. The df aggregation runs
+    * exchange-free off the token-bucketed postings scan. This is the
+    * static side of [[graft.streaming.Streams.bm25ProbeStream]]. */
+  def bm25Impacts(spark: SparkSession, dir: String): DataFrame = {
+    val (postName, statName) = buildBm25Index(spark, dir)
+    val post = spark.table(postName)
+    val dfAll = post.groupBy("token").agg(count(lit(1)).as("df"))
+    post.join(dfAll, "token")
+      .crossJoin(broadcast(spark.table(statName)))
+      .withColumn("score_micro", expr(bm25ScoreMicroSql))
+      .select("token", "doc_id", "score_micro")
+  }
+
   /** Index MAINTENANCE — the daily-ingest shape of the retrieval stack:
     * the BASE postings (docs with `doc_id % 7 != 0`) come from the
     * persisted token-bucketed index built "yesterday"; the DELTA batch

@@ -261,6 +261,26 @@ object Streams {
       .select(col("q_id"), col("vec_id"), col("cos"))
   }
 
+  /** Streaming BM25 probe — the lexical mirror of [[annProbeStream]]:
+    * a micro-batch stream of text queries `(q_id, qtext)` probing the
+    * PERSISTED postings index. Zero-state by construction: every term
+    * of the BM25 score is a static index quantity, so the index is
+    * served as IMPACT-scored postings
+    * ([[graft.functions.TextAnalysis.bm25Impacts]]) and the stream side
+    * just explodes its distinct query tokens and equi-joins the static
+    * impacts — stream-static join, no aggregation, no watermark, no
+    * state store. Emits per-candidate `(q_id, doc_id, score_micro)`
+    * contribution rows; the per-query top-k is the per-batch sink
+    * replay, exactly like the ANN probe. */
+  def bm25ProbeStream(spark: SparkSession, queries: DataFrame, dir: String): DataFrame = {
+    val impacts = graft.functions.TextAnalysis.bm25Impacts(spark, dir)
+    queries
+      .withColumn("token", explode(array_distinct(
+        filter(split(lower(col("qtext")), " "), t => length(t) > 0))))
+      .join(impacts, "token")
+      .select(col("q_id"), col("doc_id"), col("score_micro"))
+  }
+
   /** Streaming benchmark decontamination — the admission-time mirror of
     * [[graft.functions.CorpusOps.decontaminateOf]]: flag arriving
     * documents whose 5-token grams overlap the benchmark set before they

@@ -314,6 +314,49 @@ class StreamsSpec extends AnyFunSuite {
     assert(recall > 0.3, s"streaming probe recall collapsed: $recall")
   }
 
+  test("streaming BM25 probe: per-batch sum + top-k matches the batch ranking, " +
+    "with zero state operators") {
+    import org.apache.spark.sql.{Dataset, Row}
+    val dir = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, String)]
+    val probed = Streams.bm25ProbeStream(spark, in.toDF().toDF("q_id", "qtext"), dir)
+    val collected = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long, Long)]
+    val topk = udaf(new graft.functions.TopKByScore(5))
+    val q = probed.writeStream.outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Row], _: Long) =>
+        collected.synchronized {
+          // a query's tokens all land in its own micro-batch, so the
+          // per-batch sum is the complete per-(query, doc) score
+          collected ++= batch.groupBy("q_id", "doc_id")
+            .agg(sum(col("score_micro")).as("score"))
+            .groupBy("q_id")
+            .agg(topk(col("score").cast("double"), col("doc_id")).as("top"))
+            .select(col("q_id"), posexplode(col("top")))
+            .select(col("q_id"), (col("pos") + 1).as("rnk"),
+              col("col.key").as("doc_id"), col("col.score").cast("long").as("score"))
+            .collect()
+            .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+        }
+        ()
+      }
+      .start()
+    val sents = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    in.addData(sents.take(2))
+    q.processAllAvailable()
+    in.addData(sents.drop(2))
+    q.processAllAvailable()
+    // zero-state contract: no stateful operator in the streaming plan
+    val ops = q.recentProgress.flatMap(_.stateOperators)
+    q.stop()
+    assert(ops.isEmpty, s"bm25 probe must not plant streaming state: ${ops.toSeq}")
+    val got = collected.sortBy(t => (t._1, t._2)).toSeq
+    val want = graft.functions.TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, s"streaming probe diverged from batch BM25:\n$got\nvs\n$want")
+  }
+
   test("decontaminateStream flags benchmark-overlapping docs at admission, statelessly") {
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")
