@@ -54,16 +54,23 @@ object CorpusOps {
   def decontaminate(spark: SparkSession, dir: String): DataFrame =
     decontaminateOf(spark, Tables.documents(spark, dir))
 
+  /** The gate's benchmark plant, shared by [[decontaminateOf]] and
+    * [[dsirWeightsOf]]: every 13th document gets benchmark sentence
+    * `(doc_id div 13) % 3` appended as `ctext` — the identical plant on
+    * both engines so the target-overlap paths are exercised. */
+  private[graft] def withBenchmarkPlant(docs: DataFrame): DataFrame = {
+    val plantArr = array(benchmarkSentences.map(lit): _*)
+    docs.withColumn("ctext", concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" "), element_at(plantArr,
+          expr("cast((doc_id div 13) % 3 as int)") + 1)))
+        .otherwise(lit(""))))
+  }
+
   /** [[decontaminate]] over any (doc_id, text) frame (spec entry point). */
   def decontaminateOf(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val plantArr = array(benchmarkSentences.map(lit): _*)
-    val planted = docs
-      .withColumn("ctext", concat(col("text"),
-        when(col("doc_id") % 13 === 0,
-          concat(lit(" "), element_at(plantArr,
-            expr("cast((doc_id div 13) % 3 as int)") + 1)))
-          .otherwise(lit(""))))
+    val planted = withBenchmarkPlant(docs)
     // ONE source of truth for the benchmark gram set: the same
     // driver-side [[benchmarkGrams]] the streaming admission filter
     // compiles in — a SQL-side re-derivation here could silently
@@ -226,8 +233,85 @@ object CorpusOps {
 
   // ---------------------------------------------------------------- registry
 
+  // ---------------------------------------------------------------- DSIR importance weights
+
+  /** Hashed feature array (non-empty unigrams + bigrams over a `toks`
+    * column) and the md5-hex bucket of a `feat` column — ONE definition
+    * shared by the quality classifier and the DSIR weights so the
+    * feature space cannot drift between the two model-based filters. */
+  private[graft] val featArraySql =
+    """concat(
+         filter(toks, t -> length(t) > 0),
+         if(size(toks) >= 2,
+            transform(sequence(1, size(toks) - 1),
+              i -> concat_ws(' ', toks[i-1], toks[i])),
+            cast(array() as array<string>)))"""
+
+  private[graft] val featBucketSql =
+    "pmod(cast(conv(substring(md5(feat), 1, 8), 16, 10) as bigint), 4096)"
+
+  /** Driver-side target-distribution bucket counts over the benchmark
+    * sentences — the "target model" of the importance sampler, tiny by
+    * nature (the target set is a handful of exemplar documents), inlined
+    * as a literal map the same way the IVF centroids ship as metadata. */
+  private[graft] lazy val targetBucketCounts: Map[Long, Long] = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val fs = benchmarkSentences.flatMap { s =>
+      val t = s.toLowerCase.split(" ", -1).toSeq
+      t.filter(_.nonEmpty) ++
+        (if (t.length >= 2) t.sliding(2).map(_.mkString(" ")).toSeq else Seq.empty)
+    }
+    fs.groupBy(f => java.lang.Long.parseLong(md5hex(f).take(8), 16) % 4096)
+      .view.mapValues(_.size.toLong).toMap
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): rank corpus
+    * documents by how much more likely their hashed n-gram features are
+    * under a TARGET distribution (the benchmark sentences) than under
+    * the RAW corpus distribution, and emit the top-N resampling
+    * candidates. The per-feature log-likelihood ratio is replaced by a
+    * Laplace-smoothed rational ratio quantized to integer micros
+    * (`(cnt_t+1)·1e6 div (cnt_r+1)`) — `ln` is exactly the cross-engine
+    * last-ulp hazard the BM25 scoring already avoids, and the ranking
+    * contract only needs monotonicity in the ratio. Per-doc totals are
+    * order-free integer sums.
+    *
+    * Shape: features explode once; the raw model is ONE 4096-row
+    * groupBy (fit on the un-planted slice so the gate's plant cannot
+    * contaminate the raw distribution) broadcast back; the target model
+    * is a plan-time literal map; selection is a bounded global top-N
+    * (TakeOrderedAndProject — per-partition top-N then merge, never a
+    * full sort at 100 TB). */
+  def dsirWeights(spark: SparkSession, dir: String, topN: Int = 32): DataFrame =
+    dsirWeightsOf(Tables.documents(spark, dir), topN)
+
+  /** [[dsirWeights]] over any (doc_id, text) frame (spec entry point). */
+  def dsirWeightsOf(docs: DataFrame, topN: Int = 32): DataFrame = {
+    val feats = withBenchmarkPlant(docs)
+      .withColumn("toks", split(lower(col("ctext")), " "))
+      .select(col("doc_id"), explode(expr(featArraySql)).as("feat"))
+      .withColumn("b", expr(featBucketSql))
+    val raw = feats.filter(col("doc_id") % 13 =!= 0)
+      .groupBy("b").agg(count(lit(1)).as("cnt_r"))
+    val tMap = expr(s"map(${targetBucketCounts.toSeq.sorted
+      .map { case (b, c) => s"${b}L, ${c}L" }.mkString(", ")})")
+    feats
+      .join(broadcast(raw), Seq("b"), "left")
+      .withColumn("cnt_t", coalesce(try_element_at(tMap, col("b")), lit(0L)))
+      .withColumn("c", expr("((cnt_t + 1) * 1000000) div (coalesce(cnt_r, 0L) + 1)"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum(col("c")).as("weight_micro"))
+      .withColumn("avg_micro", expr("weight_micro div n_feats"))
+      .orderBy(col("avg_micro").desc, col("doc_id"))
+      .limit(topN)
+      .select("doc_id", "n_feats", "weight_micro", "avg_micro")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_decontaminate"    -> decontaminate _,
+    "ta_dsir_weights"     -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "ta_repetition_stats" -> repetitionStats _,
     "ta_domain_mix"       -> domainMix _,
     "ta_pack_sequences"   -> ((s: SparkSession, d: String) => packSequences(s, d)),
@@ -240,6 +324,46 @@ object CorpusOps {
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // DSIR: same plant, same uni+bi feature space and md5-hex bucket as
+    // the classifier oracle; the target model is re-derived IN SQL from
+    // the same bench VALUES the Scala literal map derives from
+    "ta_dsir_weights" ->
+      s"""WITH bench(i, sent) AS (VALUES $benchValues),
+           p AS (SELECT doc_id,
+                   string_split(lower(text || CASE WHEN doc_id % 13 = 0
+                     THEN ' ' || (SELECT sent FROM bench WHERE i = (doc_id // 13) % 3)
+                     ELSE '' END), ' ') AS t
+                 FROM documents),
+           uni AS (SELECT doc_id, unnest(list_filter(t, x -> len(x) > 0)) AS feat FROM p),
+           bi AS (SELECT doc_id,
+                    unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS feat
+                  FROM p WHERE len(t) >= 2),
+           f AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+           fb AS (SELECT doc_id,
+                    list_reduce([strpos('0123456789abcdef', c) - 1
+                                 FOR c IN string_split(substr(md5(feat), 1, 8), '')],
+                                (a, v) -> a * 16 + v) % 4096 AS b
+                  FROM f),
+           raw AS (SELECT b, count(*) AS cnt_r FROM fb WHERE doc_id % 13 <> 0 GROUP BY b),
+           tt AS (SELECT string_split(lower(sent), ' ') AS t FROM bench),
+           tuni AS (SELECT unnest(list_filter(t, x -> len(x) > 0)) AS feat FROM tt),
+           tbi AS (SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS feat
+                   FROM tt WHERE len(t) >= 2),
+           tf2 AS (SELECT * FROM tuni UNION ALL SELECT * FROM tbi),
+           tb AS (SELECT list_reduce([strpos('0123456789abcdef', c) - 1
+                                      FOR c IN string_split(substr(md5(feat), 1, 8), '')],
+                                     (a, v) -> a * 16 + v) % 4096 AS b,
+                         count(*) AS cnt_t
+                  FROM tf2 GROUP BY 1),
+           sc AS (SELECT fb.doc_id,
+                    ((coalesce(tb.cnt_t, 0) + 1) * 1000000)
+                      // (coalesce(raw.cnt_r, 0) + 1) AS c
+                  FROM fb LEFT JOIN raw USING (b) LEFT JOIN tb USING (b)),
+           pd AS (SELECT doc_id, count(*) AS n_feats, CAST(sum(c) AS BIGINT) AS weight_micro
+                  FROM sc GROUP BY doc_id)
+         SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats, weight_micro,
+                CAST(weight_micro // n_feats AS BIGINT) AS avg_micro
+         FROM pd ORDER BY avg_micro DESC, doc_id LIMIT 32""",
     "ta_decontaminate" ->
       s"""WITH bench(i, sent) AS (VALUES $benchValues),
            bg AS (SELECT DISTINCT unnest(list_distinct(list_transform(

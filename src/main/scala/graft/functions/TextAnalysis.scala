@@ -431,16 +431,12 @@ object TextAnalysis {
   /** [[qualityClassifier]] over any (doc_id, text) frame (spec entry). */
   def qualityClassifierOf(docs: DataFrame): DataFrame = {
     val toks = docs.withColumn("toks", split(lower(col("text")), " "))
-    val feats = toks.select(col("doc_id"), explode(expr(
-      """concat(
-           filter(toks, t -> length(t) > 0),
-           if(size(toks) >= 2,
-              transform(sequence(1, size(toks) - 1),
-                i -> concat_ws(' ', toks[i-1], toks[i])),
-              cast(array() as array<string>)))""")).as("feat"))
+    // feature space shared with the DSIR importance sampler
+    // (CorpusOps.featArraySql / featBucketSql — one definition)
+    val feats = toks.select(col("doc_id"),
+      explode(expr(CorpusOps.featArraySql)).as("feat"))
     val scored = feats
-      .withColumn("b", expr(
-        "pmod(cast(conv(substring(md5(feat), 1, 8), 16, 10) as bigint), 4096)"))
+      .withColumn("b", expr(CorpusOps.featBucketSql))
       .withColumn("w", expr("pmod(b * 2654435761, 2001) - 1000"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("margin"))
