@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Table maintenance: keyed MERGE (SCD1 upsert) and SCD2 versioned
+  * history — the mutation-under-append-only operators every warehouse
+  * table needs and plain parquet does not provide. The reference's
+  * pipeline is pure overwrite-per-creator (its resume logic re-writes a
+  * profile's whole output set, insta_scraper_enhanced.py's done-log);
+  * these are the general forms of that "replace my slice" contract.
+  *
+  * Scale notes (100 TB north star):
+  *  - MERGE joins a ~huge snapshot with a ~small change batch. The shape
+  *    here keeps the snapshot UNSHUFFLED: one left join with the change
+  *    batch BROADCAST (a full-outer join — the naive MERGE encoding —
+  *    cannot broadcast and would sort-merge the whole snapshot), then a
+  *    union of the insert slice. Copy-on-write at file granularity; with
+  *    the hive-partitioned layout ([[graft.sources.Bucketing]]) only
+  *    partitions containing changed keys need rewriting.
+  *  - SCD2 is one shuffle on the entity key; both window passes (change
+  *    detection, interval close-off) reuse the same partitioning.
+  */
+object Maintenance {
+
+  /** The deterministic change batch for the oracle-gated MERGE: derived
+    * from the snapshot itself so both engines see the identical batch.
+    * Every 10th key is an update (priority overwrite), keys ≡7 (mod 10)
+    * are deletes, and keys ≡3 (mod 10) re-enter shifted by 1,000,000 as
+    * brand-new inserts. Exercises all three MERGE actions plus the
+    * untouched-row path. */
+  private[graft] def changeBatch(orders: DataFrame): DataFrame = {
+    val k = col("o_orderkey")
+    orders.filter(k % 10 === 0)
+      .select(k.as("c_key"), col("o_custkey").as("c_custkey"),
+        lit("U").as("op"), lit("X-UPDATED").as("c_priority"))
+      .unionAll(orders.filter(k % 10 === 7)
+        .select(k.as("c_key"), col("o_custkey").as("c_custkey"),
+          lit("D").as("op"), lit(null).cast("string").as("c_priority")))
+      .unionAll(orders.filter(k % 10 === 3)
+        .select((k + 1000000L).as("c_key"), col("o_custkey").as("c_custkey"),
+          lit("I").as("op"), lit("X-NEW").as("c_priority")))
+  }
+
+  /** SCD1 upsert: apply a keyed change batch (op ∈ U/D/I) to a snapshot.
+    * Matched U rows take the new attribute values, matched D rows drop,
+    * I rows append. The change-batch contract is MERGE's: I keys must
+    * not exist in the snapshot, one change row per key (both hold by
+    * construction for [[changeBatch]]; a general caller validates its
+    * batch upstream — detecting violations is itself one broadcast
+    * join).
+    *
+    * Emits the merged table tagged with what happened to each row, so
+    * the oracle hash pins every action's effect row-by-row. */
+  def upsertOrders(spark: SparkSession, dir: String): DataFrame =
+    upsertOf(Tables.orders(spark, dir))
+
+  /** [[upsertOrders]] over any orders-shaped snapshot (spec entry). */
+  def upsertOf(orders: DataFrame): DataFrame = {
+    val changes = changeBatch(orders)
+    val snapshot = orders.select(col("o_orderkey"), col("o_custkey"),
+      col("o_orderpriority"))
+    val existing = snapshot
+      .join(broadcast(changes.filter(col("op") =!= "I")),
+        snapshot("o_orderkey") === changes("c_key"), "left")
+      .filter(coalesce(col("op"), lit("")) =!= "D")
+      .select(col("o_orderkey"), col("o_custkey"),
+        when(col("op") === "U", col("c_priority"))
+          .otherwise(col("o_orderpriority")).as("o_orderpriority"),
+        when(col("op") === "U", lit("updated")).otherwise(lit("kept")).as("action"))
+    val inserted = changes.filter(col("op") === "I")
+      .select(col("c_key").as("o_orderkey"), col("c_custkey").as("o_custkey"),
+        col("c_priority").as("o_orderpriority"), lit("inserted").as("action"))
+    existing.unionAll(inserted).orderBy("o_orderkey")
+  }
+
+  /** SCD2 history build: treat the order stream as an entity change log
+    * (customer → priority observed at order time) and emit one row per
+    * VERSION — consecutive runs of the same value collapse, each version
+    * carries its validity interval and a 1-based version number, and the
+    * open version is flagged current. The standard slowly-changing-
+    * dimension type-2 load, expressed as two window passes over one
+    * partitioning of the entity key. */
+  def scd2Customers(spark: SparkSession, dir: String): DataFrame =
+    scd2Of(Tables.orders(spark, dir))
+
+  /** [[scd2Customers]] over any orders-shaped change log (spec entry). */
+  def scd2Of(orders: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val boundaries = orders
+      .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+        col("o_orderpriority").as("priority"))
+      .withColumn("prev", lag(col("priority"), 1).over(byTime))
+      // a version starts where the value differs from the previous
+      // observation (or at the first observation — lag is null)
+      .filter(col("prev").isNull || col("prev") =!= col("priority"))
+    boundaries
+      .withColumn("valid_from", col("o_orderdate"))
+      .withColumn("valid_to", lead(col("o_orderdate"), 1).over(byTime))
+      .withColumn("version", row_number().over(byTime))
+      .select(col("o_custkey"), col("priority"), col("valid_from"),
+        col("valid_to"), col("version").cast("long").as("version"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("o_custkey", "version")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_upsert_merge" -> upsertOrders _,
+    "rel_scd2_history" -> scd2Customers _,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "rel_upsert_merge" ->
+      """WITH ch AS (
+           SELECT o_orderkey AS c_key, o_custkey AS c_custkey,
+                  'U' AS op, 'X-UPDATED' AS c_priority
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'D', NULL
+           FROM orders WHERE o_orderkey % 10 = 7
+           UNION ALL
+           SELECT o_orderkey + 1000000, o_custkey, 'I', 'X-NEW'
+           FROM orders WHERE o_orderkey % 10 = 3),
+         existing AS (
+           SELECT s.o_orderkey, s.o_custkey,
+                  CASE WHEN ch.op = 'U' THEN ch.c_priority
+                       ELSE s.o_orderpriority END AS o_orderpriority,
+                  CASE WHEN ch.op = 'U' THEN 'updated' ELSE 'kept' END AS action
+           FROM orders s
+           LEFT JOIN ch ON s.o_orderkey = ch.c_key AND ch.op <> 'I'
+           WHERE COALESCE(ch.op, '') <> 'D')
+         SELECT * FROM existing
+         UNION ALL
+         SELECT c_key, c_custkey, c_priority, 'inserted'
+         FROM ch WHERE op = 'I'
+         ORDER BY o_orderkey""",
+    "rel_scd2_history" ->
+      """WITH lg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey,
+                  o_orderpriority AS priority,
+                  lag(o_orderpriority) OVER w AS prev
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         b AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, priority
+           FROM lg WHERE prev IS NULL OR prev <> priority)
+         SELECT o_custkey, priority,
+                o_orderdate AS valid_from,
+                lead(o_orderdate) OVER w AS valid_to,
+                CAST(row_number() OVER w AS BIGINT) AS version,
+                (lead(o_orderdate) OVER w IS NULL) AS is_current
+         FROM b
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, version""",
+  )
+}

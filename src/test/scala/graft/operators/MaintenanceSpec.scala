@@ -1,0 +1,91 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** SCD1 MERGE and SCD2 history: hand-built change cases covering every
+  * action, plus plan/invariant checks on the real table. */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-maintenance-test")
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** orders-shaped frame: (key, cust, priority, date). */
+  private def ordersOf(rows: (Long, Long, String, String)*) =
+    rows.toDF("o_orderkey", "o_custkey", "o_orderpriority", "d")
+      .withColumn("o_orderdate", col("d").cast("timestamp")).drop("d")
+      .withColumn("o_orderstatus", lit("O"))
+      .withColumn("o_totalprice", lit(1.0))
+
+  test("upsert applies update/delete/insert and keeps the rest") {
+    // keys: 10 → update, 7/17 → delete, 3/13 → source inserts, 4 → kept
+    val snap = ordersOf(
+      (10L, 1L, "1-URGENT", "1996-01-01 00:00:00"),
+      (7L, 1L, "2-HIGH", "1996-01-02 00:00:00"),
+      (17L, 2L, "3-MEDIUM", "1996-01-03 00:00:00"),
+      (3L, 2L, "4-LOW", "1996-01-04 00:00:00"),
+      (4L, 3L, "5-NONE", "1996-01-05 00:00:00"))
+    val got = Maintenance.upsertOf(snap)
+      .select("o_orderkey", "o_custkey", "o_orderpriority", "action")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (3L, 2L, "4-LOW", "kept"),          // %10==3: stays AND re-enters shifted
+      (4L, 3L, "5-NONE", "kept"),
+      (10L, 1L, "X-UPDATED", "updated"),
+      (1000003L, 2L, "X-NEW", "inserted")))
+  }
+
+  test("upsert broadcasts the change batch — the snapshot never shuffles") {
+    val plan = Maintenance.upsertOrders(spark, "/root/testdata/sf0.01")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast MERGE join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"snapshot must not sort-merge:\n$plan")
+  }
+
+  test("upsert key-set algebra holds on the real table") {
+    val orders = graft.sources.Tables.orders(spark, "/root/testdata/sf0.01")
+    val n = orders.count()
+    val nDel = orders.filter(col("o_orderkey") % 10 === 7).count()
+    val nIns = orders.filter(col("o_orderkey") % 10 === 3).count()
+    val merged = Maintenance.upsertOrders(spark, "/root/testdata/sf0.01")
+    assert(merged.count() == n - nDel + nIns)
+    assert(merged.filter(col("o_orderkey") % 10 === 7 && col("o_orderkey") < 1000000L).count() == 0)
+    assert(merged.filter(col("action") === "inserted").count() == nIns)
+    // merge is keyed: no duplicate keys in the result
+    assert(merged.groupBy("o_orderkey").count().filter(col("count") > 1).count() == 0)
+  }
+
+  test("scd2 collapses runs into versions with closed/open intervals") {
+    val log = ordersOf(
+      (1L, 9L, "A", "1996-01-01 00:00:00"),
+      (2L, 9L, "A", "1996-02-01 00:00:00"), // same value → same version
+      (3L, 9L, "B", "1996-03-01 00:00:00"), // change → v2
+      (4L, 9L, "A", "1996-04-01 00:00:00"), // back to A → v3 (runs, not values)
+      (5L, 8L, "C", "1996-01-15 00:00:00")) // second entity, single version
+    val got = Maintenance.scd2Of(log).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getLong(4), r.getBoolean(5)))
+    assert(got.toSeq == Seq(
+      (8L, "C", ts("1996-01-15 00:00:00"), null, 1L, true),
+      (9L, "A", ts("1996-01-01 00:00:00"), ts("1996-03-01 00:00:00"), 1L, false),
+      (9L, "B", ts("1996-03-01 00:00:00"), ts("1996-04-01 00:00:00"), 2L, false),
+      (9L, "A", ts("1996-04-01 00:00:00"), null, 3L, true)))
+  }
+
+  test("scd2 invariants on the real table: contiguous intervals, one current per entity") {
+    val hist = Maintenance.scd2Customers(spark, "/root/testdata/sf0.01")
+    val perCust = hist.groupBy("o_custkey")
+      .agg(count(when(col("is_current"), 1)).as("n_current"),
+        count(lit(1)).as("n_versions"),
+        max(col("version")).as("max_version"))
+    assert(perCust.filter(col("n_current") =!= 1).count() == 0)
+    assert(perCust.filter(col("n_versions") =!= col("max_version")).count() == 0)
+    // each closed interval ends exactly where the next begins
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey").orderBy("version")
+    val gaps = hist.withColumn("next_from", lead(col("valid_from"), 1).over(w))
+      .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
+    assert(gaps.count() == 0)
+  }
+}
