@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.functions.{CorpusOps, TextAnalysis, TextFunctions}
-import graft.operators.{Aggregations, Dedup, Maintenance, Multimodal, Relational, Similarity, Skew, Windows}
+import graft.operators.{Aggregations, Dedup, Maintenance, Multimodal, Relational, Sampling, Similarity, Skew, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Maintenance.queries ++ Aggregations.queries ++ Windows.queries ++
       TextFunctions.queries ++ TextAnalysis.queries ++ CorpusOps.queries ++
-      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++
+      Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++ Sampling.queries ++
       graft.ig.SynthIg.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -30,6 +30,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Maintenance.oracles ++ Aggregations.oracles ++ Windows.oracles ++
       TextFunctions.oracles ++ TextAnalysis.oracles ++ CorpusOps.oracles ++
-      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++
+      Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++ Sampling.oracles ++
       graft.ig.SynthIg.oracles
 }
