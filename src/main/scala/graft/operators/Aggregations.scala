@@ -196,6 +196,41 @@ object Aggregations {
         col("ap50").between(col("lo"), col("hi")).as("within_tol"))
       .orderBy("lang")
 
+  /** Third sketch family (after HLL distinct and GK percentile):
+    * Misra–Gries frequent items ([[graft.functions.MisraGries]]), gated
+    * the same way — the sketch CONTENT is engine-specific, but its
+    * theorem is checkable: every item with true count > n/k must be in
+    * the summary, with estimate ≥ count − n/k. The stream is a
+    * deterministic zipf-ish rename of the event users (three hot keys
+    * absorb a quarter of the stream; the ~112 cold keys stay under the
+    * n/k line), so the gate exercises both survive and evict paths.
+    * Exact counts for the HEAVY side come from a groupBy of the same
+    * stream — at 100 TB only the sketch pass would run; the exact pass
+    * exists here because the contract needs ground truth to compare
+    * against (same pattern as the ANN recall gate). */
+  def heavyHittersChecked(spark: SparkSession, dir: String): DataFrame = {
+    val k = 25
+    val stream = Tables.events(spark, dir)
+      .select(when(col("user_id") % 4 === 0,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+        .as("item"))
+    val n = stream.agg(count(lit(1)).as("n"))
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val summary = stream.agg(mg(col("item")).as("s"))
+      .select(explode(col("s")).as("e"))
+      .select(col("e.item").as("item"), col("e.est").as("est"))
+    stream.groupBy("item").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k > col("n"))
+      .join(broadcast(summary), Seq("item"), "left")
+      .select(col("item"), col("cnt"),
+        col("est").isNotNull.as("in_sketch"),
+        (coalesce(col("est"), lit(0L)) >= col("cnt") - expr(s"n div $k"))
+          .as("est_within_bound"))
+      .orderBy("item")
+  }
+
   /** Hierarchical rollup (beyond the reference's flat groupBys): order
     * counts per (region, nation) with nation and grand totals — one
     * shuffle, the expanded grouping handled map-side. */
@@ -313,6 +348,7 @@ object Aggregations {
     "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinctChecked _,
+    "agg_heavy_hitters"       -> heavyHittersChecked _,
     "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
     "agg_customer_value"      -> customerValue _,
@@ -381,6 +417,18 @@ object Aggregations {
            count(DISTINCT user_id) AS exact_users,
            true AS within_tol
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_heavy_hitters" ->
+      """WITH s AS (
+           SELECT CASE WHEN user_id % 4 = 0
+                       THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+                       ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS item
+           FROM events),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT item, count(*) AS cnt,
+           true AS in_sketch, true AS est_within_bound
+         FROM s CROSS JOIN n
+         GROUP BY item, n.n HAVING count(*) * 25 > n.n
+         ORDER BY item""",
     "agg_pivot_event_types" ->
       """SELECT user_id,
            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
