@@ -27,17 +27,24 @@ object Bench {
       df.write.format("noop").mode("overwrite").save()
     // JVM/codegen warm-up on a tiny query so per-query numbers measure
     // the plan, not first-call JIT + codegen compile.
-    force(SparkEntry.entry(spark))
+    // Every warm-up step is fault-isolated: a broken table must cost one
+    // stderr line, not the round's entire bench artifact (r6 lost all
+    // timings to an events schema drift that killed this loop).
+    def warm(label: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warm-up '$label' failed: ${e.getMessage}")
+      }
+    warm("entry")(force(SparkEntry.entry(spark)))
     // one untimed scan per input table: per-query numbers then measure
     // plan execution, not whichever query alphabetically happens to pay
     // the first-touch parquet footer reads and page-cache misses
-    Seq[(org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame](
-      graft.sources.Tables.region, graft.sources.Tables.nation,
-      graft.sources.Tables.customer, graft.sources.Tables.supplier,
-      graft.sources.Tables.part, graft.sources.Tables.orders,
-      graft.sources.Tables.lineitem, graft.sources.Tables.events,
-      graft.sources.Tables.documents, graft.sources.Tables.embeddings)
-      .foreach(t => force(t(spark, sfDir)))
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "region" -> graft.sources.Tables.region, "nation" -> graft.sources.Tables.nation,
+      "customer" -> graft.sources.Tables.customer, "supplier" -> graft.sources.Tables.supplier,
+      "part" -> graft.sources.Tables.part, "orders" -> graft.sources.Tables.orders,
+      "lineitem" -> graft.sources.Tables.lineitem, "events" -> graft.sources.Tables.events,
+      "documents" -> graft.sources.Tables.documents, "embeddings" -> graft.sources.Tables.embeddings)
+      .foreach { case (name, t) => warm(name)(force(t(spark, sfDir))) }
     // bench the oracle-comparable set (apples-to-apples vs BASELINE)
     val benchSet = SparkEntry.queries.filter { case (k, _) =>
       SparkEntry.oracleSql.contains(k)
@@ -47,7 +54,16 @@ object Bench {
         // pinned-geometry baselines are skipped past their design size
         // (never at the driver's sf0.1) — printed EARLY so the compact
         // line stays last for the artifact tail
-        PinnedBaselines.skipReason(spark, sfDir, name) match {
+        // skipReason probes table footers — isolate it too, so a broken
+        // source degrades that one query to "measured with errors" rather
+        // than killing the run before the compact line prints
+        val skip =
+          try PinnedBaselines.skipReason(spark, sfDir, name)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] skipReason($name) failed: ${e.getMessage}")
+            None
+          }
+        skip match {
           case Some(reason) =>
             println(s"""{"metric":"skip","query":"$name","reason":"$reason"}""")
             None

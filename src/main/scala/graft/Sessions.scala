@@ -7,9 +7,11 @@ import org.apache.spark.sql.SparkSession
   * Settings that matter for correctness & scale:
   *  - `session.timeZone=UTC`: reference uses local-time epoch conversion
   *    (SURVEY §1.2); we pin UTC so hour/date derivations are reproducible.
-  *  - `legacy.parquet.nanosAsLong=true`: the driver's `events.parquet`
-  *    carries TIMESTAMP(NANOS) which Spark 4 otherwise rejects; we read
-  *    nanos as long and convert (see [[graft.sources.Tables]]).
+  *  - `legacy.parquet.nanosAsLong=true`: tolerance for TIMESTAMP(NANOS)
+  *    parquet (one historical testdata generation used it; the current
+  *    data is TIMESTAMP_NTZ micros, which this flag doesn't affect).
+  *    [[graft.sources.Tables.events]] branches on the scanned schema and
+  *    handles both encodings.
   *  - shuffle partitions = cores for local runs (not the 200 default);
   *    on a real cluster this would be sized to data volume / AQE target.
   *  - AQE on: runtime coalescing + skew-join splitting at scale.

@@ -20,18 +20,34 @@ object Tables {
   def part(spark: SparkSession, dir: String): DataFrame       = table(spark, dir, "part")
   def orders(spark: SparkSession, dir: String): DataFrame     = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame   = table(spark, dir, "lineitem")
-  /** `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * reads as nano-epoch long under `spark.sql.legacy.parquet.nanosAsLong`
-    * (set in [[graft.Sessions]]). We expose both:
-    *  - `ts`: proper TimestampType (micros; the data is micro-precision)
-    *  - `ts_ns`: the raw long — time-range predicates written against it
-    *    push down to the parquet scan, which the converted column cannot.
+  /** `events.parquet` has shipped `ts` in two physical encodings across
+    * testdata generations: parquet TIMESTAMP(NANOS) (read as a nano-epoch
+    * long under `spark.sql.legacy.parquet.nanosAsLong`, kept on in
+    * [[graft.Sessions]] for tolerance) and TIMESTAMP_NTZ micros (current).
+    * We branch on the SCANNED schema — footer-only, no data read — and
+    * normalize to one contract either way:
+    *  - `ts`: session-TZ TimestampType (micro precision)
+    *  - `ts_ns`: nano-epoch long, for operators that band/bucket on a
+    *    numeric time axis (range joins, sessionize) without per-row
+    *    timestamp arithmetic.
+    * The NTZ→timestamp cast is value-preserving ONLY because the session
+    * time zone is pinned to UTC ([[graft.Sessions]]); if that pin ever
+    * moves, this cast would silently shift wall-clock values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    table(spark, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.types.LongType
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long encoding
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // TIMESTAMP_NTZ / TIMESTAMP (micros)
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
