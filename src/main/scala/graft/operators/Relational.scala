@@ -303,6 +303,7 @@ object Relational {
     "rel_self_compare_crossnation" -> selfCompareCrossNation _,
     "rel_delete_by_key"          -> deleteByKey _,
     "rel_star_join_revenue"      -> starJoinRevenue _,
+    "rel_zorder_layout"          -> (graft.sources.Layout.zTileStats _),
   )
 
   // DuckDB's native ASOF LEFT JOIN is the oracle for BOTH asof paths
@@ -407,5 +408,32 @@ object Relational {
          JOIN nation   ON c_nationkey = n_nationkey
          JOIN region   ON n_regionkey = r_regionkey
          GROUP BY r_name ORDER BY r_name""",
+    // Morton interleave spelled out as shift/mask rounds (the classic
+    // bit-spread chain, same constants as Layout.mortonCol) so DuckDB
+    // re-derives the exact tile assignment — fixed-width tiles, no
+    // sampled boundaries.
+    "rel_zorder_layout" ->
+      """WITH base AS (
+           SELECT (l_partkey % 1048576) AS a, (l_suppkey % 1048576) AS b FROM lineitem),
+         r1 AS (SELECT a, b,
+                  (a | (a << 16)) & 281470681808895 AS sa,
+                  (b | (b << 16)) & 281470681808895 AS sb FROM base),
+         r2 AS (SELECT a, b,
+                  (sa | (sa << 8)) & 71777214294589695 AS sa,
+                  (sb | (sb << 8)) & 71777214294589695 AS sb FROM r1),
+         r3 AS (SELECT a, b,
+                  (sa | (sa << 4)) & 1085102592571150095 AS sa,
+                  (sb | (sb << 4)) & 1085102592571150095 AS sb FROM r2),
+         r4 AS (SELECT a, b,
+                  (sa | (sa << 2)) & 3689348814741910323 AS sa,
+                  (sb | (sb << 2)) & 3689348814741910323 AS sb FROM r3),
+         r5 AS (SELECT a, b,
+                  (sa | (sa << 1)) & 6148914691236517205 AS sa,
+                  (sb | (sb << 1)) & 6148914691236517205 AS sb FROM r4),
+         z AS (SELECT a, b, (sa | (sb << 1)) AS zval FROM r5)
+         SELECT (zval >> 12) AS tile, CAST(count(*) AS BIGINT) AS n_rows,
+                min(a) AS a_lo, max(a) AS a_hi,
+                min(b) AS b_lo, max(b) AS b_hi
+         FROM z GROUP BY 1 ORDER BY tile""",
   )
 }

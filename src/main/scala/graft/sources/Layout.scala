@@ -53,6 +53,26 @@ object Layout {
       .drop("_z")
       .write.mode("overwrite").parquet(path)
 
+  /** Deterministic Z-tile assignment over `lineitem (l_partkey,
+    * l_suppkey)`: fixed-width tiles (`z >> 12`, i.e. 64×64 cells in key
+    * space — NOT sampled range boundaries, so an external engine can
+    * re-derive the exact same tiling), with per-tile row count and the
+    * min/max of BOTH key columns. The per-tile min/max spans ARE the
+    * data-skipping index a Z-ordered layout gives a scan: every tile is
+    * bounded in both dimensions, so a predicate on either column alone
+    * prunes. Oracle-gated as `rel_zorder_layout`. */
+  def zTileStats(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      (col("l_partkey") % 1048576L).as("a"),
+      (col("l_suppkey") % 1048576L).as("b"))
+    li.withColumn("tile", shiftright(mortonCol(col("a"), col("b")), 12))
+      .groupBy("tile")
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("a_lo"), max("a").as("a_hi"),
+        min("b").as("b_lo"), max("b").as("b_hi"))
+      .orderBy("tile")
+  }
+
   /** Per-file min/max of a column over a written directory — the
     * data-skipping index a reader consults (parquet footers; derived
     * here via input_file_name so specs can measure layout quality). */
