@@ -231,6 +231,54 @@ object Aggregations {
       .orderBy("item")
   }
 
+  /** Fourth sketch family (after HLL distinct, GK percentile, and
+    * Misra–Gries frequent items): Count-Min point-frequency estimates
+    * (Cormode & Muthukrishnan 2005) — built RELATIONALLY, which is the
+    * Spark-first formulation: the d×w counter grid is `posexplode` of the
+    * d per-row bucket ids followed by ONE partially-aggregated groupBy,
+    * so each mapper contributes at most d·w = 2048 partial rows to the
+    * exchange regardless of stream length, and the whole build stays
+    * inside whole-stage codegen (no UDAF buffer serialization). Bucket
+    * ids come from seeded `xxhash64`, computed by the SAME expression at
+    * build and query time.
+    *
+    * Gated like [[heavyHittersChecked]] — sketch CONTENT is
+    * engine-specific, its theorem is not: a Count-Min estimate NEVER
+    * undercounts (every update increments all d counters for the item),
+    * and for this fixed data/seed geometry the min-row over-count stays
+    * within 2n/w (the Markov bound each of the d independent rows beats
+    * with prob ≥ 1/2; verified deterministic-green at all three sf dirs).
+    * Both booleans fold into the hash gate; the exact groupBy exists only
+    * as ground truth, same as the ANN recall gate. */
+  def countMinChecked(spark: SparkSession, dir: String): DataFrame = {
+    val w = 512; val d = 4; val k = 25
+    val stream = Tables.events(spark, dir)
+      .select(when(col("user_id") % 4 === 0,
+          concat(lit("hot_"), (col("user_id") % 3).cast("string")))
+        .otherwise(concat(lit("cold_"), col("user_id").cast("string")))
+        .as("item"))
+    val n = stream.agg(count(lit(1)).as("n"))
+    val bucketCols = (0 until d).map(r =>
+      pmod(xxhash64(col("item"), lit(r)), lit(w.toLong)).as(s"b$r"))
+    val tagged = stream.select(col("item") +: bucketCols: _*)
+    val grid = tagged
+      .select(posexplode(array((0 until d).map(r => col(s"b$r")): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+    val heavy = tagged
+      .groupBy("item", "b0", "b1", "b2", "b3").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(n))
+      .filter(col("cnt") * k > col("n"))
+    (0 until d).foldLeft(heavy) { (df, r) =>
+        df.join(broadcast(grid.filter(col("r") === r)
+          .select(col("bucket").as(s"b$r"), col("c").as(s"c$r"))), Seq(s"b$r"))
+      }
+      .withColumn("est", least((0 until d).map(r => col(s"c$r")): _*))
+      .select(col("item"), col("cnt"),
+        (col("est") >= col("cnt")).as("no_undercount"),
+        (col("est") <= col("cnt") + expr(s"(2 * n) div $w")).as("overcount_within_bound"))
+      .orderBy("item")
+  }
+
   /** Hierarchical rollup (beyond the reference's flat groupBys): order
     * counts per (region, nation) with nation and grand totals — one
     * shuffle, the expanded grouping handled map-side. */
@@ -349,6 +397,7 @@ object Aggregations {
     "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinctChecked _,
     "agg_heavy_hitters"       -> heavyHittersChecked _,
+    "agg_countmin"            -> countMinChecked _,
     "agg_scoring_ladder"      -> scoringLadder _,
     "agg_pricing_summary"     -> pricingSummary _,
     "agg_customer_value"      -> customerValue _,
@@ -426,6 +475,18 @@ object Aggregations {
          n AS (SELECT count(*) AS n FROM s)
          SELECT item, count(*) AS cnt,
            true AS in_sketch, true AS est_within_bound
+         FROM s CROSS JOIN n
+         GROUP BY item, n.n HAVING count(*) * 25 > n.n
+         ORDER BY item""",
+    "agg_countmin" ->
+      """WITH s AS (
+           SELECT CASE WHEN user_id % 4 = 0
+                       THEN 'hot_' || CAST(user_id % 3 AS VARCHAR)
+                       ELSE 'cold_' || CAST(user_id AS VARCHAR) END AS item
+           FROM events),
+         n AS (SELECT count(*) AS n FROM s)
+         SELECT item, count(*) AS cnt,
+           true AS no_undercount, true AS overcount_within_bound
          FROM s CROSS JOIN n
          GROUP BY item, n.n HAVING count(*) * 25 > n.n
          ORDER BY item""",
