@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.sources.Tables
+import graft.sources.{IndexStore, Tables}
 
 /** Deduplication operators for a large-scale training-data pipeline
   * (builder brief): exact, n-gram Jaccard, MinHash+LSH, SimHash.
@@ -107,11 +107,40 @@ object Dedup {
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     minhashBandsOf(Tables.documents(spark, dir))
 
-  /** Distinct LSH candidate pairs of any (doc_id, text) frame: docs
-    * sharing any band bucket. Join is on (band, bucket) —
-    * shuffle-bounded, no cross product. */
-  private def lshPairsOf(docs: DataFrame): DataFrame = {
-    val bands = minhashBandsOf(docs)
+  // ------------------------------------- persisted dedup index tables
+  // The signature derivation (md5 → shingles → 8 affine minima) is the
+  // expensive map-side pass every LSH query pays; at 100 TB it is
+  // derived ONCE at ingest and maintained as bucketed tables. These
+  // orBuild wrappers give the dir-based queries that lifecycle: the
+  // first query against a corpus builds, every later query — and every
+  // later SESSION ([[graft.sources.IndexStore]]) — reads the stored
+  // bucketed table with zero derivation work.
+
+  /** Exact-group representatives of the documents table, persisted:
+    * (h, doc_id, n_dups, text) bucketed by doc_id. */
+  private def repsTable(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.orBuild(spark, s"dd_reps_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      repsOf(Tables.documents(spark, dir)))
+
+  /** MinHash band table of the exact-group REPRESENTATIVES, persisted
+    * bucketed by (band, bucket) — the join key of every pair query, so
+    * the candidate self-join below runs exchange-free. */
+  private def repBandsTable(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.orBuild(spark, s"dd_repbands_${IndexStore.keyOf(dir)}", 32, Seq("band", "bucket"))(
+      minhashBandsOf(repsTable(spark, dir).select("doc_id", "text")))
+
+  /** MinHash band table of ALL documents (dup rows included — the
+    * contract of `dd_minhash_lsh_pairs`), persisted like
+    * [[repBandsTable]]. */
+  private def docBandsTable(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.orBuild(spark, s"dd_docbands_${IndexStore.keyOf(dir)}", 32, Seq("band", "bucket"))(
+      minhashBandsOf(Tables.documents(spark, dir)))
+
+  /** Distinct LSH candidate pairs from a (doc_id, band, bucket) band
+    * table: docs sharing any band bucket. Join is on (band, bucket) —
+    * shuffle-bounded, no cross product (and exchange-free when the
+    * bands come from a persisted bucketed table). */
+  private def lshPairsFromBands(bands: DataFrame): DataFrame = {
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -120,9 +149,16 @@ object Dedup {
       .distinct()
   }
 
-  /** MinHash+LSH near-dup candidate pairs over the documents table. */
+  /** Distinct LSH candidate pairs of any (doc_id, text) frame —
+    * derive-inline variant for generic frames (specs, paragraph spans);
+    * the dir-based queries read the persisted band tables instead. */
+  private def lshPairsOf(docs: DataFrame): DataFrame =
+    lshPairsFromBands(minhashBandsOf(docs))
+
+  /** MinHash+LSH near-dup candidate pairs over the documents table,
+    * served from the persisted doc-level band index. */
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
-    lshPairsOf(Tables.documents(spark, dir)).orderBy("doc_a", "doc_b")
+    lshPairsFromBands(docBandsTable(spark, dir)).orderBy("doc_a", "doc_b")
 
   /** INCREMENTAL ingest dedup — the daily-batch shape: a new batch is
     * admitted against an EXISTING corpus without re-pairing the corpus
@@ -363,8 +399,14 @@ object Dedup {
     * dedup decisions still weight by how many copies a representative
     * stands for. Output: near-dup representative pairs with both
     * verbatim-copy counts. */
-  def dedupPipelinePairs(spark: SparkSession, dir: String): DataFrame =
-    dedupPipelinePairsOf(Tables.documents(spark, dir))
+  def dedupPipelinePairs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = repsTable(spark, dir).select(col("doc_id"), col("n_dups"))
+    lshPairsFromBands(repBandsTable(spark, dir))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_dups").as("dups_a")), "doc_a")
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_dups").as("dups_b")), "doc_b")
+      .select("doc_a", "doc_b", "dups_a", "dups_b")
+      .orderBy("doc_a", "doc_b")
+  }
 
   /** md5 exact-group representatives of a (doc_id, text) frame:
     * (h, doc_id = min id of the group, n_dups, text). */
@@ -484,22 +526,31 @@ object Dedup {
     * The pipeline analog of the reference's keep-first `seen_collabs`
     * dedup (analyze_insta_enhanced.py:1283,1316-1376) at corpus scale. */
   def dedupGroupsOf(docs: DataFrame, checkpointDir: Option[String] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // reps feeds the LSH pair graph twice (the band self-join evaluates
     // its subplan once per side) — persist so the exact-group aggregation
-    // runs once. The per-doc rep comes from a window-min over the same
-    // md5 group instead of a join back to reps, so by the time the
-    // component loop returns (labels checkpointed, edges consumed)
-    // NOTHING lazy references reps and it can be unpersisted here rather
-    // than leaking cached blocks for the session lifetime.
+    // runs once. The component loop inside dedupGroupsWithPairs runs its
+    // jobs eagerly, so by the time it returns NOTHING lazy references
+    // reps and it can be unpersisted here rather than leaking cached
+    // blocks for the session lifetime.
     val reps = repsOf(docs).persist()
-    val pairs = lshPairsOf(reps.select("doc_id", "text"))
+    val out = dedupGroupsWithPairs(docs, lshPairsOf(reps.select("doc_id", "text")),
+      checkpointDir)
+    reps.unpersist()
+    out
+  }
+
+  /** [[dedupGroupsOf]] with the candidate-pair graph supplied by the
+    * caller — the entry point when pairs come from a PERSISTED band
+    * index instead of an inline derivation. The per-doc rep comes from
+    * a window-min over the md5 group, not a join back to reps. */
+  def dedupGroupsWithPairs(docs: DataFrame, pairs: DataFrame,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val docRep = docs.select(col("doc_id"), md5(col("text")).as("h"))
       .withColumn("rep", min(col("doc_id")).over(Window.partitionBy("h")))
     val comp = connectedComponents(
       docRep.select(col("rep").as("node")).distinct(), pairs,
       checkpointDir = checkpointDir)
-    reps.unpersist()
     docRep
       .join(comp.select(col("node").as("rep"), col("group_id")), "rep")
       .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
@@ -508,9 +559,11 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** [[dedupGroupsOf]] over the documents table. */
+  /** [[dedupGroupsOf]] over the documents table, candidate pairs served
+    * from the persisted representative band index. */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
-    dedupGroupsOf(Tables.documents(spark, dir))
+    dedupGroupsWithPairs(Tables.documents(spark, dir),
+      lshPairsFromBands(repBandsTable(spark, dir)))
 
   // ---------------------------------------------- paragraph-level dedup
 
@@ -681,12 +734,16 @@ object Dedup {
     * ("corpus shrank 4.2% after near-dedup"); keeping it grouped means
     * the full doc-level keep-set never has to leave the cluster. */
   def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame =
-    dedupCorpusSummaryOf(Tables.documents(spark, dir))
+    summarizeKeepSet(Tables.documents(spark, dir),
+      dedupGroups(spark, dir))
 
   /** [[dedupCorpusSummary]] over any (doc_id, text, lang, n_chars)
-    * frame (spec entry point). */
+    * frame (spec entry point — derives the pair graph inline). */
   def dedupCorpusSummaryOf(docs: DataFrame): DataFrame =
-    docs.join(dedupGroupsOf(docs).select("doc_id", "is_canonical"), "doc_id")
+    summarizeKeepSet(docs, dedupGroupsOf(docs))
+
+  private def summarizeKeepSet(docs: DataFrame, groups: DataFrame): DataFrame =
+    docs.join(groups.select("doc_id", "is_canonical"), "doc_id")
       .groupBy("lang")
       .agg(
         count(lit(1)).as("n_docs"),
