@@ -25,6 +25,9 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-6 additions: paragraph-granularity dedup, quantized index probe,
   # BM25 retrieval (scan-time + persisted-postings serving path)
   HEADLINE="$HEADLINE,dd_paragraph_dedup,sim_ivf_sq8,ta_bm25_topk,ta_bm25_persisted"
+  # round-7 additions: repeated-span removal, DSIR weighting (the most
+  # expensive linear query at sf1), relational Count-Min build
+  HEADLINE="$HEADLINE,dd_span_dedup,ta_dsir_weights,agg_countmin"
   exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF10_DIR ${2:-100} ${3:-120} $HEADLINE"
 fi
 BOUND="${1:-10}"
