@@ -284,17 +284,51 @@ object CorpusOps {
     * is a plan-time literal map; selection is a bounded global top-N
     * (TakeOrderedAndProject — per-partition top-N then merge, never a
     * full sort at 100 TB). */
-  def dsirWeights(spark: SparkSession, dir: String, topN: Int = 32): DataFrame =
-    dsirWeightsOf(Tables.documents(spark, dir), topN)
+  def dsirWeights(spark: SparkSession, dir: String, topN: Int = 32): DataFrame = {
+    import graft.sources.IndexStore
+    val docs = Tables.documents(spark, dir)
+    // The raw-corpus bucket histogram is the FITTED half of the
+    // importance sampler — corpus-derived, deterministic, 4096 rows. It
+    // gets the same persisted lifecycle as the BM25 postings / IVF
+    // centroids: built once per corpus, then every scoring run (and
+    // every later session) pays exactly ONE explode+md5 pass over the
+    // corpus instead of two. At 100 TB the raw LM fit is an ingest-time
+    // job, not a per-query one (Xie et al. fit it once, too).
+    val raw = IndexStore.orBuild(spark,
+      s"ta_dsirraw_${IndexStore.keyOf(dir)}", 8, Seq("b"))(
+      rawBucketHistogram(docs))
+    dsirServe(featsOf(docs), raw, topN)
+  }
 
-  /** [[dsirWeights]] over any (doc_id, text) frame (spec entry point). */
+  /** [[dsirWeights]] over any (doc_id, text) frame (spec entry point —
+    * derives the raw histogram inline instead of from the persisted
+    * model table). */
   def dsirWeightsOf(docs: DataFrame, topN: Int = 32): DataFrame = {
-    val feats = withBenchmarkPlant(docs)
+    val feats = featsOf(docs)
+    dsirServe(feats, rawHistogramOfFeats(feats), topN)
+  }
+
+  /** Exploded (doc_id, bucket) feature stream of the planted corpus. */
+  private def featsOf(docs: DataFrame): DataFrame =
+    withBenchmarkPlant(docs)
       .withColumn("toks", split(lower(col("ctext")), " "))
       .select(col("doc_id"), explode(expr(featArraySql)).as("feat"))
       .withColumn("b", expr(featBucketSql))
-    val raw = feats.filter(col("doc_id") % 13 =!= 0)
+
+  /** Raw-model fit: bucket histogram over the un-planted corpus slice
+    * (so the gate's plant cannot contaminate the raw distribution).
+    * Partial aggregation compacts each mapper to ≤ 4096 rows. */
+  private def rawBucketHistogram(docs: DataFrame): DataFrame =
+    rawHistogramOfFeats(featsOf(docs))
+
+  private def rawHistogramOfFeats(feats: DataFrame): DataFrame =
+    feats.filter(col("doc_id") % 13 =!= 0)
       .groupBy("b").agg(count(lit(1)).as("cnt_r"))
+
+  /** Scoring pass: one explode stream, broadcast model lookup, per-doc
+    * partial-aggregated integer sums (one row per doc per mapper crosses
+    * the wire), bounded global top-N. */
+  private def dsirServe(feats: DataFrame, raw: DataFrame, topN: Int): DataFrame = {
     val tMap = expr(s"map(${targetBucketCounts.toSeq.sorted
       .map { case (b, c) => s"${b}L, ${c}L" }.mkString(", ")})")
     feats

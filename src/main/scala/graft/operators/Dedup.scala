@@ -612,19 +612,29 @@ object Dedup {
     * `pidMultiplier` must exceed the max paragraph count per document
     * (2^63 / multiplier bounds doc_id — 1e5 leaves ~9e13 doc ids). */
   def paragraphDedupOf(paras: DataFrame, pidMultiplier: Long = 100000L): DataFrame = {
-    // ENFORCE the scaladoc's precondition instead of silently folding a
-    // >pidMultiplier-paragraph document's spans into its neighbor's
-    // accounting: a codegen'd per-row check, no extra job
+    val pid = pidFrameOf(paras, pidMultiplier)
+    paragraphAccounting(pid, dedupGroupsOf(pid), pidMultiplier)
+  }
+
+  /** (pid, text) span frame with the composite key `doc_id ·
+    * pidMultiplier + para_idx`; the precondition is ENFORCED with a
+    * codegen'd per-row check instead of silently folding a
+    * >pidMultiplier-paragraph document's spans into its neighbor's
+    * accounting. */
+  private def pidFrameOf(paras: DataFrame, pidMultiplier: Long): DataFrame = {
     val guarded = when(col("para_idx") >= pidMultiplier,
       raise_error(concat(
         lit(s"para_idx >= pidMultiplier $pidMultiplier for doc "),
         col("doc_id").cast("string"),
         lit(" — raise pidMultiplier"))).cast("long"))
       .otherwise(col("para_idx"))
-    val pid = paras.select(
+    paras.select(
       (col("doc_id") * pidMultiplier + guarded).as("doc_id"),
       col("para").as("text"))
-    val groups = dedupGroupsOf(pid)
+  }
+
+  private def paragraphAccounting(pid: DataFrame, groups: DataFrame,
+                                  pidMultiplier: Long): DataFrame =
     groups
       .join(pid.select(col("doc_id"), length(col("text")).as("pchars")), "doc_id")
       .withColumn("odoc", expr(s"doc_id div $pidMultiplier"))
@@ -637,11 +647,23 @@ object Dedup {
       .select(col("odoc").as("doc_id"), col("n_paras"), col("n_removed"),
         col("chars_removed"))
       .orderBy("doc_id")
-  }
 
-  /** [[paragraphDedupOf]] over 25-token spans of the documents table. */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
-    paragraphDedupOf(paragraphs(Tables.documents(spark, dir)))
+  /** [[paragraphDedupOf]] over 25-token spans of the documents table,
+    * with the paragraph-level reps + band tables persisted via
+    * [[IndexStore]] — the span-granularity mirror of the doc-level
+    * index lifecycle: the shingle/signature pass over every span runs
+    * once per corpus, not once per query run. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val mult = 100000L
+    val key = IndexStore.keyOf(dir)
+    val pid = pidFrameOf(paragraphs(Tables.documents(spark, dir)), mult)
+    val paraReps = IndexStore.orBuild(spark, s"dd_parareps_$key", 32, Seq("doc_id"))(
+      repsOf(pid))
+    val paraBands = IndexStore.orBuild(spark, s"dd_parabands_$key", 32, Seq("band", "bucket"))(
+      minhashBandsOf(paraReps.select("doc_id", "text")))
+    paragraphAccounting(pid,
+      dedupGroupsWithPairs(pid, lshPairsFromBands(paraBands)), mult)
+  }
 
   // ---------------------------------------------- repeated-span removal
 
