@@ -128,20 +128,29 @@ object TextAnalysis {
     * the transitive-closure keep-set, so near-duplicate survivors of the
     * quality gate collapse to one training document. Output is grouped
     * accounting — the doc-level keep-set never leaves the cluster. */
-  def corpusPipeline(spark: SparkSession, dir: String): DataFrame =
-    corpusPipelineOf(Tables.documents(spark, dir))
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    // dedup stage's reps/band tables persisted per corpus — the
+    // quality-gate survivor slice is deterministic, so its index gets
+    // the same build-once lifecycle as the doc-level dedup family
+    val prefix = s"ta_pipe_${graft.sources.IndexStore.keyOf(dir)}"
+    corpusPipelineImpl(Tables.documents(spark, dir),
+      q => graft.operators.Dedup.dedupGroupsPersisted(spark, prefix, q))
+  }
 
   /** [[corpusPipeline]] over any (doc_id, text, lang) frame (spec entry
-    * point). */
-  def corpusPipelineOf(docs: DataFrame): DataFrame = {
+    * point — inline dedup derivation). */
+  def corpusPipelineOf(docs: DataFrame): DataFrame =
+    corpusPipelineImpl(docs, q => graft.operators.Dedup.dedupGroupsOf(q))
+
+  private def corpusPipelineImpl(docs: DataFrame,
+      groupsOf: DataFrame => DataFrame): DataFrame = {
     val q = docs
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .withColumn("stop_ratio",
         size(expr("filter(split(lower(text), ' '), t -> t IN ('the','a','and'))"))
           .cast("double") / col("n_tokens"))
       .filter(col("n_tokens") >= 10 && col("stop_ratio") <= 0.4)
-    val canonical = graft.operators.Dedup
-      .dedupGroupsOf(q.select("doc_id", "text"))
+    val canonical = groupsOf(q.select("doc_id", "text"))
       .filter(col("is_canonical"))
       .select("doc_id")
     q.join(canonical, "doc_id")

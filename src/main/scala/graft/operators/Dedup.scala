@@ -565,6 +565,21 @@ object Dedup {
     dedupGroupsWithPairs(Tables.documents(spark, dir),
       lshPairsFromBands(repBandsTable(spark, dir)))
 
+  /** [[dedupGroupsOf]] over an arbitrary DETERMINISTIC corpus slice
+    * (quality-gate survivors, paragraph spans, …) with its reps + band
+    * tables persisted under `prefix` — the generic entry point other
+    * pipelines use to give their dedup stage the build-once index
+    * lifecycle. The caller owns prefix uniqueness per (slice, corpus);
+    * [[graft.sources.IndexStore.keyOf]] supplies the corpus part. */
+  def dedupGroupsPersisted(spark: SparkSession, prefix: String, docs: DataFrame,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    val reps = IndexStore.orBuild(spark, s"${prefix}_reps", 32, Seq("doc_id"))(
+      repsOf(docs))
+    val bands = IndexStore.orBuild(spark, s"${prefix}_bands", 32, Seq("band", "bucket"))(
+      minhashBandsOf(reps.select("doc_id", "text")))
+    dedupGroupsWithPairs(docs, lshPairsFromBands(bands), checkpointDir)
+  }
+
   // ---------------------------------------------- paragraph-level dedup
 
   /** Fixed-span "paragraphs": consecutive `tokensPerPara`-token windows
@@ -655,14 +670,9 @@ object Dedup {
     * once per corpus, not once per query run. */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
     val mult = 100000L
-    val key = IndexStore.keyOf(dir)
     val pid = pidFrameOf(paragraphs(Tables.documents(spark, dir)), mult)
-    val paraReps = IndexStore.orBuild(spark, s"dd_parareps_$key", 32, Seq("doc_id"))(
-      repsOf(pid))
-    val paraBands = IndexStore.orBuild(spark, s"dd_parabands_$key", 32, Seq("band", "bucket"))(
-      minhashBandsOf(paraReps.select("doc_id", "text")))
     paragraphAccounting(pid,
-      dedupGroupsWithPairs(pid, lshPairsFromBands(paraBands)), mult)
+      dedupGroupsPersisted(spark, s"dd_para_${IndexStore.keyOf(dir)}", pid), mult)
   }
 
   // ---------------------------------------------- repeated-span removal
