@@ -304,6 +304,7 @@ object Relational {
     "rel_delete_by_key"          -> deleteByKey _,
     "rel_star_join_revenue"      -> starJoinRevenue _,
     "rel_zorder_layout"          -> (graft.sources.Layout.zTileStats _),
+    "rel_orc_roundtrip"          -> (graft.sources.Formats.orcRoundtrip _),
   )
 
   // DuckDB's native ASOF LEFT JOIN is the oracle for BOTH asof paths
@@ -435,5 +436,12 @@ object Relational {
                 min(a) AS a_lo, max(a) AS a_hi,
                 min(b) AS b_lo, max(b) AS b_hi
          FROM z GROUP BY 1 ORDER BY tile""",
+    // oracle reads the ORIGINAL parquet; the Spark side reads its ORC
+    // mirror — a hash match proves the ORC sink+source lossless
+    "rel_orc_roundtrip" ->
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang ORDER BY lang""",
   )
 }
