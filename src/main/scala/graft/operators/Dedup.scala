@@ -708,7 +708,15 @@ object Dedup {
     * (repeated grams, a small fraction of positions); its worst case —
     * a fully-duplicated giant document — is bounded by that document's
     * own token count. */
-  def spanDedupOf(docs: DataFrame, w: Int = 8): DataFrame = {
+  def spanDedupOf(docs: DataFrame, w: Int = 8): DataFrame =
+    spanAccounting(docs, matchedSpansOf(docs, w), w)
+
+  /** Detection pass: every `w`-gram position whose content repeats
+    * corpus-wide, as (doc_id, s, e) token spans. This table IS the
+    * substring-dedup index of a corpus — deterministic, appendable at
+    * ingest — which is why [[spanDedupPersisted]] materializes exactly
+    * this frame. */
+  private def matchedSpansOf(docs: DataFrame, w: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toked = docs.select(col("doc_id"),
       split(lower(col("text")), " ").as("toks"))
@@ -721,10 +729,16 @@ object Dedup {
         (col("o.pos") + (w - 1)).as("e"), col("o.gh").as("gh"))
     // corpus-wide occurrence count without re-deriving the gram stream:
     // one exchange on gh, count over the hash partition, filter ≥ 2
-    val spans = occ
+    occ
       .withColumn("c", count(lit(1)).over(Window.partitionBy("gh")))
       .filter(col("c") >= 2)
       .select("doc_id", "s", "e")
+  }
+
+  /** Island merge + per-doc accounting over a matched-span table —
+    * windows over MATCHED spans only (a small fraction of positions). */
+  private def spanAccounting(docs: DataFrame, spans: DataFrame, w: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     // merge overlapping/adjacent spans into maximal islands: a span
     // starts a new island iff it begins past the running max end + 1
     val byStart = Window.partitionBy("doc_id").orderBy(col("s"), col("e"))
@@ -739,7 +753,8 @@ object Dedup {
       .agg((max(col("e")) - min(col("s")) + 1).cast("long").as("sz"))
     val perDoc = islands.groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"), sum(col("sz")).as("tokens_in_spans"))
-    toked.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"))
+    docs.select(col("doc_id"),
+        size(split(lower(col("text")), " ")).cast("long").as("n_tokens"))
       .join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_tokens"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
@@ -751,12 +766,28 @@ object Dedup {
     * every 5th document gets [[boilerplate]] appended (the identical
     * plant on both engines — the synthetic corpus has almost no natural
     * 8-gram repetition, so the gate must exercise the removal path). */
-  def spanDedup(spark: SparkSession, dir: String): DataFrame = {
-    val planted = Tables.documents(spark, dir).select(col("doc_id"),
+  private def plantedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"),
       concat(col("text"),
         when(col("doc_id") % 5 === 0, lit(" " + boilerplate))
           .otherwise(lit(""))).as("text"))
-    spanDedupOf(planted)
+
+  def spanDedup(spark: SparkSession, dir: String): DataFrame =
+    spanDedupOf(plantedDocs(spark, dir))
+
+  /** [[spanDedup]] served from the PERSISTED matched-span index — the
+    * production split of the substring pass, mirroring
+    * `ta_bm25_topk`/`ta_bm25_persisted`: detection (tokenize → gram
+    * stream → corpus-wide occurrence count, the whole-corpus shuffle)
+    * runs once per corpus at ingest; per-run serving is the island
+    * merge + accounting over matched spans only. Shares
+    * `dd_span_dedup`'s oracle — identical results by construction. */
+  def spanDedupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    val planted = plantedDocs(spark, dir)
+    val spans = IndexStore.orBuild(spark,
+      s"dd_spans_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      matchedSpansOf(planted, 8))
+    spanAccounting(planted, spans, 8)
   }
 
   /** End-to-end CANONICAL-CORPUS summary — the step that consumes the
@@ -791,6 +822,7 @@ object Dedup {
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
     "dd_paragraph_dedup"     -> paragraphDedup _,
     "dd_span_dedup"          -> spanDedup _,
+    "dd_span_dedup_persisted" -> spanDedupPersisted _,
     "dd_incremental"         -> incrementalDedup _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
@@ -801,6 +833,45 @@ object Dedup {
 
   // Shared oracle fragment: distinct 3-gram shingles per doc (DuckDB lists
   // are 1-based, like Spark element_at) — over any (doc_id, text) source.
+  // repeated spans: 1-based start positions; t[i : i+7] is DuckDB's
+  // inclusive 8-element slice of the same window Spark's concat_ws
+  // builds; islands via the identical running-max-end window. Shared by
+  // the scan-time and persisted-index span queries (identical results).
+  private val spanDedupOracleSql =
+    s"""WITH pl AS (
+           SELECT doc_id,
+             string_split(lower(text ||
+               CASE WHEN doc_id % 5 = 0 THEN ' $boilerplate' ELSE '' END), ' ') AS t
+           FROM documents),
+         occ AS (
+           SELECT doc_id, i AS s, i + 7 AS e,
+                  md5(array_to_string(t[i : i+7], ' ')) AS gh
+           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
+                 FROM pl WHERE len(t) >= 8)),
+         rep AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
+         sp AS (SELECT o.doc_id, o.s, o.e FROM occ o JOIN rep USING (gh)),
+         isl AS (
+           SELECT doc_id, s, e,
+             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
+                  THEN 1 ELSE 0 END AS ni
+           FROM sp),
+         isl2 AS (
+           SELECT doc_id, s, e,
+             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
+           FROM isl),
+         ag AS (SELECT doc_id, iid, max(e) - min(s) + 1 AS sz
+                FROM isl2 GROUP BY doc_id, iid),
+         pd AS (SELECT doc_id, count(*) AS n_spans,
+                       CAST(sum(sz) AS BIGINT) AS tokens_in_spans
+                FROM ag GROUP BY doc_id)
+         SELECT pl.doc_id AS doc_id, CAST(len(pl.t) AS BIGINT) AS n_tokens,
+                CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
+                CAST(coalesce(pd.tokens_in_spans, 0) AS BIGINT) AS tokens_in_spans
+         FROM pl LEFT JOIN pd ON pl.doc_id = pd.doc_id
+         ORDER BY 1"""
+
   private def shingleCteFrom(src: String) =
     s"""sh AS (
          SELECT doc_id,
@@ -936,43 +1007,9 @@ object Dedup {
                   AS chars_removed
          FROM g JOIN pc ON g.doc_id = pc.doc_id
          GROUP BY 1 ORDER BY doc_id""",
-    // repeated spans: 1-based start positions; t[i : i+7] is DuckDB's
-    // inclusive 8-element slice of the same window Spark's concat_ws
-    // builds; islands via the identical running-max-end window
-    "dd_span_dedup" ->
-      s"""WITH pl AS (
-           SELECT doc_id,
-             string_split(lower(text ||
-               CASE WHEN doc_id % 5 = 0 THEN ' $boilerplate' ELSE '' END), ' ') AS t
-           FROM documents),
-         occ AS (
-           SELECT doc_id, i AS s, i + 7 AS e,
-                  md5(array_to_string(t[i : i+7], ' ')) AS gh
-           FROM (SELECT doc_id, t, unnest(range(1, len(t) - 6)) AS i
-                 FROM pl WHERE len(t) >= 8)),
-         rep AS (SELECT gh FROM occ GROUP BY gh HAVING count(*) >= 2),
-         sp AS (SELECT o.doc_id, o.s, o.e FROM occ o JOIN rep USING (gh)),
-         isl AS (
-           SELECT doc_id, s, e,
-             CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id ORDER BY s, e
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
-                  THEN 1 ELSE 0 END AS ni
-           FROM sp),
-         isl2 AS (
-           SELECT doc_id, s, e,
-             SUM(ni) OVER (PARTITION BY doc_id ORDER BY s, e
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS iid
-           FROM isl),
-         ag AS (SELECT doc_id, iid, max(e) - min(s) + 1 AS sz
-                FROM isl2 GROUP BY doc_id, iid),
-         pd AS (SELECT doc_id, count(*) AS n_spans,
-                       CAST(sum(sz) AS BIGINT) AS tokens_in_spans
-                FROM ag GROUP BY doc_id)
-         SELECT pl.doc_id AS doc_id, CAST(len(pl.t) AS BIGINT) AS n_tokens,
-                CAST(coalesce(pd.n_spans, 0) AS BIGINT) AS n_spans,
-                CAST(coalesce(pd.tokens_in_spans, 0) AS BIGINT) AS tokens_in_spans
-         FROM pl LEFT JOIN pd ON pl.doc_id = pd.doc_id
-         ORDER BY 1""",
+    "dd_span_dedup" -> spanDedupOracleSql,
+    // identical semantics served from the persisted matched-span index
+    "dd_span_dedup_persisted" -> spanDedupOracleSql,
     "dd_dedup_corpus" ->
       s"""$dedupGroupsCtes
          SELECT d.lang, count(*) AS n_docs,
