@@ -103,6 +103,25 @@ object Streams {
         col("window.end").as("window_end"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming Count-Min sketch — the frequency monitor for an
+    * unbounded key stream where exact per-key state would grow without
+    * bound. Mirrors the batch relational build
+    * ([[graft.operators.Aggregations.countMinChecked]]) exactly: each
+    * item contributes one increment to d seeded-xxhash64 buckets, and
+    * the sketch is a streaming groupBy over (row, bucket) — so the state
+    * store holds AT MOST d·w rows forever, regardless of how many
+    * distinct items flow through (vs one state row per key for an exact
+    * streaming count). Point estimates come from the same min-over-rows
+    * read the batch query uses; update-mode emits changed counters per
+    * batch. No watermark needed — the state is bounded by construction,
+    * the sketch monitors all time. */
+  def countMinStream(items: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
+    items
+      .select(posexplode(array((0 until d).map(r =>
+        pmod(xxhash64(col("item"), lit(r)), lit(w.toLong))): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket")
+      .agg(count(lit(1)).as("c"))
+
   /** Per-creator engagement aggregation as a streaming stateful agg —
     * the BASELINE north-star requirement that the posts pipeline's
     * per-creator metrics be expressible incrementally. All metrics here

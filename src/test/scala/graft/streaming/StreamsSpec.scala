@@ -383,4 +383,30 @@ class StreamsSpec extends AnyFunSuite {
     assert(!got(2)._3 && got(2)._2 == 0, s"short doc flagged: ${got(2)}")
     assert(!got(3)._3 && got(3)._2 == 1, s"lone-gram doc misjudged: ${got(3)}")
   }
+
+  test("countMinStream: final counters equal the batch grid; state bounded by d*w") {
+    val d = 4; val w = 64
+    val in = MemoryStream[String]
+    val q = Streams.countMinStream(in.toDF().toDF("item"), d, w).writeStream
+      .format("memory").queryName("cm_out").outputMode(OutputMode.Complete()).start()
+    val batch1 = Seq.tabulate(200)(i => s"k${i % 7}")
+    val batch2 = Seq.tabulate(300)(i => s"k${i % 23}")
+    in.addData(batch1: _*)
+    q.processAllAvailable()
+    in.addData(batch2: _*)
+    q.processAllAvailable()
+    val streamed = spark.table("cm_out")
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    q.stop()
+    // the sketch grid never exceeds d*w counters no matter how many
+    // distinct items flowed through
+    assert(streamed.size <= d * w, s"state ${streamed.size} > ${d * w}")
+    // batch replay of the identical build over the union of both batches
+    val batchGrid = (batch1 ++ batch2).toDF("item")
+      .select(posexplode(array((0 until d).map(r =>
+        pmod(xxhash64(col("item"), lit(r)), lit(w.toLong))): _*)).as(Seq("r", "bucket")))
+      .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed == batchGrid)
+  }
 }
