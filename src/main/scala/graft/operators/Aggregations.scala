@@ -268,11 +268,16 @@ object Aggregations {
       .groupBy("item", "b0", "b1", "b2", "b3").agg(count(lit(1)).as("cnt"))
       .crossJoin(broadcast(n))
       .filter(col("cnt") * k > col("n"))
-    (0 until d).foldLeft(heavy) { (df, r) =>
-        df.join(broadcast(grid.filter(col("r") === r)
-          .select(col("bucket").as(s"b$r"), col("c").as(s"c$r"))), Seq(s"b$r"))
-      }
-      .withColumn("est", least((0 until d).map(r => col(s"c$r")): _*))
+    // point lookup: explode each heavy item to its d (row, bucket)
+    // coordinates and join the grid ONCE — est = min over the d
+    // counters. (A per-row filtered join would re-derive the grid
+    // subplan d times; this shape builds it once.)
+    heavy
+      .select(col("item"), col("cnt"), col("n"),
+        posexplode(array((0 until d).map(r => col(s"b$r")): _*)).as(Seq("r", "bucket")))
+      .join(broadcast(grid), Seq("r", "bucket"))
+      .groupBy("item", "cnt", "n")
+      .agg(min(col("c")).as("est"))
       .select(col("item"), col("cnt"),
         (col("est") >= col("cnt")).as("no_undercount"),
         (col("est") <= col("cnt") + expr(s"(2 * n) div $w")).as("overcount_within_bound"))
