@@ -212,7 +212,29 @@ object Windows {
       .orderBy("c_custkey")
   }
 
+  /** Sliding-window DISTINCT count — trailing-7-day active users per
+    * day. A window frame cannot express `count(DISTINCT)` (Spark and
+    * most engines reject it), and a streaming/state formulation holds
+    * per-window user sets; the scalable batch shape is the BOUNDED
+    * EXPLODE: each event covers exactly the 7 window-days it can
+    * contribute to (a ×7 row multiplier, constant in corpus size), then
+    * one two-phase distinct aggregation per (day, user). At 100 TB the
+    * multiplier stays 7 while the state-based alternative holds a
+    * users-per-week set per key — this trades bounded rows for
+    * unbounded memory. Trailing days past the last event date appear
+    * (the window slides past the data's edge); the oracle mirrors the
+    * same construction so both engines agree on that tail. */
+  def slidingDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .select(explode(expr("sequence(d, date_add(d, 6))")).as("win_day"),
+        col("user_id"))
+      .groupBy("win_day")
+      .agg(countDistinct(col("user_id")).as("u7"))
+      .orderBy("win_day")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sliding_distinct"   -> slidingDistinctUsers _,
     "win_rolling_frames"     -> rollingFrames _,
     "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
@@ -227,6 +249,14 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same bounded-explode construction: each event feeds the 7 window
+    // days it can contribute to, then exact distinct per day
+    "win_sliding_distinct" ->
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS d, user_id FROM events),
+         ex AS (SELECT d + CAST(o AS INTEGER) AS win_day, user_id
+                FROM ev, (SELECT unnest(range(0, 7)) AS o))
+         SELECT win_day, count(DISTINCT user_id) AS u7
+         FROM ex GROUP BY win_day ORDER BY win_day""",
     "win_rolling_frames" ->
       """WITH d AS (
            SELECT o_custkey, o_orderkey,
