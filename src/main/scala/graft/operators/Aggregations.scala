@@ -377,6 +377,20 @@ object Aggregations {
       .na.fill(0L)
       .orderBy("user_id")
 
+  /** The inverse of [[pivotEventTypes]] — unpivot/melt back to long
+    * form (wide metric columns → (key, metric, value) rows), the
+    * standard reshape before a generic per-metric aggregation or sink.
+    * Spark's native `unpivot` is a zero-shuffle projection (each wide
+    * row emits its value-column rows map-side); the round-trip through
+    * pivot exercises both reshape directions against one oracle. */
+  def unpivotEventCounts(spark: SparkSession, dir: String): DataFrame =
+    pivotEventTypes(spark, dir)
+      .unpivot(
+        Array(col("user_id")),
+        Seq("click", "error", "purchase", "signup", "view").map(col).toArray,
+        "event_type", "n")
+      .orderBy("user_id", "event_type")
+
   /** Corpus profiling percentiles (training-data QA): interpolated
     * quantiles of document length — `percentile` matches DuckDB's
     * quantile_cont definition exactly. */
@@ -398,6 +412,7 @@ object Aggregations {
     "agg_topk_typed"          -> topkTypedAgg _,
     "agg_cube"                -> cubeStatusPriority _,
     "agg_pivot_event_types"   -> pivotEventTypes _,
+    "agg_unpivot_events"      -> unpivotEventCounts _,
     "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinctChecked _,
@@ -495,6 +510,17 @@ object Aggregations {
          FROM s CROSS JOIN n
          GROUP BY item, n.n HAVING count(*) * 25 > n.n
          ORDER BY item""",
+    // long form derived directly (conditional counts per (user, type)
+    // over the pinned value set — the same cells the pivot produces)
+    "agg_unpivot_events" ->
+      """SELECT u.user_id, t.event_type,
+           CAST(count(e.event_type) AS BIGINT) AS n
+         FROM (SELECT DISTINCT user_id FROM events) u
+         CROSS JOIN (VALUES ('click'),('error'),('purchase'),('signup'),('view')) AS t(event_type)
+         LEFT JOIN events e
+           ON e.user_id = u.user_id AND e.event_type = t.event_type
+         GROUP BY u.user_id, t.event_type
+         ORDER BY u.user_id, t.event_type""",
     "agg_pivot_event_types" ->
       """SELECT user_id,
            count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
