@@ -305,4 +305,40 @@ class PlanSpec extends AnyFunSuite {
       prev.fold(spark.conf.unset(k))(spark.conf.set(k, _))
     }
   }
+
+  test("Count-Min grid build is one partial+final aggregate; lookups broadcast") {
+    val plan = planOf(Aggregations.countMinChecked(spark, dir))
+    // the grid must reach the point lookup as a broadcast, never a
+    // shuffled join side, and nothing may go cartesian besides the
+    // bounded scalar-n stat join
+    assert(plan.contains("BroadcastHashJoin"), s"grid lookup not broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), s"unexpected sort-merge join:\n${plan.take(2000)}")
+  }
+
+  test("Z-order tile stats: morton arithmetic stays in codegen, one agg exchange") {
+    val df = graft.sources.Layout.zTileStats(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n${plan.take(2000)}")
+    // pure long shift/mask arithmetic — no Generate, no join, no UDF
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Generate"),
+      s"tile derivation left codegen:\n${plan.take(2000)}")
+  }
+
+  test("unpivot is a map-side reshape: no exchange between pivot agg and unpivot") {
+    val df = Aggregations.unpivotEventCounts(spark, dir)
+    val expands = df.queryExecution.executedPlan.toString
+    // Spark plans unpivot as Expand — which must sit ABOVE the pivot's
+    // final aggregate with no extra shuffle of its own (the orderBy's
+    // range exchange is the only post-agg exchange)
+    assert(expands.contains("Expand"), s"expected Expand for unpivot:\n${expands.take(2000)}")
+  }
+
+  test("sliding distinct: bounded day-explode feeds a two-phase distinct aggregate") {
+    val df = Windows.slidingDistinctUsers(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Generate explode"), s"expected bounded explode:\n${plan.take(2000)}")
+    assert(plan.contains("HashAggregate"), s"expected hash aggregate:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
+      s"unexpected join in a pure reshape+agg plan:\n${plan.take(2000)}")
+  }
 }
