@@ -406,7 +406,90 @@ object Aggregations {
         max(col("n_chars")).as("max_chars"))
       .orderBy("lang")
 
+  /** Explicit GROUPING SETS — the third member of the grouped-analytics
+    * family next to [[rollupRegionNation]] and [[cubeStatusPriority]]:
+    * the caller picks exactly which subtotal combinations exist
+    * ((status), (priority), grand total — but NOT the (status,
+    * priority) detail a cube would add). Same execution shape: the
+    * grouping expansion happens map-side (one Expand + one hash
+    * shuffle), so cost scales with |sets|, not with a re-scan per
+    * set — the reason GROUPING SETS beats N unioned groupBys at
+    * 100 TB. */
+  def groupingSetsStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+           dsum(col("o_totalprice")).as("sum_price"))
+      .select("o_orderstatus", "o_orderpriority", "gid", "n_orders", "sum_price")
+      .orderBy(col("gid").asc,
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  /** Table PROFILING — the catalog-statistics pass every 100 TB ingest
+    * runs before anything else: per column, row/null/distinct counts
+    * and min/max (as strings, so one output schema fits every column
+    * type; the lexicographic min/max of the string form is the
+    * documented contract). ONE scan computes every stat — the wide
+    * aggregate row is unpivoted to (column, stat…) rows afterwards via
+    * a zero-shuffle map-side stack. Exact distinct counts expand the
+    * aggregate per column; the approximate profile at extreme scale is
+    * [[approxDistinctChecked]]'s HLL family. */
+  def profileColumns(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("lang", "source", "n_chars")
+    val d = Tables.documents(spark, dir)
+    val aggs =
+      count(lit(1)).as("n_rows") +: cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nulls_$c"),
+          countDistinct(col(c)).as(s"nd_$c"),
+          min(col(c).cast("string")).as(s"min_$c"),
+          max(col(c).cast("string")).as(s"max_$c"))
+      }
+    val stackArgs = cols
+      .map(c => s"'$c', nulls_$c, nd_$c, min_$c, max_$c").mkString(", ")
+    d.agg(aggs.head, aggs.tail: _*)
+      .select(col("n_rows"), expr(
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_nulls, n_distinct, min_str, max_str)"))
+      .select("column_name", "n_rows", "n_nulls", "n_distinct", "min_str", "max_str")
+      .orderBy("column_name")
+  }
+
+  /** Statistical outlier detection (training-data QA / anomaly gate):
+    * customers whose balance sits more than 2 sample standard
+    * deviations from their nation's mean. Deterministic across engines
+    * the [[corrValueTime]] way: balances become exact integer cents,
+    * the per-nation moments are exact integer sums, and the 2σ test is
+    * evaluated as the cross-multiplied polynomial
+    * `(n·x − Σx)²·(n−1) > 4·n·(n·Σx² − (Σx)²)` in DOUBLE arithmetic —
+    * every operand converts from the same exact integer, every product
+    * rounds identically under IEEE 754, so both engines flag the
+    * identical rows with no epsilon. One shuffle for the moments
+    * (broadcast back), one scan for the flagging. */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal"),
+        round(col("c_acctbal") * 100).cast("long").as("x"))
+    val moments = cents.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+      .filter(col("n") >= 2)
+    val dbl = (c: Column) => c.cast("double")
+    cents.join(broadcast(moments), "c_nationkey")
+      .withColumn("dev", dbl(col("n")) * dbl(col("x")) - dbl(col("sx")))
+      .withColumn("varn",
+        dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .filter(col("dev") * col("dev") * (dbl(col("n")) - lit(1.0))
+        > lit(4.0) * dbl(col("n")) * col("varn"))
+      .select("c_nationkey", "c_custkey", "c_acctbal")
+      .orderBy("c_nationkey", "c_custkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_grouping_sets"       -> groupingSetsStatusPriority _,
+    "agg_profile_columns"     -> profileColumns _,
+    "agg_outlier_zscore"      -> outlierZscore _,
     "agg_approx_percentile"   -> approxPercentileChecked _,
     "agg_corr_value_time"     -> corrValueTime _,
     "agg_topk_typed"          -> topkTypedAgg _,
@@ -429,6 +512,56 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+           CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END
+              + CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END AS BIGINT) AS gid,
+           count(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+         FROM orders
+         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+         ORDER BY gid ASC, o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""",
+    "agg_profile_columns" ->
+      """WITH s AS (
+           SELECT count(*) AS n_rows,
+             SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS nulls_lang,
+             count(DISTINCT lang) AS nd_lang,
+             min(CAST(lang AS VARCHAR)) AS min_lang, max(CAST(lang AS VARCHAR)) AS max_lang,
+             SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS nulls_source,
+             count(DISTINCT source) AS nd_source,
+             min(CAST(source AS VARCHAR)) AS min_source, max(CAST(source AS VARCHAR)) AS max_source,
+             SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS nulls_n_chars,
+             count(DISTINCT n_chars) AS nd_n_chars,
+             min(CAST(n_chars AS VARCHAR)) AS min_n_chars, max(CAST(n_chars AS VARCHAR)) AS max_n_chars
+           FROM documents)
+         SELECT 'lang' AS column_name, n_rows, CAST(nulls_lang AS BIGINT) AS n_nulls,
+                CAST(nd_lang AS BIGINT) AS n_distinct, min_lang AS min_str, max_lang AS max_str FROM s
+         UNION ALL
+         SELECT 'n_chars', n_rows, CAST(nulls_n_chars AS BIGINT), CAST(nd_n_chars AS BIGINT),
+                min_n_chars, max_n_chars FROM s
+         UNION ALL
+         SELECT 'source', n_rows, CAST(nulls_source AS BIGINT), CAST(nd_source AS BIGINT),
+                min_source, max_source FROM s
+         ORDER BY column_name""",
+    "agg_outlier_zscore" ->
+      """WITH c AS (
+           SELECT c_custkey, c_nationkey, c_acctbal,
+                  CAST(round(c_acctbal * 100.0) AS BIGINT) AS x
+           FROM customer),
+         m AS (
+           SELECT c_nationkey, count(*) AS n,
+                  CAST(SUM(x) AS BIGINT) AS sx,
+                  CAST(SUM(x * x) AS BIGINT) AS sxx
+           FROM c GROUP BY 1 HAVING count(*) >= 2)
+         SELECT c.c_nationkey, c.c_custkey, c.c_acctbal
+         FROM c JOIN m USING (c_nationkey)
+         WHERE (CAST(m.n AS DOUBLE) * CAST(c.x AS DOUBLE) - CAST(m.sx AS DOUBLE))
+             * (CAST(m.n AS DOUBLE) * CAST(c.x AS DOUBLE) - CAST(m.sx AS DOUBLE))
+             * (CAST(m.n AS DOUBLE) - 1.0)
+             > 4.0 * CAST(m.n AS DOUBLE)
+                 * (CAST(m.n AS DOUBLE) * CAST(m.sxx AS DOUBLE)
+                    - CAST(m.sx AS DOUBLE) * CAST(m.sx AS DOUBLE))
+         ORDER BY c_nationkey, c_custkey""",
     "agg_approx_percentile" ->
       """SELECT lang, count(*) AS n_docs,
            quantile_cont(n_chars, 0.5) AS p50_exact,

@@ -559,26 +559,46 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  /** [[dedupGroupsOf]] over the documents table, candidate pairs served
-    * from the persisted representative band index. */
+  /** Persisted GROUP LABELS for the documents table — the third (and
+    * final) artifact of the dedup index lifecycle. Reps and band tables
+    * were already build-once; the connected-components fixpoint output
+    * (doc_id → group_id) is just as deterministic per corpus, and it is
+    * the artifact every downstream consumer (keep-set summary, corpus
+    * pipeline, retention audit) actually joins against. Re-running an
+    * O(log n)-round iterative fixpoint per query is exactly the
+    * "re-pay the derivation" anti-pattern `IndexStore` exists to end:
+    * at 100 TB the label table is written once at ingest and every
+    * consumer bucket-joins it on doc_id. */
+  private[graft] def groupsTable(spark: SparkSession, dir: String): DataFrame =
+    IndexStore.orBuild(spark, s"dd_groups_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      dedupGroupsWithPairs(Tables.documents(spark, dir),
+        lshPairsFromBands(repBandsTable(spark, dir))))
+
+  /** [[dedupGroupsOf]] over the documents table, served from the
+    * persisted group-label index ([[groupsTable]]). */
   def dedupGroups(spark: SparkSession, dir: String): DataFrame =
-    dedupGroupsWithPairs(Tables.documents(spark, dir),
-      lshPairsFromBands(repBandsTable(spark, dir)))
+    groupsTable(spark, dir)
+      .select("doc_id", "group_id", "group_size", "is_canonical")
+      .orderBy("doc_id")
 
   /** [[dedupGroupsOf]] over an arbitrary DETERMINISTIC corpus slice
-    * (quality-gate survivors, paragraph spans, …) with its reps + band
-    * tables persisted under `prefix` — the generic entry point other
-    * pipelines use to give their dedup stage the build-once index
-    * lifecycle. The caller owns prefix uniqueness per (slice, corpus);
-    * [[graft.sources.IndexStore.keyOf]] supplies the corpus part. */
+    * (quality-gate survivors, paragraph spans, …) with its reps, band,
+    * AND group-label tables persisted under `prefix` — the generic
+    * entry point other pipelines use to give their dedup stage the
+    * build-once index lifecycle. The group labels are the top-level
+    * artifact: on an index hit neither the signature pass nor the
+    * components fixpoint runs at all. The caller owns prefix uniqueness
+    * per (slice, corpus); [[graft.sources.IndexStore.keyOf]] supplies
+    * the corpus part. */
   def dedupGroupsPersisted(spark: SparkSession, prefix: String, docs: DataFrame,
-                           checkpointDir: Option[String] = None): DataFrame = {
-    val reps = IndexStore.orBuild(spark, s"${prefix}_reps", 32, Seq("doc_id"))(
-      repsOf(docs))
-    val bands = IndexStore.orBuild(spark, s"${prefix}_bands", 32, Seq("band", "bucket"))(
-      minhashBandsOf(reps.select("doc_id", "text")))
-    dedupGroupsWithPairs(docs, lshPairsFromBands(bands), checkpointDir)
-  }
+                           checkpointDir: Option[String] = None): DataFrame =
+    IndexStore.orBuild(spark, s"${prefix}_groups", 32, Seq("doc_id"))({
+      val reps = IndexStore.orBuild(spark, s"${prefix}_reps", 32, Seq("doc_id"))(
+        repsOf(docs))
+      val bands = IndexStore.orBuild(spark, s"${prefix}_bands", 32, Seq("band", "bucket"))(
+        minhashBandsOf(reps.select("doc_id", "text")))
+      dedupGroupsWithPairs(docs, lshPairsFromBands(bands), checkpointDir)
+    }).select("doc_id", "group_id", "group_size", "is_canonical")
 
   // ---------------------------------------------- paragraph-level dedup
 
@@ -798,7 +818,7 @@ object Dedup {
     * the full doc-level keep-set never has to leave the cluster. */
   def dedupCorpusSummary(spark: SparkSession, dir: String): DataFrame =
     summarizeKeepSet(Tables.documents(spark, dir),
-      dedupGroups(spark, dir))
+      groupsTable(spark, dir))
 
   /** [[dedupCorpusSummary]] over any (doc_id, text, lang, n_chars)
     * frame (spec entry point — derives the pair graph inline). */

@@ -268,6 +268,51 @@ object Relational {
       .orderBy("event_id")
   }
 
+  /** BLOOM-FILTER join pruning — the runtime-filter pattern that makes
+    * selective star joins cheap at 100 TB: instead of shuffling the
+    * whole fact table into a join to discover that most rows have no
+    * match, a compact filter derived from the small side prunes the
+    * fact scan first (Spark's own AQE injects
+    * `BloomFilterAggregate`/`bloom_filter_might_contain` the same way;
+    * here the filter is EXPLICIT and deterministic so the oracle can
+    * re-derive it). Construction: the ~top-value orders' keys set bits
+    * `h1, h2` (two independent md5-derived positions mod 2^16); a
+    * lineitem row passes iff both its positions are set — membership
+    * via two broadcast semi-joins against the ≤ 2·|keys| distinct
+    * set-bit positions, i.e. the fact table never shuffles. Output
+    * compares bloom-passed vs exactly-matched row counts per return
+    * flag: `n_false_pos = n_bloom_pass − n_exact` is the measured FP
+    * overhead, and no-false-negatives is implicit in the gate (the
+    * exact count could not exceed the bloom count otherwise). */
+  def bloomPruneCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.Column
+    val bits = 65536L
+    def h(c: Column, off: Int): Column =
+      pmod(conv(substring(md5(c.cast("string")), 1 + off, 8), 16, 10).cast("long"), lit(bits))
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select(col("o_orderkey"))
+    val setBits = hot
+      .select(explode(array(h(col("o_orderkey"), 0), h(col("o_orderkey"), 8))).as("bit"))
+      .distinct()
+    val probed = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_returnflag"))
+      .withColumn("b1", h(col("l_orderkey"), 0))
+      .withColumn("b2", h(col("l_orderkey"), 8))
+    val pass = probed
+      .join(broadcast(setBits.withColumnRenamed("bit", "b1")), Seq("b1"), "left_semi")
+      .join(broadcast(setBits.withColumnRenamed("bit", "b2")), Seq("b2"), "left_semi")
+    val exact = pass.join(broadcast(hot),
+      col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val nPass = pass.groupBy("l_returnflag").agg(count(lit(1)).as("n_bloom_pass"))
+    val nExact = exact.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
+    nPass.join(nExact, Seq("l_returnflag"), "left")
+      .select(col("l_returnflag"), col("n_bloom_pass"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        (col("n_bloom_pass") - coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+      .orderBy("l_returnflag")
+  }
+
   private val allTables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -287,6 +332,7 @@ object Relational {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_asof_join_native"    -> asOfJoinNative _,
@@ -323,6 +369,33 @@ object Relational {
        ORDER BY event_id"""
 
   val oracles: Map[String, String] = Map(
+    // the oracle re-derives the identical deterministic bloom (same md5
+    // bit positions, same 2^16 modulus) and counts pass/exact per flag
+    "rel_bloom_prune" ->
+      """WITH hot AS (
+           SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0),
+         bits AS (
+           SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS bit
+           FROM hot
+           UNION
+           SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8) AS BIGINT) % 65536 AS bit
+           FROM hot),
+         probed AS (
+           SELECT l_orderkey, l_returnflag,
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS b1,
+             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 8) AS BIGINT) % 65536 AS b2
+           FROM lineitem),
+         pass AS (
+           SELECT * FROM probed
+           WHERE b1 IN (SELECT bit FROM bits) AND b2 IN (SELECT bit FROM bits)),
+         np AS (SELECT l_returnflag, count(*) AS n_bloom_pass FROM pass GROUP BY 1),
+         ne AS (SELECT l_returnflag, count(*) AS n_exact FROM pass
+                WHERE l_orderkey IN (SELECT o_orderkey FROM hot) GROUP BY 1)
+         SELECT np.l_returnflag, np.n_bloom_pass,
+                coalesce(ne.n_exact, 0) AS n_exact,
+                np.n_bloom_pass - coalesce(ne.n_exact, 0) AS n_false_pos
+         FROM np LEFT JOIN ne ON np.l_returnflag = ne.l_returnflag
+         ORDER BY np.l_returnflag""",
     "rel_table_stats" -> allTables.sorted
       .map(t => s"SELECT '$t' AS table_name, count(*) AS n_rows FROM $t")
       .mkString("", "\n         UNION ALL\n         ", "\n         ORDER BY table_name"),

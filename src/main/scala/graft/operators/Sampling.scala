@@ -75,9 +75,33 @@ object Sampling {
       .orderBy("doc_id")
   }
 
+  /** WEIGHTED deterministic sampling — priority sampling (Duffield/
+    * Lund/Thorup): item priority = weight / u where u is the item's
+    * uniform hash; the global top-k by priority is a size-biased
+    * sample WITHOUT replacement (long documents proportionally more
+    * likely, the standard token-weighted eval-draw). Deterministic and
+    * engine-exact: u is the integer md5 prefix, the weight is an
+    * integer column, and one IEEE double division of two exact
+    * integers rounds identically everywhere — no ln/pow in the gate.
+    * Same bounded [[TopKByScore]] shape as [[samplePerKeyOf]]: ≤ k
+    * rows per mapper cross the wire, never the corpus. */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    weightedSampleOf(Tables.documents(spark, dir), k)
+
+  /** [[weightedSample]] over any (doc_id, n_chars) frame (spec entry). */
+  def weightedSampleOf(docs: DataFrame, k: Int): DataFrame =
+    TopKByScore.serveTopK(
+      docs.withColumn("priority",
+        col("n_chars").cast("double") / (expr(prioritySql) + lit(1L)).cast("double"))
+        .withColumn("g", lit(0)),
+      "g", col("priority"), col("doc_id"), k)
+      .select(col("rnk"), col("key").as("doc_id"), col("score").as("priority"))
+      .orderBy("rnk")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_sample_per_key"    -> ((s: SparkSession, d: String) => samplePerKey(s, d)),
     "ta_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
+    "ta_weighted_sample"   -> ((s: SparkSession, d: String) => weightedSample(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -109,5 +133,18 @@ object Sampling {
          SELECT doc_id, lang, n_docs, CAST(alloc AS BIGINT) AS alloc
          FROM b WHERE bucket * n_docs < 10000 * alloc
          ORDER BY doc_id""",
+    "ta_weighted_sample" ->
+      """WITH p AS (
+           SELECT doc_id,
+             CAST(n_chars AS DOUBLE)
+               / CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 1
+                      AS DOUBLE) AS priority
+           FROM documents),
+         r AS (
+           SELECT doc_id, priority,
+                  row_number() OVER (ORDER BY priority DESC, doc_id) AS rnk
+           FROM p)
+         SELECT CAST(rnk AS INTEGER) AS rnk, doc_id, priority
+         FROM r WHERE rnk <= 25 ORDER BY rnk""",
   )
 }

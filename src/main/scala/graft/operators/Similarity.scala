@@ -487,9 +487,26 @@ object Similarity {
     * vector per near-dup clique. The threshold is the caller's
     * similarity contract; the synthetic corpus has no true duplicates,
     * so the default exercises the machinery over moderate-similarity
-    * pairs. */
+    * pairs. Group labels are persisted per (corpus, threshold) via
+    * [[graft.sources.IndexStore]] — same build-once lifecycle as the
+    * doc-level `dd_groups` index: the bucket self-join and components
+    * fixpoint run once per corpus, every later serve is a bucketed
+    * table read. */
   def embeddingDedupGroups(spark: SparkSession, dir: String,
                            threshold: Double = 0.4): DataFrame = {
+    import graft.sources.IndexStore
+    val idxName =
+      s"sim_groups_t${math.round(threshold * 100)}_${IndexStore.keyOf(dir)}"
+    IndexStore.orBuild(spark, idxName, 32, Seq("vec_id"))(
+      embeddingDedupGroupsInline(spark, dir, threshold))
+      .select("vec_id", "group_id", "group_size", "is_canonical")
+      .orderBy("vec_id")
+  }
+
+  /** [[embeddingDedupGroups]] without the index lifecycle (build body +
+    * spec entry point). */
+  private[graft] def embeddingDedupGroupsInline(spark: SparkSession, dir: String,
+                                                threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val b = autoBucketed(spark, dir)
     val a = b.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
