@@ -287,29 +287,47 @@ object Relational {
   def bloomPruneCounts(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.Column
     val bits = 65536L
-    def h(c: Column, off: Int): Column =
-      pmod(conv(substring(md5(c.cast("string")), 1 + off, 8), 16, 10).cast("long"), lit(bits))
+    // ONE hex parse per row: the low 60 bits of the digest (15 hex
+    // chars) split arithmetically into the two independent positions —
+    // string-parsing `conv` is the expensive step, the div/mod splits
+    // are codegen'd long ops (measured: two convs cost 2× one). The
+    // coalesces can never fire (md5 of a non-null key is non-null, the
+    // modulus is a non-zero literal); they exist to make the join-key
+    // expressions NON-NULLABLE (`Pmod.nullable` is hardcoded true), so
+    // the semi-joins don't inject an isnotnull pre-filter that
+    // re-evaluates the whole md5+conv chain per row before the
+    // projection (measured ~2× the projection cost).
+    def hashed(c: Column): Column =
+      conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+    def h1(v: Column): Column = coalesce(pmod(v, lit(bits)), lit(0L))
+    def h2(v: Column): Column = coalesce(pmod(expr(s"v div $bits"), lit(bits)), lit(0L))
     val hot = Tables.orders(spark, dir)
       .filter(col("o_totalprice") > 400000.0)
       .select(col("o_orderkey"))
     val setBits = hot
-      .select(explode(array(h(col("o_orderkey"), 0), h(col("o_orderkey"), 8))).as("bit"))
+      .withColumn("v", hashed(col("o_orderkey")))
+      .select(explode(array(h1(col("v")), h2(col("v")))).as("bit"))
       .distinct()
+    // one md5 per row, one scan end-to-end: bloom pass via two broadcast
+    // semi-joins, then the exact-match flag rides along as a broadcast
+    // LEFT-join marker so both counts come out of a single conditional
+    // aggregation — a second scan+hash of the fact table for the exact
+    // leg would double the query's cost for no information.
     val probed = Tables.lineitem(spark, dir)
-      .select(col("l_orderkey"), col("l_returnflag"))
-      .withColumn("b1", h(col("l_orderkey"), 0))
-      .withColumn("b2", h(col("l_orderkey"), 8))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        hashed(col("l_orderkey")).as("v"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        h1(col("v")).as("b1"), h2(col("v")).as("b2"))
     val pass = probed
       .join(broadcast(setBits.withColumnRenamed("bit", "b1")), Seq("b1"), "left_semi")
       .join(broadcast(setBits.withColumnRenamed("bit", "b2")), Seq("b2"), "left_semi")
-    val exact = pass.join(broadcast(hot),
-      col("l_orderkey") === col("o_orderkey"), "left_semi")
-    val nPass = pass.groupBy("l_returnflag").agg(count(lit(1)).as("n_bloom_pass"))
-    val nExact = exact.groupBy("l_returnflag").agg(count(lit(1)).as("n_exact"))
-    nPass.join(nExact, Seq("l_returnflag"), "left")
-      .select(col("l_returnflag"), col("n_bloom_pass"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
-        (col("n_bloom_pass") - coalesce(col("n_exact"), lit(0L))).as("n_false_pos"))
+    pass
+      .join(broadcast(hot.withColumn("hit", lit(1))),
+        col("l_orderkey") === col("o_orderkey"), "left")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_bloom_pass"), count(col("hit")).as("n_exact"))
+      .select(col("l_returnflag"), col("n_bloom_pass"), col("n_exact"),
+        (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"))
       .orderBy("l_returnflag")
   }
 
@@ -373,18 +391,18 @@ object Relational {
     // bit positions, same 2^16 modulus) and counts pass/exact per flag
     "rel_bloom_prune" ->
       """WITH hot AS (
-           SELECT o_orderkey FROM orders WHERE o_totalprice > 400000.0),
+           SELECT o_orderkey,
+             CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS v
+           FROM orders WHERE o_totalprice > 400000.0),
          bits AS (
-           SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS bit
-           FROM hot
+           SELECT DISTINCT v % 65536 AS bit FROM hot
            UNION
-           SELECT DISTINCT CAST('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 9, 8) AS BIGINT) % 65536 AS bit
-           FROM hot),
+           SELECT DISTINCT (v // 65536) % 65536 AS bit FROM hot),
          probed AS (
-           SELECT l_orderkey, l_returnflag,
-             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 8) AS BIGINT) % 65536 AS b1,
-             CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 9, 8) AS BIGINT) % 65536 AS b2
-           FROM lineitem),
+           SELECT l_orderkey, l_returnflag, v % 65536 AS b1, (v // 65536) % 65536 AS b2
+           FROM (SELECT l_orderkey, l_returnflag,
+                   CAST('0x' || substr(md5(CAST(l_orderkey AS VARCHAR)), 1, 15) AS BIGINT) AS v
+                 FROM lineitem)),
          pass AS (
            SELECT * FROM probed
            WHERE b1 IN (SELECT bit FROM bits) AND b2 IN (SELECT bit FROM bits)),
