@@ -494,7 +494,40 @@ object TextAnalysis {
         col("score").cast("long").as("rrf_micro"))
   }
 
+  /** VOCABULARY COVERAGE / OOV-rate scoring — the LM-flavored quality
+    * gate that needs no floating transcendentals: fit the top-`vocabSize`
+    * corpus vocabulary (frequency desc, token asc — the deterministic
+    * tie-break both engines honor in ORDER BY … LIMIT), then score every
+    * document by its share of out-of-vocabulary tokens. High OOV = noise,
+    * boilerplate-in-another-language, or OCR garbage; the cheap stand-in
+    * for perplexity filtering when a real LM isn't in the loop (log-prob
+    * scoring would put ln() ulps in the gate; a token-membership rate is
+    * integer-exact, and the one double division per doc rounds
+    * identically everywhere).
+    *
+    * Scale shape: tokenize/explode is map-side; vocab fit is one
+    * partial-agg shuffle on token + a bounded TakeOrdered(500); scoring
+    * is a broadcast left-join of the token stream against the 500-row
+    * vocab + one per-doc count shuffle. Linear in corpus tokens. */
+  def vocabOov(spark: SparkSession, dir: String, vocabSize: Int = 500): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+      .withColumn("oov_rate",
+        col("n_oov").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
     "ta_pii_scrub_summary" -> piiScrubSummary _,
@@ -536,6 +569,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    "ta_vocab_oov" ->
+      """WITH toks AS (
+           SELECT doc_id, tok
+           FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+                 FROM documents)
+           WHERE length(tok) > 0),
+         vocab AS (
+           SELECT tok FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1)
+           ORDER BY cnt DESC, tok ASC LIMIT 500)
+         SELECT t.doc_id, count(*) AS n_tokens,
+                count(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+                CAST(count(CASE WHEN v.tok IS NULL THEN 1 END) AS DOUBLE)
+                  / CAST(count(*) AS DOUBLE) AS oov_rate
+         FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         GROUP BY t.doc_id ORDER BY t.doc_id""",
     // the quality CTE `q` feeds the shared dedup-groups fragment; the
     // final accounting runs over canonical survivors only
     "ta_corpus_pipeline" ->
