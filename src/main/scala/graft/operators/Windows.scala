@@ -233,7 +233,35 @@ object Windows {
       .agg(countDistinct(col("user_id")).as("u7"))
       .orderBy("win_day")
 
+  /** Calendar GAP FILL — the missing-period densification every
+    * time-series consumer needs before a rolling metric or a chart:
+    * per user, one row per calendar day from that user's first to last
+    * event day, zero-filled where no events landed. The spine comes
+    * from a bounded per-user `sequence(first_day, last_day)` explode —
+    * rows generated = Σ user spans (data-bounded, no cross join against
+    * a global calendar) — and the fill is a left join back to the
+    * per-(user, day) aggregates on the SAME user-key partitioning, so
+    * the whole query is two shuffles on user_id. Value sums use the
+    * Det decimal contract. */
+  def gapFillDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        col("value").cast(dec2).as("v"))
+      .groupBy("user_id", "d")
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("v_sum"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .select(col("user_id"), col("d"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("v_sum"), lit(java.math.BigDecimal.ZERO)).cast("double").as("v_sum"))
+      .orderBy("user_id", "d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
     "win_rolling_frames"     -> rollingFrames _,
     "win_analytic_ranks"     -> analyticRanks _,
@@ -249,6 +277,21 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same construction: per-(user, day) aggregates, a generate_series
+    // spine over each user's [first, last] day span, zero-filled left join
+    "win_gap_fill" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events,
+                  SUM(CAST(value AS DECIMAL(18,2))) AS v_sum
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+           FROM daily GROUP BY user_id)
+         SELECT s.user_id, s.d,
+                coalesce(dl.n_events, 0) AS n_events,
+                CAST(coalesce(dl.v_sum, 0) AS DOUBLE) AS v_sum
+         FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d
+         ORDER BY s.user_id, s.d""",
     // same bounded-explode construction: each event feeds the 7 window
     // days it can contribute to, then exact distinct per day
     "win_sliding_distinct" ->
