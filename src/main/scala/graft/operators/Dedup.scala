@@ -1111,13 +1111,22 @@ object Dedup {
   /** [[hammingKOracle]] over any token source: `toksCte` must define a
     * CTE (chain) ending in toks(doc_id, tok). Shared with the multimodal
     * byte-n-gram oracle. */
-  private[operators] def hammingKOracleFrom(toksCte: String, k: Int, bits: Int): String = {
+  private[operators] def hammingKOracleFrom(toksCte: String, k: Int, bits: Int): String =
+    s"""WITH ${hammingKCtesFrom(toksCte, k, bits)}
+         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+         FROM cand WHERE bit_count(xor(sa, sb)) <= $k
+         ORDER BY doc_a, doc_b"""
+
+  /** The shared token→SimHash→band→candidate chain, ending in
+    * `cand(doc_a, doc_b, sa, sb)` plus `sig(doc_id, simhash)` — the two
+    * relations both the pair and the group oracles consume. */
+  private def hammingKCtesFrom(toksCte: String, k: Int, bits: Int): String = {
     val bandsUnion = hammingBands(bits, k).zipWithIndex.map {
       case ((lo, w), b) =>
         val mask = (1L << w) - 1
         s"SELECT doc_id, simhash, $b AS band, (simhash >> $lo) & $mask AS bkey FROM sig"
     }.mkString("\n           UNION ALL\n           ")
-    s"""WITH $toksCte,
+    s"""$toksCte,
          hh AS (SELECT doc_id,
                   CAST('0x' || substr(md5(tok), 1, ${bits / 4}) AS BIGINT) AS h
                 FROM toks WHERE length(tok) > 0),
@@ -1134,9 +1143,28 @@ object Dedup {
            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
                   a.simhash AS sa, b.simhash AS sb
            FROM bands a JOIN bands b
-             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
-         SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
-         FROM cand WHERE bit_count(xor(sa, sb)) <= $k
-         ORDER BY doc_a, doc_b"""
+             ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id)"""
   }
+
+  /** GROUP closure over the same hamming-pair graph: the recursive-CTE
+    * connected components walk (same shape as [[dedupGroupsCtesFrom]])
+    * with every signature-bearing doc as a node — the oracle for
+    * modalities whose near-dup groups come from SimHash pairs. */
+  private[operators] def hammingKGroupsOracleFrom(toksCte: String, k: Int, bits: Int): String =
+    s"""WITH RECURSIVE ${hammingKCtesFrom(toksCte, k, bits)},
+         pr AS (SELECT doc_a, doc_b FROM cand
+                WHERE bit_count(xor(sa, sb)) <= $k),
+         edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+                   UNION ALL SELECT doc_b, doc_a FROM pr),
+         walk AS (
+           SELECT doc_id AS node, doc_id AS label FROM sig
+           UNION
+           SELECT e.dst AS node, w.label AS label
+           FROM walk w JOIN edges e ON w.node = e.src),
+         comp AS (SELECT node, min(label) AS group_id FROM walk GROUP BY node),
+         sizes AS (SELECT group_id, count(*) AS group_size FROM comp GROUP BY group_id)
+         SELECT c.node AS doc_id, c.group_id, s.group_size,
+                c.node = c.group_id AS is_canonical
+         FROM comp c JOIN sizes s ON c.group_id = s.group_id
+         ORDER BY doc_id"""
 }

@@ -206,9 +206,39 @@ object Multimodal {
     Dedup.hammingPairsOfSigs(sigs, k = 3, bits = 60, bucketLocal = true)
   }
 
+  /** Multimodal NEAR-DUP GROUPS — the transitive closure the pair query
+    * stops short of: byte-signature hamming pairs → connected components
+    * → keep-set (doc_id, group_id, group_size, is_canonical), so a chain
+    * of perturbed copies (a≈b, b≈c) collapses to ONE canonical payload.
+    * Every modality now ends in the same keep-set contract as the text
+    * ([[Dedup.dedupGroups]]) and embedding
+    * ([[Similarity.embeddingDedupGroups]]) families. Both the signatures
+    * AND the group labels are IndexStore-persisted per corpus — pair
+    * derivation and the components fixpoint run once at ingest. */
+  def byteDedupGroups(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    import org.apache.spark.sql.expressions.Window
+    val groups = IndexStore.orBuild(spark,
+      s"mm_groups_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))({
+      val sigs = IndexStore.orBuild(spark,
+        s"mm_sig_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+        byteSimhash(binaryized(spark, dir).select("doc_id", "payload")))
+      val pairs = Dedup.hammingPairsOfSigs(sigs, k = 3, bits = 60, bucketLocal = true)
+        .select("doc_a", "doc_b")
+      Dedup.connectedComponents(sigs.select(col("doc_id").as("node")), pairs)
+        .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
+        .withColumn("is_canonical", col("node") === col("group_id"))
+        .select(col("node").as("doc_id"), col("group_id"),
+          col("group_size"), col("is_canonical"))
+    })
+    groups.select("doc_id", "group_id", "group_size", "is_canonical")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_binary_meta"    -> binaryMeta _,
     "mm_neardup_pairs"  -> byteNearDupPairs _,
+    "mm_dedup_groups"   -> byteDedupGroups _,
     "mm_decode_frames"  -> decodeResizeFrames _,
   )
 
@@ -245,14 +275,22 @@ object Multimodal {
     // byteSimhash) as lowercase hex strings over the UTF-8 payload —
     // token text identical to the Spark side, then the shared hamming
     // oracle machinery
-    "mm_neardup_pairs" -> Dedup.hammingKOracleFrom(
-      """p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
+    "mm_neardup_pairs" -> Dedup.hammingKOracleFrom(mmToksCte, k = 3, bits = 60),
+    // same signature geometry, closed transitively to groups (recursive
+    // components walk over the hamming-pair graph, every signed doc a node)
+    "mm_dedup_groups" -> Dedup.hammingKGroupsOracleFrom(mmToksCte, k = 3, bits = 60),
+  )
+
+  /** Byte 4-grams (strided, bounded prefix — [[byteSimhash]]'s geometry)
+    * as lowercase hex over the UTF-8 payloads: the shared token CTE of
+    * the multimodal pair and group oracles. */
+  private lazy val mmToksCte: String =
+    """p AS (SELECT doc_id, lower(hex(encode(text))) AS hx,
                 octet_length(encode(text)) AS n
               FROM documents),
          toks AS (
            SELECT doc_id,
              unnest(list_distinct(list_transform(range(0, least(n, 65536) - 3, 4),
                i -> substr(hx, CAST(i*2 + 1 AS BIGINT), 8)))) AS tok
-           FROM p WHERE n >= 4)""", k = 3, bits = 60),
-  )
+           FROM p WHERE n >= 4)"""
 }
