@@ -486,7 +486,30 @@ object Aggregations {
       .orderBy("c_nationkey", "c_custkey")
   }
 
+  /** COHORT RETENTION — the second event-analytics staple next to the
+    * funnel ([[Windows.funnelStages]]): users grouped by their first
+    * activity day (the cohort), then counted per whole-week offset of
+    * each later active day. Cohorts key on the exact first day (no
+    * week-truncation — engines disagree on week-start conventions, and
+    * the exact day is the stronger contract anyway). Two shuffles, both
+    * on user_id, then one count-distinct rollup whose input is
+    * (user, cohort, offset) — already deduplicated per day by the date
+    * projection, so the wide fact stream collapses before the final
+    * exchange. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val first = ev.groupBy("user_id").agg(min(col("d")).as("cohort_day"))
+    ev.join(first, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        expr("cast(datediff(d, cohort_day) as bigint) div 7").as("week_offset"))
+      .groupBy("cohort_day", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "week_offset")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_retention_cohorts"   -> retentionCohorts _,
     "agg_grouping_sets"       -> groupingSetsStatusPriority _,
     "agg_profile_columns"     -> profileColumns _,
     "agg_outlier_zscore"      -> outlierZscore _,
@@ -512,6 +535,14 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    "agg_retention_cohorts" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+         f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)
+         SELECT f.cohort_day,
+                CAST(date_diff('day', f.cohort_day, ev.d) AS BIGINT) // 7 AS week_offset,
+                count(DISTINCT ev.user_id) AS n_users
+         FROM ev JOIN f ON ev.user_id = f.user_id
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     "agg_grouping_sets" ->
       """SELECT o_orderstatus, o_orderpriority,
            CAST(CASE WHEN o_orderstatus IS NULL THEN 2 ELSE 0 END

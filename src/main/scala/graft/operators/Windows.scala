@@ -260,7 +260,42 @@ object Windows {
       .orderBy("user_id", "d")
   }
 
+  /** ORDERED FUNNEL analysis — the event-sequence operator behind every
+    * conversion report: per user, the first `view`, the first `click`
+    * strictly after that view, and the first `purchase` strictly after
+    * that click; `stage` = how deep the ordered sequence got. Expressed
+    * as three conditional-min aggregations chained by joins that all
+    * share the user_id hash partitioning — after the first shuffle the
+    * two follow-up stages are co-partitioned joins, so the query costs
+    * ONE real exchange of the event stream regardless of corpus size
+    * (the collect-a-sorted-array-per-user alternative holds unbounded
+    * per-user state; conditional mins hold 8 bytes). */
+  def funnelStages(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"),
+        expr("ts_ns div 1000").as("t"))
+    val s1 = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("t"))).as("t_view"))
+    val s2 = ev.join(s1, "user_id")
+      .groupBy("user_id")
+      .agg(min(col("t_view")).as("t_view"),
+        min(when(col("event_type") === "click" && col("t") > col("t_view"),
+          col("t"))).as("t_click"))
+    val s3 = ev.join(s2, "user_id")
+      .groupBy("user_id")
+      .agg(min(col("t_view")).as("t_view"), min(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("t") > col("t_click"),
+          col("t"))).as("t_purchase"))
+    s3.select(col("user_id"), col("t_view"), col("t_click"), col("t_purchase"),
+        (when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0)).cast("long").as("stage"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_funnel_stages"      -> funnelStages _,
     "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
     "win_rolling_frames"     -> rollingFrames _,
@@ -277,6 +312,33 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same chained conditional-min construction (strictly-after
+    // thresholds), stage derived from which timestamps resolved
+    "win_funnel_stages" ->
+      """WITH ev AS (
+           SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+         s1 AS (
+           SELECT user_id,
+                  min(CASE WHEN event_type = 'view' THEN t END) AS t_view
+           FROM ev GROUP BY user_id),
+         s2 AS (
+           SELECT ev.user_id, min(s1.t_view) AS t_view,
+                  min(CASE WHEN ev.event_type = 'click' AND ev.t > s1.t_view
+                           THEN ev.t END) AS t_click
+           FROM ev JOIN s1 ON ev.user_id = s1.user_id
+           GROUP BY ev.user_id),
+         s3 AS (
+           SELECT ev.user_id, min(s2.t_view) AS t_view, min(s2.t_click) AS t_click,
+                  min(CASE WHEN ev.event_type = 'purchase' AND ev.t > s2.t_click
+                           THEN ev.t END) AS t_purchase
+           FROM ev JOIN s2 ON ev.user_id = s2.user_id
+           GROUP BY ev.user_id)
+         SELECT user_id, t_view, t_click, t_purchase,
+                CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                          WHEN t_click IS NOT NULL THEN 2
+                          WHEN t_view IS NOT NULL THEN 1
+                          ELSE 0 END AS BIGINT) AS stage
+         FROM s3 ORDER BY user_id""",
     // same construction: per-(user, day) aggregates, a generate_series
     // spine over each user's [first, last] day span, zero-filled left join
     "win_gap_fill" ->
