@@ -341,4 +341,54 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct") && !plan.contains("SortMergeJoin"),
       s"unexpected join in a pure reshape+agg plan:\n${plan.take(2000)}")
   }
+
+  test("bloom prune: fact side passes through broadcast semi-joins, no isnotnull " +
+       "re-derivation of the digest, no fact shuffle before the final agg") {
+    val df = Relational.bloomPruneCounts(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected broadcast semi joins:\n${plan.take(3000)}")
+    // the never-firing coalesce keeps the md5 chain out of a semi-join
+    // null pre-filter — one digest evaluation per fact row, in the project
+    assert(!plan.contains("isnotnull(pmod"),
+      s"semi-join re-derives the digest in a null filter:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"fact side must not shuffle for the bloom probe:\n${plan.take(3000)}")
+  }
+
+  test("salted skew join: the fact-dim join runs as a shuffled hash join " +
+       "on (key, salt), never a broadcast (skew split must be real)") {
+    val df = Skew.saltedSkewJoin(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("ShuffledHashJoin"),
+      s"expected the hinted shuffled hash join:\n${plan.take(3000)}")
+  }
+
+  test("funnel stages: all three conditional-min passes share the user_id " +
+       "partitioning (no cartesian, single-key equi joins only)") {
+    val df = Windows.funnelStages(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"funnel must stay equi-join shaped:\n${plan.take(3000)}")
+  }
+
+  test("gap fill: the spine explode is bounded per user; the fill join is an " +
+       "equi join on (user_id, d)") {
+    val df = Windows.gapFillDaily(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("Generate explode"), s"expected sequence explode:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"gap fill must not cross-join a calendar:\n${plan.take(3000)}")
+  }
+
+  test("dedup groups served from the persisted label index: no label-propagation " +
+       "jobs at serve time (plan is a bucketed scan + sort)") {
+    // building the index (first touch) may run the fixpoint; the SERVE
+    // plan must be a plain scan of the stored table — assert by plan
+    // shape: no join, no aggregate anywhere in the served query
+    graft.operators.Dedup.dedupGroups(spark, dir).collect() // ensure built
+    val plan = planOf(graft.operators.Dedup.dedupGroups(spark, dir))
+    assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
+      s"served groups must be scan+sort only:\n${plan.take(3000)}")
+  }
 }
