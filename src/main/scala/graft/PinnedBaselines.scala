@@ -21,6 +21,7 @@ object PinnedBaselines {
   val designSize: Map[String, (String, Long)] = Map(
     "sim_lsh_neardup"    -> (("embeddings", 4096L)), // 3 planes = 8 buckets
     "sim_lsh_neardup6"   -> (("embeddings", 4096L)), // 6 planes = 64 buckets × 64/bucket
+    "sim_semantic_dedup" -> (("embeddings", 4096L)), // k=8 cells pinned for the fit replay
     "dd_simhash_hamming" -> (("documents", 8192L)))  // 16-bit sig, 8-bit bands
 
   // TrieMap: bench/scale runners are single-threaded today, but the

@@ -526,7 +526,45 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Corpus ENCODING — the step after vocabulary fit ([[vocabOov]]): map
+    * every document to its token-id sequence (OOV → 0), the shape a
+    * tokenized training shard actually stores. Ids are assigned by
+    * (count desc, token asc) rank over the fitted vocab, so the mapping
+    * is deterministic and re-derivable by any engine. Emits per doc the
+    * token count, OOV count, and the first 16 ids dash-joined (a bounded
+    * audit prefix — the full id array would be the production payload,
+    * same plan shape).
+    *
+    * Scale: tokenize/explode is map-side; the vocab is a bounded 500-row
+    * broadcast (the id join never shuffles the token stream); the only
+    * corpus shuffle is the per-doc reassembly groupBy — collect_list is
+    * bounded by document length, not corpus size. Linear at 100 TB. */
+  def tokenizeIds(spark: SparkSession, dir: String,
+      vocabSize: Int = 500, headLen: Int = 16): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(split(lower(col("text")), " ")))
+      .toDF("doc_id", "pos", "tok")
+      .filter(length(col("tok")) > 0)
+    val vocab = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok").asc)
+      .limit(vocabSize)
+      .withColumn("id", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("cnt").desc, col("tok").asc)))
+      .select("tok", "id")
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .select(col("doc_id"), col("pos"), coalesce(col("id"), lit(0)).as("id0"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("id0") === 0, 1)).as("n_oov"),
+        array_join(
+          slice(transform(array_sort(collect_list(struct(col("pos"), col("id0")))),
+            x => x.getField("id0")), 1, headLen), "-").as("ids_head"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tokenize_ids" -> ((s: SparkSession, d: String) => tokenizeIds(s, d)),
     "ta_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "ta_corpus_pipeline" -> corpusPipeline _,
     "ta_pii_scrub" -> piiScrub _,
@@ -569,6 +607,27 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical fit + encode: rank-assigned ids over the 500-token vocab,
+    // OOV -> 0, per-doc id sequence reassembled in position order
+    "ta_tokenize_ids" ->
+      """WITH toks AS (
+           SELECT doc_id, tok, pos
+           FROM (SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS tok,
+                   unnest(range(1, len(string_split(lower(text), ' ')) + 1)) AS pos
+                 FROM documents)
+           WHERE length(tok) > 0),
+         vocab AS (
+           SELECT tok, row_number() OVER (ORDER BY cnt DESC, tok ASC) AS id
+           FROM (SELECT tok, count(*) AS cnt FROM toks GROUP BY 1
+                 ORDER BY cnt DESC, tok ASC LIMIT 500)),
+         enc AS (
+           SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id0
+           FROM toks t LEFT JOIN vocab v ON t.tok = v.tok)
+         SELECT doc_id, count(*) AS n_tokens,
+                count(CASE WHEN id0 = 0 THEN 1 END) AS n_oov,
+                array_to_string((list(id0 ORDER BY pos))[1:16], '-') AS ids_head
+         FROM enc GROUP BY doc_id ORDER BY doc_id""",
     "ta_vocab_oov" ->
       """WITH toks AS (
            SELECT doc_id, tok

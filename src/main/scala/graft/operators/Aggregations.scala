@@ -196,6 +196,33 @@ object Aggregations {
         col("ap50").between(col("lo"), col("hi")).as("within_tol"))
       .orderBy("lang")
 
+  /** The mergeable-sketch LIFECYCLE, not just a sketch call: per-day
+    * DataSketches HLL sketches (the shape a 100 TB pipeline persists per
+    * partition/ingest batch) merged at query time with `hll_union_agg`
+    * into a global distinct estimate. This is how "distinct users last
+    * quarter" is answered without ever re-shuffling raw ids: N daily
+    * sketches of a few KB cross the wire instead of the id stream, and
+    * adding a day is one sketch build + re-merge. Gated like
+    * [[approxDistinctChecked]]: sketch bytes are engine-specific, but the
+    * accuracy contract (|merged estimate − exact| ≤ 5%, lgK=12 rse
+    * ≈ 1.6%) is a boolean DuckDB asserts blindly; the exact side exists
+    * only as the gate's ground truth. */
+  def hllSketchMergeChecked(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"))
+      .groupBy("d")
+      .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"))
+    val merged = daily.agg(
+      count(lit(1)).as("n_days"),
+      expr("hll_sketch_estimate(hll_union_agg(sk, true))").as("est"))
+    val exact = Tables.events(spark, dir)
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    merged.crossJoin(exact)
+      .select(col("n_days"), col("exact_users"),
+        (abs(col("est") - col("exact_users"))
+          <= col("exact_users").cast("double") * 0.05).as("within_tol"))
+  }
+
   /** Third sketch family (after HLL distinct and GK percentile):
     * Misra–Gries frequent items ([[graft.functions.MisraGries]]), gated
     * the same way — the sketch CONTENT is engine-specific, but its
@@ -522,6 +549,7 @@ object Aggregations {
     "agg_doc_percentiles"     -> docLengthPercentiles _,
     "agg_rollup"              -> rollupRegionNation _,
     "agg_approx_distinct"     -> approxDistinctChecked _,
+    "agg_hll_sketch_merge"    -> hllSketchMergeChecked _,
     "agg_heavy_hitters"       -> heavyHittersChecked _,
     "agg_countmin"            -> countMinChecked _,
     "agg_scoring_ladder"      -> scoringLadder _,
@@ -650,6 +678,11 @@ object Aggregations {
            count(DISTINCT user_id) AS exact_users,
            true AS within_tol
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "agg_hll_sketch_merge" ->
+      """SELECT count(DISTINCT CAST(ts AS DATE)) AS n_days,
+                count(DISTINCT user_id) AS exact_users,
+                true AS within_tol
+         FROM events""",
     "agg_heavy_hitters" ->
       """WITH s AS (
            SELECT CASE WHEN user_id % 4 = 0

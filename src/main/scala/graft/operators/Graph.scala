@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** Iterative graph analytics over relationally-derived graphs.
+  *
+  * The dedup families already run one graph algorithm (connected
+  * components, `Dedup.dedupGroupsOf`); this adds the other workhorse —
+  * PageRank-style power iteration — expressed as pure relational
+  * iteration so it rides the same join/agg machinery as everything else.
+  *
+  * Determinism: the classic float PageRank (r/deg contributions summed as
+  * doubles) is partition-order-dependent. Here ranks live in integer
+  * MICRO-units: each step is `150000 + (85 · Σ(r div deg)) div 100` —
+  * integer division and integer sums only, so every engine and every
+  * partitioning produces bit-identical ranks. The damping constant is the
+  * standard 0.85 expressed as 85/100.
+  *
+  * Scale: each iteration is one co-partitionable join (ranks ⋈ edges on
+  * src — both sides hash-partitioned on the same key after the first
+  * iteration) plus one partial-agg shuffle on dst. Iteration count is a
+  * fixed small constant, so lineage stays bounded without checkpointing;
+  * a convergence-driven variant would localCheckpoint the rank table
+  * every few rounds exactly like `Dedup.dedupGroupsOf` does.
+  */
+object Graph {
+
+  /** Bipartite trade graph: an undirected edge for every distinct
+    * (customer, supplier) pair that traded, from orders ⋈ lineitem.
+    * Node ids disjointly encode the two key spaces (customer → 2k,
+    * supplier → 2k+1). One fact-table shuffle builds the edge list; the
+    * distinct collapses the ~linear duplicate pairs before iteration. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame = {
+    val be = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct()
+    be.select(col("c").as("src"), col("s").as("dst"))
+      .unionAll(be.select(col("s").as("src"), col("c").as("dst")))
+  }
+
+  /** Integer power iteration over an (src, dst) edge list: `iters` steps
+    * of r' = 150000 + (85 · Σ_in (r div deg)) div 100, ranks in
+    * micro-units. Every node must appear as a src (no dangling nodes —
+    * true by construction for undirected edge lists). */
+  def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    (1 to iters).foreach { _ =>
+      ranks = edges
+        .join(ranks, edges("src") === ranks("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(expr("CAST(150000 + (85 * sum(contrib)) div 100 AS BIGINT)").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    }
+    ranks
+  }
+
+  /** Integer PageRank, `iters` unrolled power-iteration steps over the
+    * trade graph; emits per-supplier rank in micro-units. */
+  def pageRankSuppliers(spark: SparkSession, dir: String, iters: Int = 3): DataFrame =
+    pageRankOf(tradeEdges(spark, dir), iters)
+      .filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
+        col("r").as("rank_micro"))
+      .orderBy("s_suppkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_pagerank" -> ((s: SparkSession, d: String) => pageRankSuppliers(s, d)),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the identical integer power iteration, unrolled as three CTEs
+    "rel_pagerank" ->
+      """WITH be AS (
+           SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS (SELECT c AS src, s AS dst FROM be
+                   UNION ALL SELECT s, c FROM be),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+         i1 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM edges e JOIN r0 r ON e.src = r.node
+                             JOIN deg d ON e.src = d.src GROUP BY 1),
+         i2 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM edges e JOIN i1 r ON e.src = r.node
+                             JOIN deg d ON e.src = d.src GROUP BY 1),
+         i3 AS (SELECT e.dst AS node,
+                  CAST(150000 + (85 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+                FROM edges e JOIN i2 r ON e.src = r.node
+                             JOIN deg d ON e.src = d.src GROUP BY 1)
+         SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, r AS rank_micro
+         FROM i3 WHERE node % 2 = 1 ORDER BY s_suppkey""",
+  )
+}

@@ -527,6 +527,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — SEMANTIC
+    * deduplication for training corpora: k-means-cluster the embedding
+    * space, then remove near-duplicates WITHIN each cluster only. The
+    * clustering is the same deterministic fitted IVF geometry the ANN
+    * family uses ([[fitIvfCentroids]] — oracle-replayable), assignment is
+    * the literal-centroid argmax projection (no shuffle), and the
+    * within-cluster near-dup pass is a cell-keyed self-join + quantized
+    * integer cosine + the shared connected-components keep-set
+    * ([[Dedup.connectedComponents]], canonical = min id).
+    *
+    * Scale: the defining SemDeDup trade is that candidate pairs never
+    * cross cluster boundaries — the quadratic term is (cell size)², so
+    * at 100 TB you scale k with the corpus to hold cell size constant
+    * (k ≈ n/target, exactly how the auto-sized LSH variant
+    * [[lshNearDupAuto]] picks its plane count). This query pins k=8 so
+    * the DuckDB oracle can replay the fit; it is therefore registered as
+    * a pinned-geometry baseline (`graft.PinnedBaselines`) and the
+    * auto-geometry path for big corpora is [[embeddingDedupGroups]]. */
+  def semanticDedup(spark: SparkSession, dir: String,
+                    threshold: Double = 0.4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val assigned = assignCells(Tables.embeddings(spark, dir), centsLit)
+    val a = assigned.select(col("cell"), col("vec_id").as("id_a"),
+      col("embedding").as("ea"), col("na").as("n_a"))
+    val b = assigned.select(col("cell"), col("vec_id").as("id_b"),
+      col("embedding").as("eb"), col("na").as("n_b"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos",
+        quantDot(col("ea"), col("eb")).cast("double")
+          / (sqrt(col("n_a").cast("double")) * sqrt(col("n_b").cast("double"))))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"))
+    val nodes = Tables.embeddings(spark, dir).select(col("vec_id").as("node"))
+    Dedup.connectedComponents(nodes, pairs)
+      .join(assigned.select(col("vec_id"), col("cell")),
+        col("node") === col("vec_id"))
+      .withColumn("group_size", count(lit(1)).over(Window.partitionBy("group_id")))
+      .select(col("vec_id"), col("cell"), col("group_id"), col("group_size"),
+        (col("vec_id") === col("group_id")).as("is_kept"))
+      .orderBy("vec_id")
+  }
+
   /** Batch multi-query EXACT top-k — the brute-force ground truth the
     * IVF variant ([[ivfMultiQueryTopK]]) trades recall against, at the
     * same probe-table shape: the query set broadcasts, the data side is
@@ -688,6 +732,7 @@ object Similarity {
     "sim_lsh_neardup6"   -> ((s: SparkSession, d: String) => lshNearDup(s, d, 6)),
     "sim_lsh_neardup_auto" -> ((s: SparkSession, d: String) => lshNearDupAuto(s, d)),
     "sim_dedup_groups"   -> ((s: SparkSession, d: String) => embeddingDedupGroups(s, d)),
+    "sim_semantic_dedup" -> ((s: SparkSession, d: String) => semanticDedup(s, d)),
     "sim_ivf_recall"     -> ((s: SparkSession, d: String) => ivfMultiQueryRecall(s, d)),
     "sim_sq8_multiquery" -> ((s: SparkSession, d: String) => sq8MultiQueryTopK(s, d)),
     "sim_sq8_recall"     -> ((s: SparkSession, d: String) => sq8Recall(s, d)),
@@ -801,7 +846,7 @@ object Similarity {
     * generated per iteration so the oracle and the Scala trainer cannot
     * drift. Produces CTEs `ranked` (all vectors × cells with rank) and
     * `assigned` (winning cell per vector) over the FITTED centroids. */
-  private def ivfFitCtes(iters: Int = 2): String = {
+  private def ivfFitCtes(iters: Int = 2, recursive: Boolean = false): String = {
     def iter(n: Int): String = {
       val prev = s"c${n - 1}"
       s"""p$n AS (SELECT s.vec_id, c.cent_id, unnest(s.qv) AS x, unnest(c.cv) AS y
@@ -823,7 +868,7 @@ object Similarity {
                    (SELECT cent_id, list(cx ORDER BY j) AS cv FROM m$n GROUP BY cent_id) m
                    ON c.cent_id = m.cent_id),"""
     }
-    s"""WITH samp AS (
+    s"""WITH ${if (recursive) "RECURSIVE " else ""}samp AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
            FROM embeddings WHERE vec_id < 256),
@@ -966,6 +1011,36 @@ object Similarity {
          cand AS (SELECT a.vec_id, a.cell FROM assigned a JOIN qcells q
                   ON a.cell = q.cell WHERE a.vec_id <> 0),
          $ivfScoreSuffix""",
+    // SemDeDup: the fit/assign CTEs give each vector its k-means cell;
+    // within-cell quantized-cosine pairs feed the same recursive
+    // transitive closure the embedding-groups oracle walks
+    "sim_semantic_dedup" ->
+      s"""${ivfFitCtes(2, recursive = true)}
+         spr AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   unnest(qa.qv) AS x, unnest(qb.qv) AS y
+                 FROM assigned a JOIN assigned b
+                   ON a.cell = b.cell AND a.vec_id < b.vec_id
+                 JOIN qall qa ON qa.vec_id = a.vec_id
+                 JOIN qall qb ON qb.vec_id = b.vec_id),
+         sd AS (SELECT id_a, id_b, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                FROM spr GROUP BY id_a, id_b),
+         sp AS (SELECT id_a, id_b FROM sd
+                WHERE CAST(dot AS DOUBLE)
+                      / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) >= 0.4),
+         sedges AS (SELECT id_a AS src, id_b AS dst FROM sp
+                    UNION ALL SELECT id_b, id_a FROM sp),
+         swalk AS (
+           SELECT vec_id AS node, vec_id AS label FROM embeddings
+           UNION
+           SELECT e.dst AS node, w.label AS label
+           FROM swalk w JOIN sedges e ON w.node = e.src),
+         scomp AS (SELECT node, min(label) AS group_id FROM swalk GROUP BY node),
+         ssizes AS (SELECT group_id, count(*) AS group_size FROM scomp GROUP BY group_id)
+         SELECT c.node AS vec_id, a.cell, c.group_id, s.group_size,
+                c.node = c.group_id AS is_kept
+         FROM scomp c JOIN assigned a ON a.vec_id = c.node
+                      JOIN ssizes s ON c.group_id = s.group_id
+         ORDER BY vec_id""",
     "sim_ivf_multiquery" -> ivfMultiOracle,
     // the persisted-index variant must return the IDENTICAL rows — same
     // fit, same assignment, just computed at build time — so it shares

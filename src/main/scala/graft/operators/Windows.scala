@@ -294,7 +294,47 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** Exponentially-weighted moving average per user — the time-decay
+    * feature every behavioral model wants ("recent activity counts
+    * more"). The textbook EWMA is a sequential recurrence
+    * (s_i = α·v_i + (1−α)·s_{i−1}) — inherently order-serial and
+    * float-accumulating, so it neither parallelizes nor reproduces
+    * bit-identically across engines. This is the distributed,
+    * bit-stable reformulation: α = 1/2 with an 8-term horizon, so the
+    * weights are the exact INTEGER ladder 128,64,…,1 (×1/128) and the
+    * window is eight `lag` taps over one per-user sort; numerator and
+    * denominator stay exact integers (values pre-scaled to cents) until
+    * a single final double division. Truncating at 8 taps loses at most
+    * 1/256 of the mass — below the 2-decimal resolution of the data.
+    *
+    * Scale: one hash shuffle on user_id (shared by all eight taps — one
+    * Window operator, one sort), no state beyond the frame; at 100 TB
+    * this costs exactly what any per-user window costs. */
+  def ewmaPerUser(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+    val taps = (1 to 7).map(j => lag(col("c"), j).over(w).as(s"c$j"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("t"),
+        round(col("value") * 100).cast("long").as("c"))
+      .select(col("user_id") +: col("event_id") +: col("t") +: col("c") +: taps: _*)
+    val weights = (0 to 7).map(j => 128L >> j) // 128, 64, ..., 1
+    val num = weights.zipWithIndex.map { case (wt, j) =>
+      val c = if (j == 0) col("c") else col(s"c$j")
+      coalesce(c * lit(wt), lit(0L))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wt, j) =>
+      val c = if (j == 0) col("c") else col(s"c$j")
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ev.select(col("user_id"), col("event_id"), col("t"),
+        (col("c").cast("double") / lit(100.0)).as("v"),
+        (num.cast("double") / den.cast("double") / lit(100.0)).as("ewma"))
+      .orderBy("user_id", "t", "event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma"               -> ewmaPerUser _,
     "win_funnel_stages"      -> funnelStages _,
     "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
@@ -312,6 +352,32 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer-ladder EWMA: eight lag taps, integer
+    // numerator/denominator, one final double division — bit-stable
+    "win_ewma" -> {
+      val lags = (1 to 7).map(j => s"lag(c,$j) OVER w AS c$j").mkString(", ")
+      val num = (0 to 7).map { j =>
+        val wt = 128L >> j
+        val c = if (j == 0) "c" else s"c$j"
+        s"coalesce($c*$wt,0)"
+      }.mkString(" + ")
+      val den = (0 to 7).map { j =>
+        val wt = 128L >> j
+        val c = if (j == 0) "c" else s"c$j"
+        s"CASE WHEN $c IS NOT NULL THEN $wt ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         l AS (
+           SELECT user_id, event_id, t, c, $lags
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC))
+         SELECT user_id, event_id, t,
+                CAST(c AS DOUBLE) / 100 AS v,
+                CAST($num AS DOUBLE) / CAST($den AS DOUBLE) / 100 AS ewma
+         FROM l ORDER BY user_id, t, event_id"""
+    },
     // the same chained conditional-min construction (strictly-after
     // thresholds), stage derived from which timestamps resolved
     "win_funnel_stages" ->
