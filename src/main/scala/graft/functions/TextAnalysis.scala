@@ -563,7 +563,33 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** Sliding-window document CHUNKING — the retrieval/packing primitive
+    * that splits long documents into overlapping token windows (width 64,
+    * stride 48 → 25% overlap), the shape RAG indexes and context-window
+    * packers consume. Chunk boundaries are pure arithmetic over the token
+    * array (`sequence(0, n−1, stride)` explode + `slice`) — map-side
+    * only, zero shuffles, row multiplier ≈ n_tokens/stride. Each chunk
+    * carries an md5 fingerprint, so downstream exact-dedup of chunks
+    * (the paragraph-dedup pattern) composes directly. */
+  def chunkDocuments(spark: SparkSession, dir: String,
+      width: Int = 64, stride: Int = 48): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        filter(split(lower(col("text")), " "), t => length(t) > 0).as("ts"))
+      .withColumn("n", size(col("ts")))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("ts"),
+        explode(sequence(lit(0), col("n") - 1, lit(stride))).as("start"))
+      .withColumn("chunk", slice(col("ts"), col("start") + 1, lit(width)))
+      .select(col("doc_id"),
+        expr(s"start div $stride").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start_tok"),
+        size(col("chunk")).cast("long").as("n_tok"),
+        md5(concat_ws(" ", col("chunk"))).as("fp"))
+      .orderBy("doc_id", "chunk_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "ta_tokenize_ids" -> ((s: SparkSession, d: String) => tokenizeIds(s, d)),
     "ta_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
     "ta_corpus_pipeline" -> corpusPipeline _,
@@ -607,6 +633,20 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical window arithmetic: starts = range(0, n, stride), 1-based
+    // inclusive list slice, md5 of the space-joined chunk
+    "ta_chunk_documents" ->
+      """WITH t AS (SELECT doc_id,
+             list_filter(string_split(lower(text), ' '), x -> length(x) > 0) AS ts
+           FROM documents),
+         n AS (SELECT doc_id, ts, len(ts) AS n FROM t WHERE len(ts) > 0),
+         s AS (SELECT doc_id, ts, n, unnest(range(0, n, 48)) AS start FROM n),
+         c AS (SELECT doc_id, start, ts[start+1 : start+64] AS chunk FROM s)
+         SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+                CAST(start AS BIGINT) AS start_tok,
+                CAST(len(chunk) AS BIGINT) AS n_tok,
+                md5(array_to_string(chunk, ' ')) AS fp
+         FROM c ORDER BY doc_id, chunk_id""",
     // identical fit + encode: rank-assigned ids over the 500-token vocab,
     // OOV -> 0, per-doc id sequence reassembled in position order
     "ta_tokenize_ids" ->

@@ -403,6 +403,7 @@ object Relational {
     "rel_star_join_revenue"      -> starJoinRevenue _,
     "rel_zorder_layout"          -> (graft.sources.Layout.zTileStats _),
     "rel_orc_roundtrip"          -> (graft.sources.Formats.orcRoundtrip _),
+    "rel_jsonl_roundtrip"        -> (graft.sources.Formats.jsonlRoundtrip _),
   )
 
   // DuckDB's native ASOF LEFT JOIN is the oracle for BOTH asof paths
@@ -583,5 +584,10 @@ object Relational {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang ORDER BY lang""",
+    "rel_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         FROM documents GROUP BY lang, source ORDER BY lang, source""",
   )
 }

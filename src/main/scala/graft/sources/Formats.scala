@@ -38,4 +38,39 @@ object Formats {
         min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang")
+
+  /** Write-once JSON-Lines mirror — the interchange format every
+    * text-corpus pipeline ingests from (one JSON object per line,
+    * splittable, appendable). Schema is pinned on the READ side
+    * (required for production JSONL: schema inference scans the data
+    * twice and silently widens types). */
+  private def jsonlMirror(spark: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/jsonl/docs_${IndexStore.keyOf(dir)}").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.documents(spark, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(path)
+    }
+    path
+  }
+
+  /** Per-(lang, source) accounting read from the JSONL mirror with an
+    * explicit schema — hash-gated against DuckDB over the original
+    * parquet (`rel_jsonl_roundtrip`), so a match proves the JSON
+    * sink+source round-trip lossless including null handling. */
+  def jsonlRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType)))
+    spark.read.schema(schema).json(jsonlMirror(spark, dir))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy("lang", "source")
+  }
 }

@@ -373,20 +373,72 @@ object Streams {
       }
   }
 
-  /** File-source stream over the driver's `events.parquet` (TESTDATA):
-    * the batch reader's nanos-as-long handling applied to readStream —
-    * schema must be declared up front for file streams. */
+  case class FunnelState(tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
+  case class FunnelOut(user_id: Long, t_view: Option[Long], t_click: Option[Long],
+                       t_purchase: Option[Long], stage: Long)
+
+  /** Streaming ORDERED FUNNEL — the incremental mirror of the batch
+    * [[graft.operators.Windows.funnelStages]]: per user, first `view`,
+    * first `click` strictly after it, first `purchase` strictly after
+    * that. State is three optional timestamps (O(1) per user — the
+    * collect-all-events alternative holds unbounded state); each batch
+    * folds its group's rows in event-time order, so under event-time-
+    * ordered arrival the fold computes exactly the batch query's chained
+    * conditional-min semantics (strictly-after thresholds included).
+    * Update mode emits the refreshed funnel row per user per batch. */
+  def funnelStream(events: Dataset[Event])
+                  (implicit spark: SparkSession): Dataset[FunnelOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
+          var s = state.getOption.getOrElse(FunnelState(None, None, None))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if s.tView.isEmpty =>
+                s = s.copy(tView = Some(t))
+              case "click" if s.tClick.isEmpty && s.tView.exists(t > _) =>
+                s = s.copy(tClick = Some(t))
+              case "purchase" if s.tPurchase.isEmpty && s.tClick.exists(t > _) =>
+                s = s.copy(tPurchase = Some(t))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          val stage: Long =
+            if (s.tPurchase.nonEmpty) 3L
+            else if (s.tClick.nonEmpty) 2L
+            else if (s.tView.nonEmpty) 1L
+            else 0L
+          FunnelOut(uid, s.tView, s.tClick, s.tPurchase, stage)
+      }
+  }
+
+  /** File-source stream over the driver's `events.parquet` (TESTDATA).
+    * File streams must declare a schema up front; we take it from the
+    * BATCH reader's parquet footer scan and then apply the same
+    * dual-encoding normalization as [[graft.sources.Tables.events]]
+    * (legacy nanos-long vs TIMESTAMP_NTZ micros) — the batch fix of the
+    * r6 testdata regeneration, mirrored so the streaming source cannot
+    * drift from the batch contract. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema)
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    raw.schema("ts").dataType match {
+      case LongType => // legacy nanos-as-long encoding
+        raw
+          .withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => // TIMESTAMP_NTZ / TIMESTAMP (micros); UTC pin per Sessions
+        raw
+          .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+          .withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
 
   /** Durable sink: drive a streaming DataFrame to parquet via

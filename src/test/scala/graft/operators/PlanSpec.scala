@@ -381,6 +381,58 @@ class PlanSpec extends AnyFunSuite {
       s"gap fill must not cross-join a calendar:\n${plan.take(3000)}")
   }
 
+  test("ewma: all eight lag taps run in ONE window operator over one exchange") {
+    val df = Windows.ewmaPerUser(spark, dir)
+    val plan = planOf(df)
+    assert("(?s)Window.*Window".r.findFirstIn(plan).isEmpty,
+      s"taps must share a single Window operator:\n${plan.take(3000)}")
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).length >= 1,
+      s"expected user_id hash partitioning:\n${plan.take(2000)}")
+  }
+
+  test("fuzzy blocking join: dictionary-sized equi join on the block key, " +
+       "no cartesian, fact table aggregated before the quadratic piece") {
+    val df = Relational.fuzzyBlockingJoin(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"blocked ER must stay equi-join shaped:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"), s"dictionary build must partial-agg:\n${plan.take(2000)}")
+  }
+
+  test("pagerank: iterations are equi joins + partial aggregates, no cartesian") {
+    val df = Graph.pageRankSuppliers(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"power iteration must stay equi-join shaped:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"contribution sums must combine map-side:\n${plan.take(2000)}")
+  }
+
+  test("tokenize ids: the vocab id join broadcasts (token stream never " +
+       "shuffles for the lookup)") {
+    val df = graft.functions.TextAnalysis.tokenizeIds(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab lookup must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("hll sketch merge: daily sketches build as partial+final object " +
+       "aggregates (sketch shuffle, not id shuffle)") {
+    val df = Aggregations.hllSketchMergeChecked(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("partial_hll_sketch_agg"),
+      s"per-day sketches must combine map-side:\n${plan.take(3000)}")
+  }
+
+  test("chunking is map-side only: explode + projection, zero exchanges") {
+    val df = graft.functions.TextAnalysis.chunkDocuments(spark, dir)
+    val plan = planOf(df)
+    // the final global orderBy is the only allowed exchange
+    assert("Exchange hashpartitioning".r.findFirstIn(plan).isEmpty,
+      s"chunking must not hash-shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("Generate explode"), s"expected window explode:\n${plan.take(2000)}")
+  }
+
   test("dedup groups served from the persisted label index: no label-propagation " +
        "jobs at serve time (plan is a bucketed scan + sort)") {
     // building the index (first touch) may run the fixpoint; the SERVE

@@ -1,0 +1,70 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming funnel mirror: under event-time-ordered arrival the stateful
+  * fold must equal the batch chained-conditional-min funnel. */
+class FunnelStreamSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession =
+    graft.Sessions.local("4", "graft-funnel-stream-test")
+  import spark.implicits._
+  implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(ms: Long) = new java.sql.Timestamp(ms)
+
+  test("funnelStream equals the batch funnel on in-order arrival, across batches") {
+    val events = Seq(
+      // user 1: full funnel
+      Streams.Event(1L, ts(1000), "view", 1.0),
+      Streams.Event(1L, ts(2000), "click", 1.0),
+      Streams.Event(1L, ts(3000), "purchase", 1.0),
+      // user 2: click before view — click must NOT count; later click does
+      Streams.Event(2L, ts(500), "click", 1.0),
+      Streams.Event(2L, ts(1500), "view", 1.0),
+      Streams.Event(2L, ts(2500), "click", 1.0),
+      // user 3: purchase without click — stays stage 1
+      Streams.Event(3L, ts(100), "view", 1.0),
+      Streams.Event(3L, ts(200), "purchase", 1.0),
+      // user 4: simultaneous click (not strictly after) is rejected
+      Streams.Event(4L, ts(700), "view", 1.0),
+      Streams.Event(4L, ts(700), "click", 1.0),
+      // user 5: never views
+      Streams.Event(5L, ts(900), "purchase", 1.0))
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(5)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.funnelStream(in.toDS()).writeStream
+      .format("memory").queryName("funnel_out").outputMode(OutputMode.Update()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // last emitted row per user is the final funnel state
+    val got = spark.sql(
+      "SELECT user_id, t_view, t_click, t_purchase, stage FROM funnel_out")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (u, rows) => u -> rows.last }
+    q.stop()
+    // sequential reference: the batch semantics (first view, first click
+    // strictly after, first purchase strictly after)
+    def chain(es: Seq[Streams.Event]): (Option[Long], Option[Long], Option[Long]) = {
+      val sorted = es.sortBy(_.ts.getTime)
+      val tv = sorted.collectFirst { case e if e.event_type == "view" => e.ts.getTime }
+      val tc = tv.flatMap(v => sorted.collectFirst {
+        case e if e.event_type == "click" && e.ts.getTime > v => e.ts.getTime })
+      val tp = tc.flatMap(c => sorted.collectFirst {
+        case e if e.event_type == "purchase" && e.ts.getTime > c => e.ts.getTime })
+      (tv, tc, tp)
+    }
+    events.groupBy(_.user_id).foreach { case (u, es) =>
+      val (tv, tc, tp) = chain(es)
+      val r = got(u)
+      def cell(i: Int): Option[Long] = if (r.isNullAt(i)) None else Some(r.getLong(i))
+      assert(cell(1) === tv, s"user $u t_view")
+      assert(cell(2) === tc, s"user $u t_click")
+      assert(cell(3) === tp, s"user $u t_purchase")
+      val stage = if (tp.nonEmpty) 3 else if (tc.nonEmpty) 2 else if (tv.nonEmpty) 1 else 0
+      assert(r.getLong(4) === stage.toLong, s"user $u stage")
+    }
+  }
+}
