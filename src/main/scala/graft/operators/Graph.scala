@@ -46,8 +46,15 @@ object Graph {
     * of r' = 150000 + (85 · Σ_in (r div deg)) div 100, ranks in
     * micro-units. Every node must appear as a src (no dangling nodes —
     * true by construction for undirected edge lists). */
-  def pageRankOf(edges: DataFrame, iters: Int): DataFrame = {
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+  def pageRankOf(edgesIn: DataFrame, iters: Int): DataFrame = {
+    // every iteration references the edge list and the degree table; an
+    // un-materialized plan re-derives BOTH from the fact join per
+    // reference (measured: 14 lineitem scans, 0 reused exchanges for 3
+    // iterations). localCheckpoint computes each once and truncates
+    // lineage — the same iterate-over-cached-graph shape
+    // Dedup.connectedComponents uses.
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
     var ranks = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     (1 to iters).foreach { _ =>
       ranks = edges

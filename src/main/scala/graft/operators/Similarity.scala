@@ -547,6 +547,19 @@ object Similarity {
     * auto-geometry path for big corpora is [[embeddingDedupGroups]]. */
   def semanticDedup(spark: SparkSession, dir: String,
                     threshold: Double = 0.4): DataFrame = {
+    import graft.sources.IndexStore
+    val idxName =
+      s"sim_semdedup_t${math.round(threshold * 100)}_${IndexStore.keyOf(dir)}"
+    IndexStore.orBuild(spark, idxName, 32, Seq("vec_id"))(
+      semanticDedupInline(spark, dir, threshold))
+      .select("vec_id", "cell", "group_id", "group_size", "is_kept")
+      .orderBy("vec_id")
+  }
+
+  /** [[semanticDedup]] without the index lifecycle (build body + spec
+    * entry point). */
+  private[graft] def semanticDedupInline(spark: SparkSession, dir: String,
+                                         threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
     val assigned = assignCells(Tables.embeddings(spark, dir), centsLit)
