@@ -160,6 +160,32 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsFromBands(docBandsTable(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** Asymmetric CONTAINMENT scoring over the LSH candidates — catches
+    * doc-in-doc duplication (quotes, excerpts, wrapper pages) that
+    * symmetric Jaccard under-scores: a 50-shingle doc fully embedded in
+    * a 500-shingle doc has Jaccard 0.1 but containment_a = 1.0. Both
+    * directions are emitted (n_common/n_a and n_common/n_b) so the
+    * consumer picks which side is "the excerpt". Candidates come from
+    * the persisted MinHash band index (same recall set as
+    * [[minhashLshPairs]] — no all-pairs); the shingle re-join touches
+    * only candidate docs. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame = {
+    val cand = lshPairsFromBands(docBandsTable(spark, dir))
+    val sh = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
+      .withColumn("n_b", size(col("sh_b")).cast("long"))
+      .withColumn("n_common",
+        graft.functions.ArrayOps.intersectCount(col("sh_a"), col("sh_b")).cast("long"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_a").cast("double")).as("containment_a"),
+        (col("n_common").cast("double") / col("n_b").cast("double")).as("containment_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** INCREMENTAL ingest dedup — the daily-batch shape: a new batch is
     * admitted against an EXISTING corpus without re-pairing the corpus
     * with itself. Two stages, mirroring [[dedupPipelinePairs]]:
@@ -845,6 +871,7 @@ object Dedup {
     "dd_span_dedup_persisted" -> spanDedupPersisted _,
     "dd_incremental"         -> incrementalDedup _,
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
+    "dd_containment"         -> containmentPairs _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
     "dd_simhash16"           -> simhash16 _,
     "dd_simhash_hamming"     -> simhashHammingPairs _,
@@ -973,6 +1000,26 @@ object Dedup {
              / (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
          FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
          ORDER BY doc_a""",
+    // same candidate set as the LSH pairs oracle, plus exact intersection
+    // counts and the two directional containment ratios
+    "dd_containment" ->
+      s"""WITH $shingleCte,
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id)
+         SELECT p.doc_a, p.doc_b,
+                CAST(len(sa.shingles) AS BIGINT) AS n_a,
+                CAST(len(sb.shingles) AS BIGINT) AS n_b,
+                CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_common,
+                CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / CAST(len(sa.shingles) AS DOUBLE) AS containment_a,
+                CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                  / CAST(len(sb.shingles) AS DOUBLE) AS containment_b
+         FROM pairs p JOIN sh sa ON p.doc_a = sa.doc_id
+                      JOIN sh sb ON p.doc_b = sb.doc_id
+         ORDER BY doc_a, doc_b""",
     "dd_minhash_lsh_pairs" ->
       s"""WITH $shingleCte,
          $minhashBandCtes

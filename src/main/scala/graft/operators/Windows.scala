@@ -333,7 +333,36 @@ object Windows {
       .orderBy("user_id", "t", "event_id")
   }
 
+  /** OHLC DOWNSAMPLING — the time-series retention primitive: collapse
+    * the raw event stream to per-(user, hour) open/high/low/close/volume
+    * bars, the shape monitoring and feature stores keep after the raw
+    * points age out. Open/close need a total order — both come from
+    * row_number over the SAME (user_id, hour) partitioning (one sort,
+    * ascending; the descending rank is derived as n−rn+1 so the window
+    * is computed once) with event_id as the deterministic tie-break.
+    * One hash shuffle shared by the window and the final aggregate. */
+  def ohlcDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "h").orderBy(col("t").asc, col("event_id").asc)
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("t"),
+        date_trunc("hour", col("ts")).as("h"),
+        col("value").cast(dec2).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_in", count(lit(1)).over(Window.partitionBy("user_id", "h")))
+      .groupBy("user_id", "h")
+      .agg(
+        max(when(col("rn") === 1, col("v"))).cast("double").as("open"),
+        max(col("v")).cast("double").as("high"),
+        min(col("v")).cast("double").as("low"),
+        max(when(col("rn") === col("n_in"), col("v"))).cast("double").as("close"),
+        count(lit(1)).as("n_events"),
+        sum(col("v")).cast("double").as("volume"))
+      .orderBy("user_id", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ohlc_downsample"    -> ohlcDownsample _,
     "win_ewma"               -> ewmaPerUser _,
     "win_funnel_stages"      -> funnelStages _,
     "win_gap_fill"           -> gapFillDaily _,
@@ -352,6 +381,28 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical bar construction: one ascending row_number + group count,
+    // open = rn 1, close = rn n, decimal-exact volume
+    "win_ohlc_downsample" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+                  date_trunc('hour', ts) AS h,
+                  CAST(value AS DECIMAL(18,2)) AS v
+           FROM events),
+         r AS (
+           SELECT user_id, h, v,
+                  row_number() OVER (PARTITION BY user_id, h
+                                     ORDER BY t ASC, event_id ASC) AS rn,
+                  count(*) OVER (PARTITION BY user_id, h) AS n_in
+           FROM ev)
+         SELECT user_id, h,
+                CAST(max(CASE WHEN rn = 1 THEN v END) AS DOUBLE) AS open,
+                CAST(max(v) AS DOUBLE) AS high,
+                CAST(min(v) AS DOUBLE) AS low,
+                CAST(max(CASE WHEN rn = n_in THEN v END) AS DOUBLE) AS close,
+                count(*) AS n_events,
+                CAST(sum(v) AS DOUBLE) AS volume
+         FROM r GROUP BY user_id, h ORDER BY user_id, h""",
     // identical integer-ladder EWMA: eight lag taps, integer
     // numerator/denominator, one final double division — bit-stable
     "win_ewma" -> {

@@ -85,6 +85,62 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dd_containment: an embedded excerpt scores containment 1.0 on the small side") {
+    import spark.implicits._
+    // doc 2 is a verbatim slice of doc 1 -> containment_b must be 1.0
+    // while Jaccard stays low; doc 3 shares nothing
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l m n o p q r s t"),
+      (2L, "f g h i j k l"),
+      (3L, "z y x w v u t s r q z2 y2 x2 w2")).toDF("doc_id", "text")
+    // reuse the OPERATOR's shingle+intersect arithmetic through a direct
+    // pair computation (the query's cand set is LSH-recall-dependent, so
+    // the invariant is checked on a forced pair)
+    val sh = docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("shingles", array_distinct(expr(
+        "transform(sequence(1, size(toks) - 2), i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1]))")))
+      .select("doc_id", "shingles")
+    val a = sh.filter(col("doc_id") === 1).select(col("shingles").as("sh_a"))
+    val b = sh.filter(col("doc_id") === 2).select(col("shingles").as("sh_b"))
+    val r = a.crossJoin(b)
+      .select((graft.functions.ArrayOps.intersectCount(col("sh_a"), col("sh_b"))
+        .cast("double") / size(col("sh_b")).cast("double")).as("containment_b"))
+      .collect().head.getDouble(0)
+    assert(r === 1.0)
+    // and the registered query emits both directional ratios in [0, 1]
+    val q = Dedup.containmentPairs(spark, dir).collect()
+    q.foreach { row =>
+      val ca = row.getAs[Double]("containment_a")
+      val cb = row.getAs[Double]("containment_b")
+      assert(ca >= 0.0 && ca <= 1.0 && cb >= 0.0 && cb <= 1.0, row.toString)
+    }
+  }
+
+  test("win_ohlc_downsample: bars agree with a sequential per-bucket reference") {
+    val got = Windows.ohlcDownsample(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getLong(6)))
+      .toMap
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("t"),
+        date_trunc("hour", col("ts")).as("h"),
+        col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getTimestamp(3),
+        r.getDecimal(4).doubleValue()))
+    assert(rows.nonEmpty)
+    rows.groupBy(r => (r._1, r._4)).foreach { case ((u, h), es) =>
+      val sorted = es.sortBy(e => (e._3, e._2))
+      val (open, high, low, close, n) = got((u, h))
+      assert(open === sorted.head._5, s"open $u $h")
+      assert(close === sorted.last._5, s"close $u $h")
+      assert(high === es.map(_._5).max, s"high $u $h")
+      assert(low === es.map(_._5).min, s"low $u $h")
+      assert(n === es.length.toLong, s"n $u $h")
+    }
+  }
+
   test("agg_hll_sketch_merge: merged estimate within the 5% gate") {
     val r = Aggregations.hllSketchMergeChecked(spark, dir).collect()
     assert(r.length === 1)
