@@ -28,6 +28,9 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-7 additions: repeated-span removal, DSIR weighting (the most
   # expensive linear query at sf1), relational Count-Min build
   HEADLINE="$HEADLINE,dd_span_dedup,ta_dsir_weights,agg_countmin"
+  # round-7 second-session additions: iterative graph analytics, the
+  # event-stream window families, map-side chunking
+  HEADLINE="$HEADLINE,rel_pagerank,win_ewma,ta_chunk_documents"
   exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF10_DIR ${2:-100} ${3:-120} $HEADLINE"
 fi
 BOUND="${1:-10}"
