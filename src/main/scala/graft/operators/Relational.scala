@@ -382,7 +382,85 @@ object Relational {
       .orderBy("nm_a", "nm_b")
   }
 
+  /** INTERVAL × INTERVAL overlap join — the last join kind the banded
+    * family lacked ([[rangeJoinBanded]] covers point-in-interval): per-
+    * (user, day) activity intervals against deterministic weekly
+    * campaign windows (Wed 12:00 + 66 h, from 2024-01-03). The scalable
+    * shape is the DAY BAND: each campaign explodes to the ≤4 calendar
+    * days it touches (bounded constant), the join is an equi join on
+    * day, and the exact overlap predicate + length filter run on the
+    * banded candidates — no keyless theta join ever forms. The DuckDB
+    * oracle derives the SAME result from the direct quadratic predicate,
+    * so the gate proves the banding lossless, not just self-consistent.
+    * At 100 TB: activity intervals partition by day; campaigns are a
+    * metadata-sized dim; candidates per day = intervals that day ×
+    * campaigns touching it (≤1-2). */
+  def intervalOverlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("ts_ns div 1000").as("t"))
+      .groupBy("user_id", "d")
+      .agg(min(col("t")).as("a_start"), max(col("t")).as("a_end"))
+    val baseUs = java.time.LocalDateTime.of(2024, 1, 3, 12, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val camps = spark.range(0, 52)
+      .select(col("id").as("campaign_id"),
+        (lit(baseUs) + col("id") * lit(604800000000L)).as("c_start"))
+      .withColumn("c_end", col("c_start") + lit(237600000000L))
+    val campDays = camps.select(col("campaign_id"), col("c_start"), col("c_end"),
+      explode(expr(
+        "sequence(to_date(timestamp_micros(c_start)), to_date(timestamp_micros(c_end)))"))
+        .as("d"))
+    act.join(broadcast(campDays), Seq("d"))
+      .filter(col("a_end") > col("c_start") && col("c_end") > col("a_start"))
+      .withColumn("o", least(col("a_end"), col("c_end"))
+        - greatest(col("a_start"), col("c_start")))
+      .groupBy("campaign_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("o")).as("total_overlap_us"))
+      .orderBy("campaign_id")
+  }
+
+  /** DATA-QUALITY AUDIT — the constraint checker every ingest pipeline
+    * runs before promoting a batch: referential integrity (anti joins),
+    * primary-key uniqueness, domain checks, and a derived-column
+    * consistency check, each reported as a violation count. All checks
+    * are plain aggregations/anti-joins, so at 100 TB each costs at most
+    * one shuffle and they share table scans when run as one DAG; the
+    * zero counts are PINNED by the oracle — a regression in the data or
+    * a reader shows up as a nonzero diff, which is the point. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, violations: DataFrame): DataFrame =
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("check_name"), col("n_violations"))
+    val orders = Tables.orders(spark, dir)
+    val lineitem = Tables.lineitem(spark, dir)
+    Seq(
+      check("fk_orders_customer",
+        orders.join(Tables.customer(spark, dir),
+          col("o_custkey") === col("c_custkey"), "left_anti")),
+      check("fk_lineitem_orders",
+        lineitem.join(orders.select("o_orderkey"),
+          col("l_orderkey") === col("o_orderkey"), "left_anti")),
+      check("pk_orders_unique",
+        orders.groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > 1)),
+      check("chk_lineitem_qty_positive",
+        lineitem.filter(col("l_quantity").isNull || col("l_quantity") <= 0)),
+      check("chk_events_value_nonneg",
+        Tables.events(spark, dir)
+          .filter(col("value").isNull || col("value") < 0)),
+      check("chk_documents_nchars",
+        Tables.documents(spark, dir)
+          .filter(col("n_chars") =!= length(col("text")))))
+      .reduce(_.unionAll(_))
+      .orderBy("check_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_interval_overlap"    -> intervalOverlapJoin _,
+    "rel_dq_audit"            -> dqAudit _,
     "rel_fuzzy_blocking_join" -> fuzzyBlockingJoin _,
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
@@ -422,6 +500,56 @@ object Relational {
        ORDER BY event_id"""
 
   val oracles: Map[String, String] = Map(
+    // INDEPENDENT derivation: the oracle joins on the raw quadratic
+    // overlap predicate (no day banding) — a hash match proves the
+    // Spark side's banding is lossless
+    "rel_interval_overlap" ->
+      """WITH act AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  min(epoch_ns(ts) // 1000) AS a_start,
+                  max(epoch_ns(ts) // 1000) AS a_end
+           FROM events GROUP BY 1, 2),
+         camps AS (
+           SELECT CAST(w AS BIGINT) AS campaign_id,
+                  epoch_us(TIMESTAMP '2024-01-03 12:00:00')
+                    + w * 604800000000 AS c_start,
+                  epoch_us(TIMESTAMP '2024-01-03 12:00:00')
+                    + w * 604800000000 + 237600000000 AS c_end
+           FROM (SELECT unnest(range(52)) AS w)),
+         ov AS (
+           SELECT c.campaign_id, a.user_id,
+                  least(a.a_end, c.c_end) - greatest(a.a_start, c.c_start) AS o
+           FROM act a JOIN camps c
+             ON a.a_end > c.c_start AND c.c_end > a.a_start)
+         SELECT campaign_id, count(*) AS n_intervals,
+                count(DISTINCT user_id) AS n_users,
+                CAST(sum(o) AS BIGINT) AS total_overlap_us
+         FROM ov GROUP BY campaign_id ORDER BY campaign_id""",
+    // the same six checks, each as a scalar count; zeros are pinned
+    "rel_dq_audit" ->
+      """SELECT 'chk_documents_nchars' AS check_name,
+                count(CASE WHEN n_chars <> length(text) THEN 1 END) AS n_violations
+         FROM documents
+         UNION ALL
+         SELECT 'chk_events_value_nonneg',
+                count(CASE WHEN value IS NULL OR value < 0 THEN 1 END)
+         FROM events
+         UNION ALL
+         SELECT 'chk_lineitem_qty_positive',
+                count(CASE WHEN l_quantity IS NULL OR l_quantity <= 0 THEN 1 END)
+         FROM lineitem
+         UNION ALL
+         SELECT 'fk_lineitem_orders',
+                count(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+         FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+         UNION ALL
+         SELECT 'fk_orders_customer',
+                count(CASE WHEN c.c_custkey IS NULL THEN 1 END)
+         FROM orders r LEFT JOIN customer c ON r.o_custkey = c.c_custkey
+         UNION ALL
+         SELECT 'pk_orders_unique', count(*)
+         FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+         ORDER BY check_name""",
     // identical dictionary resolution: distinct lowered names + counts,
     // last-token blocks, levenshtein <= 2 within block
     "rel_fuzzy_blocking_join" ->

@@ -361,7 +361,33 @@ object Windows {
       .orderBy("user_id", "h")
   }
 
+  /** GAPS-AND-ISLANDS — longest consecutive-active-day streak per user,
+    * the retention metric every engagement dashboard carries. The
+    * classic trick stays fully relational: per distinct (user, day),
+    * `day − row_number` is constant within a consecutive run, so one
+    * window sort + two aggregations produce all runs and their lengths.
+    * Two shuffles total (distinct + the user-key window/agg share the
+    * second); no state, no iteration — scale cost is a per-user sort of
+    * DISTINCT ACTIVE DAYS, not events. */
+  def activeStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("d").asc)
+    val days = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+    days
+      .withColumn("island", date_sub(col("d"), row_number().over(w)))
+      .groupBy("user_id", "island")
+      .agg(count(lit(1)).as("len"), min(col("d")).as("run_start"))
+      .groupBy("user_id")
+      .agg(max(col("len")).as("longest_streak"),
+        count(lit(1)).as("n_streaks"),
+        sum(col("len")).as("n_active_days"),
+        min(col("run_start")).as("first_day"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_active_streaks"     -> activeStreaks _,
     "win_ohlc_downsample"    -> ohlcDownsample _,
     "win_ewma"               -> ewmaPerUser _,
     "win_funnel_stages"      -> funnelStages _,
@@ -381,6 +407,24 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same gaps-and-islands derivation: day - row_number is the
+    // island key; two grouped rollups
+    "win_active_streaks" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         isl AS (
+           SELECT user_id, d,
+                  d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d ASC)
+                           AS INTEGER) AS island
+           FROM days),
+         runs AS (
+           SELECT user_id, island, count(*) AS len, min(d) AS run_start
+           FROM isl GROUP BY user_id, island)
+         SELECT user_id, max(len) AS longest_streak,
+                count(*) AS n_streaks,
+                CAST(sum(len) AS BIGINT) AS n_active_days,
+                min(run_start) AS first_day
+         FROM runs GROUP BY user_id ORDER BY user_id""",
     // identical bar construction: one ascending row_number + group count,
     // open = rn 1, close = rn n, decimal-exact volume
     "win_ohlc_downsample" ->

@@ -373,6 +373,37 @@ object Streams {
       }
   }
 
+  case class EwmaState(cents: Seq[Long]) // most recent first, <= 8 taps
+  case class EwmaOut(user_id: Long, n_seen: Long, ewma: Double)
+
+  /** Streaming EWMA — the incremental mirror of the batch
+    * [[graft.operators.Windows.ewmaPerUser]]: per user, the α=1/2 8-tap
+    * integer weight ladder over the MOST RECENT eight values. State is a
+    * bounded ring of ≤8 integer cents per user (the full-recurrence
+    * alternative would drift floats batch-to-batch; the ladder re-derives
+    * the exact value from the ring every emit, so stream and batch agree
+    * bit-for-bit under event-time-ordered arrival). Update mode emits
+    * the refreshed decay feature per user per batch. */
+  def ewmaStream(events: Dataset[Event])
+                (implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
+          var buf = state.getOption.map(_.cents).getOrElse(Seq.empty)
+          var seen = 0L
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            buf = (math.round(e.value * 100.0) +: buf).take(8)
+            seen += 1
+          }
+          state.update(EwmaState(buf))
+          val weights = buf.indices.map(j => 128L >> j)
+          val num = buf.zip(weights).map { case (c, w) => c * w }.sum
+          EwmaOut(uid, seen, num.toDouble / weights.sum.toDouble / 100.0)
+      }
+  }
+
   case class FunnelState(tView: Option[Long], tClick: Option[Long], tPurchase: Option[Long])
   case class FunnelOut(user_id: Long, t_view: Option[Long], t_click: Option[Long],
                        t_purchase: Option[Long], stage: Long)

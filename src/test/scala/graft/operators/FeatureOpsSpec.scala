@@ -141,6 +141,61 @@ class FeatureOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("win_active_streaks matches a sequential gaps-and-islands reference") {
+    val got = Windows.activeStreaks(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val days = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct().collect()
+      .map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    assert(days.nonEmpty)
+    days.groupBy(_._1).foreach { case (u, ds) =>
+      val sorted = ds.map(_._2).sortBy(_.toEpochDay)
+      // fold into runs of consecutive days
+      val runs = sorted.foldLeft(List.empty[List[Long]]) { (acc, d) =>
+        acc match {
+          case (h :: t) :: rest if d.toEpochDay == h + 1 => (d.toEpochDay :: h :: t) :: rest
+          case _ => List(d.toEpochDay) :: acc
+        }
+      }
+      val (longest, nStreaks, nDays) = got(u)
+      assert(longest === runs.map(_.length).max.toLong, s"user $u longest")
+      assert(nStreaks === runs.length.toLong, s"user $u n_streaks")
+      assert(nDays === sorted.length.toLong, s"user $u n_days")
+    }
+  }
+
+  test("rel_interval_overlap: banded join equals the brute-force overlap scan") {
+    val got = Relational.intervalOverlapJoin(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val act = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"), expr("ts_ns div 1000").as("t"))
+      .groupBy("user_id", "d").agg(min("t").as("s"), max("t").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val baseUs = java.time.LocalDateTime.of(2024, 1, 3, 12, 0)
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val camps = (0L until 52L).map(w =>
+      (w, baseUs + w * 604800000000L, baseUs + w * 604800000000L + 237600000000L))
+    val brute = (for {
+      (u, s, e) <- act
+      (cid, cs, ce) <- camps if e > cs && ce > s
+    } yield (cid, u, math.min(e, ce) - math.max(s, cs)))
+      .groupBy(_._1).map { case (cid, xs) =>
+        cid -> (xs.size.toLong, xs.map(_._2).distinct.size.toLong, xs.map(_._3).sum)
+      }
+    assert(got === brute)
+    assert(got.nonEmpty)
+  }
+
+  test("rel_dq_audit emits all six checks; testdata integrity violations are stable") {
+    val rows = Relational.dqAudit(spark, dir).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq(
+      "chk_documents_nchars", "chk_events_value_nonneg", "chk_lineitem_qty_positive",
+      "fk_lineitem_orders", "fk_orders_customer", "pk_orders_unique"))
+    // referential + uniqueness checks must be clean on the generated data
+    rows.filter(r => r.getString(0).startsWith("fk_") || r.getString(0).startsWith("pk_"))
+      .foreach(r => assert(r.getLong(1) === 0L, r.toString))
+  }
+
   test("agg_hll_sketch_merge: merged estimate within the 5% gate") {
     val r = Aggregations.hllSketchMergeChecked(spark, dir).collect()
     assert(r.length === 1)

@@ -67,4 +67,33 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(r.getLong(4) === stage.toLong, s"user $u stage")
     }
   }
+
+  test("ewmaStream: final per-user value equals the 8-tap ladder on the last values") {
+    val events = Seq(
+      Streams.Event(1L, ts(1000), "view", 1.25),
+      Streams.Event(1L, ts(2000), "view", 2.50),
+      Streams.Event(1L, ts(3000), "view", 4.00),
+      Streams.Event(2L, ts(1500), "view", 10.00)) ++
+      // user 3: ten events — only the last eight may contribute
+      (1 to 10).map(i => Streams.Event(3L, ts(i * 1000L), "view", i.toDouble))
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(6)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.ewmaStream(in.toDS()).writeStream
+      .format("memory").queryName("ewma_out").outputMode(OutputMode.Update()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, ewma FROM ewma_out").collect()
+      .groupBy(_.getLong(0)).map { case (u, rows) => u -> rows.last.getDouble(1) }
+    q.stop()
+    def ladder(vals: Seq[Double]): Double = {
+      // vals oldest-first; take last 8, most recent gets weight 128
+      val recentFirst = vals.takeRight(8).reverse.map(v => math.round(v * 100.0))
+      val ws = recentFirst.indices.map(j => 128L >> j)
+      recentFirst.zip(ws).map { case (c, w) => c * w }.sum.toDouble / ws.sum.toDouble / 100.0
+    }
+    events.groupBy(_.user_id).foreach { case (u, es) =>
+      val expect = ladder(es.sortBy(_.ts.getTime).map(_.value))
+      assert(math.abs(got(u) - expect) < 1e-12, s"user $u")
+    }
+  }
 }
