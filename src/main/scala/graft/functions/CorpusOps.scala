@@ -343,7 +343,50 @@ object CorpusOps {
       .select("doc_id", "n_feats", "weight_micro", "avg_micro")
   }
 
+  // ---------------------------------------------------------------- bigram LM scoring
+
+  /** N-GRAM LANGUAGE-MODEL quality scoring (the CCNet recipe, n=2): fit
+    * a bigram model on the corpus itself, then score every document by
+    * how typical its word transitions are. Per bigram occurrence the MLE
+    * transition probability C(w₁,w₂)/C(w₁) is kept in integer ppm
+    * (C₂·10⁶ div C₁ — integer division only, so scores are bit-stable
+    * across engines and partition orders); a document's score is the
+    * integer mean over its bigrams. Low `lm_ppm` = improbable transitions
+    * (boilerplate, shuffled tokens, wrong-language fragments) — the
+    * standard perplexity-bucket filter without a float log in sight.
+    *
+    * Scale: two corpus-wide partial-agg groupBys fit the model (unigram
+    * and bigram counts — vocabulary-sized outputs, map-side combined),
+    * then the bigram stream joins the model on its own key and collapses
+    * straight back to per-doc rows. Everything is linear in corpus
+    * tokens; the model tables are the natural persist-once artifacts of
+    * [[graft.sources.IndexStore]] if serving cost ever matters. */
+  def bigramLmScore(spark: SparkSession, dir: String): DataFrame =
+    bigramLmScoreOf(Tables.documents(spark, dir))
+
+  /** [[bigramLmScore]] over any documents-shaped corpus (spec entry). */
+  def bigramLmScoreOf(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("t"))
+    val unigrams = toks.select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val model = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    bigrams
+      .join(model, Seq("w1", "w2"))
+      .join(unigrams, Seq("w1"))
+      .select(col("doc_id"), expr("c2 * 1000000 div c1").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(ppm) div count(1) AS BIGINT)").as("lm_ppm"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bigram_lm_score"  -> bigramLmScore _,
     "ta_decontaminate"    -> decontaminate _,
     "ta_dsir_weights"     -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "ta_repetition_stats" -> repetitionStats _,
@@ -358,6 +401,26 @@ object CorpusOps {
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // same space-split tokens, same zipped bigram unnest, same integer
+    // ppm arithmetic — `//` is DuckDB's integer division
+    "ta_bigram_lm_score" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         uni AS (SELECT unnest(t) AS w1 FROM p),
+         c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                       unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+                FROM p WHERE len(t) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2)
+         SELECT bg.doc_id, count(*) AS n_bigrams,
+                CAST(sum(c2.c2 * 1000000 // c1.c1) // count(*) AS BIGINT) AS lm_ppm
+         FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                 JOIN c1 ON bg.w1 = c1.w1
+         GROUP BY bg.doc_id ORDER BY bg.doc_id""",
     // DSIR: same plant, same uni+bi feature space and md5-hex bucket as
     // the classifier oracle; the target model is re-derived IN SQL from
     // the same bench VALUES the Scala literal map derives from

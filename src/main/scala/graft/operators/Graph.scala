@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 
@@ -77,8 +78,86 @@ object Graph {
         col("r").as("rank_micro"))
       .orderBy("s_suppkey")
 
+  /** Market-basket pair counts: for every unordered part pair (a < b),
+    * in how many distinct orders do both appear. The naive encoding is a
+    * basket self-join (baskets ⋈ baskets on orderkey) — TWO shuffled
+    * copies of the fact table and a quadratic merge per order group. This
+    * shape shuffles the fact table ONCE (groupBy orderkey, dedup inside
+    * collect_set), then explodes each order's sorted part array into its
+    * C(n,2) in-array pairs map-side: the blow-up is bounded by basket
+    * size (≤ lines-per-order, a small constant), never by corpus size. */
+  private[operators] def copurchaseCounts(spark: SparkSession, dir: String): DataFrame =
+    copurchaseCountsOf(Tables.lineitem(spark, dir))
+
+  /** [[copurchaseCounts]] over any lineitem-shaped fact table (spec entry). */
+  private[operators] def copurchaseCountsOf(lineitem: DataFrame): DataFrame =
+    lineitem
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+      .filter(size(col("parts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |            y -> named_struct('part_a', x, 'part_b', y))))""".stripMargin)).as("pr"))
+      .select(col("pr.part_a").as("part_a"), col("pr.part_b").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Top co-purchased part pairs by support, fully-ordered tie-break
+    * (count desc, then both keys) so the limit boundary is deterministic.
+    * At 100 TB the orderBy+limit is a per-partition top-k followed by a
+    * single-reducer merge of ≤25 rows per partition (TakeOrderedAndProject
+    * — no global sort materializes). */
+  def copurchaseTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    copurchaseCounts(spark, dir)
+      .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
+      .limit(k)
+
+  /** Triangle counting over the co-purchase graph, k-NN sparsified.
+    *
+    * The raw co-occurrence graph densifies as the corpus grows (every
+    * popular part pair eventually co-occurs), so enumerating its wedges
+    * is not scale-safe. Standard practice for similarity/co-occurrence
+    * graphs is top-k sparsification first: keep each node's k strongest
+    * neighbors (support desc, neighbor id asc — deterministic), make the
+    * result undirected (an edge survives if EITHER endpoint kept it).
+    * Degree is then ≤ 2k, so triangle enumeration — two equi-joins over
+    * the canonical a<b edge list — touches ≤ |V|·C(2k,2) wedges: linear
+    * in nodes with a k² constant, the bounded-arboricity shape that holds
+    * at any corpus size. Emits per-part triangle participation counts
+    * (each triangle credits all three corners). */
+  def triangleCounts(spark: SparkSession, dir: String, k: Int = 8): DataFrame =
+    triangleCountsOfPairs(copurchaseCounts(spark, dir), k)
+
+  /** [[triangleCounts]] over any weighted (part_a, part_b, n_orders) pair
+    * table (spec entry). */
+  private[operators] def triangleCountsOfPairs(pc: DataFrame, k: Int): DataFrame = {
+    val nbrs = pc.select(col("part_a").as("u"), col("part_b").as("v"), col("n_orders"))
+      .unionAll(pc.select(col("part_b").as("u"), col("part_a").as("v"), col("n_orders")))
+    val byStrength = Window.partitionBy("u").orderBy(desc("n_orders"), asc("v"))
+    // the edge list feeds three join legs below; localCheckpoint computes
+    // the basket-explode + window once (same pattern as pageRankOf)
+    val edges = nbrs
+      .withColumn("rn", row_number().over(byStrength))
+      .filter(col("rn") <= k)
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint()
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.b") === col("e2.a"))
+      .join(edges.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    tri.select(explode(array(col("x"), col("y"), col("z"))).as("p_partkey"))
+      .groupBy("p_partkey")
+      .agg(count(lit(1)).as("n_triangles"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pagerank" -> ((s: SparkSession, d: String) => pageRankSuppliers(s, d)),
+    "rel_copurchase_topk" -> ((s: SparkSession, d: String) => copurchaseTopK(s, d)),
+    "rel_triangle_count" -> ((s: SparkSession, d: String) => triangleCounts(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,5 +184,32 @@ object Graph {
                              JOIN deg d ON e.src = d.src GROUP BY 1)
          SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, r AS rank_micro
          FROM i3 WHERE node % 2 = 1 ORDER BY s_suppkey""",
+    // the oracle derives pair counts from the raw quadratic self-join —
+    // proving the basket-explode encoding equivalent
+    "rel_copurchase_topk" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pc AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS n_orders
+                FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+                GROUP BY 1, 2)
+         SELECT part_a, part_b, n_orders FROM pc
+         ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
+    "rel_triangle_count" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pc AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS n_orders
+                FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+                GROUP BY 1, 2),
+         nbrs AS (SELECT part_a AS u, part_b AS v, n_orders FROM pc
+                  UNION ALL SELECT part_b, part_a, n_orders FROM pc),
+         kept AS (SELECT u, v FROM (
+                    SELECT u, v, row_number() OVER
+                      (PARTITION BY u ORDER BY n_orders DESC, v ASC) AS rn
+                    FROM nbrs) WHERE rn <= 8),
+         e AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM kept),
+         tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                 FROM e e1 JOIN e e2 ON e1.b = e2.a
+                           JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+         SELECT node AS p_partkey, count(*) AS n_triangles
+         FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         GROUP BY 1 ORDER BY 1""",
   )
 }

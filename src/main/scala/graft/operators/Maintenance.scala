@@ -137,10 +137,69 @@ object Maintenance {
       .orderBy("o_custkey")
   }
 
+  /** The deterministic "next load" of the customer dimension for the
+    * oracle-gated CDC diff — derived from the snapshot itself so both
+    * engines construct the identical table. Keys ≡0 (mod 13) are gone
+    * (deletes), keys ≡0 (mod 7) get a balance credit and a segment move
+    * (updates), keys ≡0 (mod 11) re-enter shifted by 1,000,000 as
+    * brand-new rows (inserts); everything else is untouched. */
+  private[graft] def nextCustomerSnapshot(cust: DataFrame): DataFrame = {
+    val k = col("c_custkey")
+    cust.filter(k % 13 =!= 0)
+      .select(k.as("c_custkey"),
+        when(k % 7 === 0, col("c_acctbal") + lit(100.0))
+          .otherwise(col("c_acctbal")).as("c_acctbal"),
+        when(k % 7 === 0, lit("MIGRATED"))
+          .otherwise(col("c_mktsegment")).as("c_mktsegment"))
+      .unionByName(cust.filter(k % 11 === 0)
+        .select((k + 1000000L).as("c_custkey"), col("c_acctbal"),
+          lit("ONBOARDED").as("c_mktsegment")))
+  }
+
+  /** CHANGE-DATA-CAPTURE snapshot diff — the inverse of MERGE: given two
+    * loads of a dimension, emit the change feed (op ∈ I/U/D with before
+    * and after values) that transforms one into the other. This is how a
+    * plain-parquet warehouse derives a change feed for downstream
+    * incremental consumers (the SCD2 build above, the incremental
+    * aggregate merge) without a transactional table format.
+    *
+    * Scale: one full-outer equi-join on the entity key — both sides
+    * hash-partition once on the same key (with both snapshots bucketed
+    * by key, [[graft.sources.Bucketing]], the diff is zero-shuffle), and
+    * unchanged rows — the overwhelming majority of a 100 TB dimension —
+    * are filtered BEFORE the emit, so the output is |changes|-sized.
+    * Row presence is tracked with explicit flags rather than column
+    * null-ness, so the diff stays correct for nullable attributes. */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame =
+    cdcDiffOf(Tables.customer(spark, dir))
+
+  /** [[cdcSnapshotDiff]] over any customer-shaped snapshot (spec entry). */
+  def cdcDiffOf(cust: DataFrame): DataFrame = {
+    val old = cust.select(col("c_custkey").as("key"),
+      col("c_acctbal").as("old_acctbal"), col("c_mktsegment").as("old_segment"),
+      lit(true).as("in_old"))
+    val next = nextCustomerSnapshot(cust).select(col("c_custkey").as("key"),
+      col("c_acctbal").as("new_acctbal"), col("c_mktsegment").as("new_segment"),
+      lit(true).as("in_new"))
+    old.join(next, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("in_new").isNull, lit("D"))
+          .when(col("in_old").isNull, lit("I"))
+          .otherwise(lit("U")))
+      .filter(col("in_new").isNull || col("in_old").isNull ||
+        col("old_acctbal") =!= col("new_acctbal") ||
+        col("old_segment") =!= col("new_segment"))
+      .select(col("key").as("c_custkey"), col("op"),
+        col("old_acctbal"), col("new_acctbal"),
+        col("old_segment"), col("new_segment"))
+      .orderBy("c_custkey", "op")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_upsert_merge" -> upsertOrders _,
     "rel_scd2_history" -> scd2Customers _,
     "rel_incr_agg_merge" -> incrementalAggMerge _,
+    "rel_cdc_snapshot_diff" -> cdcSnapshotDiff _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -192,5 +251,35 @@ object Maintenance {
          FROM b
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
          ORDER BY o_custkey, version""",
+    // the oracle rebuilds the same next snapshot and diffs with the raw
+    // FULL OUTER JOIN — row-presence flags, not column null-ness
+    "rel_cdc_snapshot_diff" ->
+      """WITH nw AS (
+           SELECT c_custkey AS key,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS new_acctbal,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                       ELSE c_mktsegment END AS new_segment
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_acctbal, 'ONBOARDED'
+           FROM customer WHERE c_custkey % 11 = 0),
+         old AS (SELECT c_custkey AS key, c_acctbal AS old_acctbal,
+                        c_mktsegment AS old_segment FROM customer),
+         j AS (SELECT COALESCE(o.key, n.key) AS key,
+                      o.old_acctbal, o.old_segment,
+                      n.new_acctbal, n.new_segment,
+                      o.key IS NOT NULL AS in_old,
+                      n.key IS NOT NULL AS in_new
+               FROM old o FULL OUTER JOIN nw n ON o.key = n.key)
+         SELECT key AS c_custkey,
+                CASE WHEN NOT in_new THEN 'D'
+                     WHEN NOT in_old THEN 'I'
+                     ELSE 'U' END AS op,
+                old_acctbal, new_acctbal, old_segment, new_segment
+         FROM j
+         WHERE NOT in_new OR NOT in_old
+            OR old_acctbal <> new_acctbal OR old_segment <> new_segment
+         ORDER BY c_custkey, op""",
   )
 }

@@ -386,7 +386,34 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** MARKOV TRANSITION MATRIX over per-user event sequences: for every
+    * ordered (event_type → next event_type) step, the step count, how
+    * many distinct users ever take it, and the row-normalized transition
+    * probability in integer ppm (count·10⁶ div row-total — integer
+    * division, so the matrix is bit-stable across engines and partition
+    * orders). The behavioral-analytics companion to the funnel: funnels
+    * check ONE prescribed path, this measures ALL observed paths.
+    *
+    * Scale: one shuffle on user_id shared by the window sort; the
+    * transition pairs then collapse by (from, to) — a map-side partial
+    * agg onto a |type|² ≪ |events| key space — and the ppm normalizer is
+    * a window over that tiny aggregate, not over events. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byTime))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .withColumn("p_ppm", expr(
+        "n_transitions * 1000000 div sum(n_transitions) OVER (PARTITION BY from_type)"))
+      .orderBy("from_type", "to_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_event_transitions"  -> eventTransitions _,
     "win_active_streaks"     -> activeStreaks _,
     "win_ohlc_downsample"    -> ohlcDownsample _,
     "win_ewma"               -> ewmaPerUser _,
@@ -407,6 +434,23 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same lead-pair derivation; the ppm normalizer is a window over the
+    // grouped counts in both engines
+    "win_event_transitions" ->
+      """WITH t AS (
+           SELECT user_id, event_type,
+                  lead(event_type) OVER
+                    (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+           FROM events),
+         g AS (
+           SELECT event_type AS from_type, next_type AS to_type,
+                  count(*) AS n_transitions,
+                  count(DISTINCT user_id) AS n_users
+           FROM t WHERE next_type IS NOT NULL GROUP BY 1, 2)
+         SELECT from_type, to_type, n_transitions, n_users,
+                CAST(n_transitions * 1000000 //
+                  sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS p_ppm
+         FROM g ORDER BY from_type, to_type""",
     // the same gaps-and-islands derivation: day - row_number is the
     // island key; two grouped rollups
     "win_active_streaks" ->

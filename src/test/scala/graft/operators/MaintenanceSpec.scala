@@ -88,4 +88,54 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(col("valid_to").isNotNull && col("valid_to") =!= col("next_from"))
     assert(gaps.count() == 0)
   }
+
+  /** customer-shaped frame: (key, acctbal, segment). */
+  private def custOf(rows: (Long, Double, String)*) =
+    rows.toDF("c_custkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_name", concat(lit("Customer#"), col("c_custkey")))
+      .withColumn("c_nationkey", lit(1))
+
+  test("cdc diff emits I/U/D with before/after values, drops unchanged rows, " +
+    "and composes the overlap cases (7·11 → U+I, 7·13 → D wins)") {
+    val old = custOf(
+      (1L, 10.0, "BUILDING"),   // untouched → absent from the feed
+      (7L, 20.0, "AUTOMOBILE"), // %7 → U (balance +100, segment move)
+      (13L, 30.0, "MACHINERY"), // %13 → D
+      (11L, 40.0, "HOUSEHOLD"), // %11 → I at key+1M (original row unchanged)
+      (77L, 50.0, "FURNITURE"), // %7 AND %11 → U and a shifted I
+      (91L, 60.0, "BUILDING"))  // %7 AND %13 → the delete wins
+    val got = Maintenance.cdcDiffOf(old).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Double]),
+        Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.getString(4)), Option(r.getString(5))))
+    assert(got.toSeq == Seq(
+      (7L, "U", Some(20.0), Some(120.0), Some("AUTOMOBILE"), Some("MIGRATED")),
+      (13L, "D", Some(30.0), None, Some("MACHINERY"), None),
+      (77L, "U", Some(50.0), Some(150.0), Some("FURNITURE"), Some("MIGRATED")),
+      (91L, "D", Some(60.0), None, Some("BUILDING"), None),
+      (1000011L, "I", None, Some(40.0), None, Some("ONBOARDED")),
+      (1000077L, "I", None, Some(50.0), None, Some("ONBOARDED"))))
+  }
+
+  test("cdc round-trip: applying the feed to the old snapshot rebuilds the " +
+    "new snapshot exactly (real table)") {
+    val cust = graft.sources.Tables.customer(spark, "/root/testdata/sf0.01")
+    val feed = Maintenance.cdcDiffOf(cust).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), Option(r.get(3)).map(_.asInstanceOf[Double]),
+        Option(r.getString(5)))).toMap
+    val old = cust.select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    val applied = old.flatMap { case (k, (bal, seg)) =>
+      feed.get(k) match {
+        case Some(("D", _, _))            => None
+        case Some(("U", nb, ns))          => Some(k -> (nb.get, ns.get))
+        case _                            => Some(k -> (bal, seg))
+      }
+    } ++ feed.collect { case (k, ("I", nb, ns)) => k -> (nb.get, ns.get) }
+    val expected = Maintenance.nextCustomerSnapshot(cust).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(applied === expected)
+    assert(applied.nonEmpty)
+  }
 }

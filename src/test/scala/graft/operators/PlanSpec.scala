@@ -443,4 +443,58 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Join") && !plan.contains("HashAggregate"),
       s"served groups must be scan+sort only:\n${plan.take(3000)}")
   }
+
+  test("copurchase: basket explode is join-free (one fact shuffle + pair agg), " +
+       "top-k is a bounded TakeOrdered, never a global sort") {
+    val df = Graph.copurchaseTopK(spark, dir)
+    val plan = planOf(df)
+    assert(!plan.contains("Join"), s"self-join crept back in:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"expected TakeOrderedAndProject for orderBy+limit:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected 2 hash exchanges (basket groupBy + pair agg), got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("triangle counting: equi joins only over the checkpointed edge list") {
+    val plan = planOf(Graph.triangleCounts(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"triangle enumeration must stay equi-join:\n${plan.take(3000)}")
+    // the sparsified edge list is computed once: the three join legs read
+    // the localCheckpoint, not three reruns of the basket explode
+    assert("Scan ExistingRDD".r.findAllIn(plan).length >= 3,
+      s"edge legs must read the checkpoint:\n${plan.take(3000)}")
+  }
+
+  test("cdc diff: one co-partitioned full-outer join, unchanged rows filtered " +
+       "before the emit") {
+    val df = Maintenance.cdcSnapshotDiff(spark, dir)
+    val plan = planOf(df)
+    assert(plan.contains("FullOuter"), s"expected full-outer join:\n${plan.take(3000)}")
+    assert("Join FullOuter".r.findAllIn(plan).length +
+      "SortMergeJoin.*FullOuter".r.findAllIn(plan).length >= 1)
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("bigram LM: model fit is partial+final aggregation; scoring joins on " +
+       "the bigram key with no cartesian") {
+    val plan = planOf(graft.functions.CorpusOps.bigramLmScore(spark, dir))
+    assert(plan.contains("partial_count"), s"no map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"scoring must stay equi-join:\n${plan.take(3000)}")
+  }
+
+  test("event transitions: lead and the ppm normalizer are two Window passes — " +
+       "the second over the tiny aggregate, not over events") {
+    val df = Windows.eventTransitions(spark, dir)
+    val plan = planOf(df)
+    // lead window over user_id (events-sized), ppm window over from_type
+    // (|types|²-sized, AFTER the aggregate)
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 2, s"expected 2 window passes, got $windows:\n${plan.take(3000)}")
+    // plan strings print parents first: the ppm window (parent) must
+    // appear BEFORE the aggregate (child) it consumes
+    assert(plan.indexOf("Window [sum") < plan.indexOf("HashAggregate"),
+      s"ppm window must sit above the aggregate:\n${plan.take(3000)}")
+  }
 }
