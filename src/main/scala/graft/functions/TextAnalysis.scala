@@ -588,7 +588,42 @@ object TextAnalysis {
         md5(concat_ws(" ", col("chunk"))).as("fp"))
       .orderBy("doc_id", "chunk_id")
 
+  /** TF-IDF KEYWORD EXTRACTION: each document's top-k most
+    * characteristic tokens — high in-document frequency, rare across the
+    * corpus. The idf lives as an integer rarity ratio (tf·10⁶ div df —
+    * no float log, so ranking is bit-stable across engines), with ties
+    * broken lexicographically so the top-k boundary is deterministic.
+    * The tagging/faceting companion to BM25: BM25 ranks documents for a
+    * query, this summarizes a document for a reader.
+    *
+    * Scale: the (doc, token) tf aggregation is the one corpus-sized
+    * shuffle; df collapses tf rows to a vocabulary-sized table that
+    * joins back on the token key; the final per-doc window ranks ≤
+    * |distinct tokens in doc| rows per partition key. All linear. */
+  def tfidfKeywords(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    tfidfKeywordsOf(Tables.documents(spark, dir), k)
+
+  /** [[tfidfKeywords]] over any documents-shaped corpus (spec entry). */
+  def tfidfKeywordsOf(docs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col("doc_id"), explode(
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("token"))
+      .groupBy("doc_id", "token")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val byScore = Window.partitionBy("doc_id")
+      .orderBy(col("score_ppm").desc, col("token").asc)
+    tf.join(df_, Seq("token"))
+      .withColumn("score_ppm", expr("tf * 1000000 div df"))
+      .withColumn("rank", row_number().over(byScore).cast("long"))
+      .filter(col("rank") <= k)
+      .select("doc_id", "token", "tf", "df", "score_ppm", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "ta_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "ta_tokenize_ids" -> ((s: SparkSession, d: String) => tokenizeIds(s, d)),
     "ta_vocab_oov" -> ((s: SparkSession, d: String) => vocabOov(s, d)),
@@ -633,6 +668,25 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same space-split tokens, same integer rarity ratio and (score desc,
+    // token asc) tie-break
+    "ta_tfidf_keywords" ->
+      """WITH p AS (
+           SELECT doc_id, list_filter(string_split(lower(text), ' '),
+                                      x -> len(x) > 0) AS t
+           FROM documents),
+         tok AS (SELECT doc_id, unnest(t) AS token FROM p),
+         tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+         df AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         s AS (SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                      tf.tf * 1000000 // df.df AS score_ppm,
+                      CAST(row_number() OVER
+                        (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf * 1000000 // df.df DESC, tf.token ASC)
+                        AS BIGINT) AS rank
+               FROM tf JOIN df ON tf.token = df.token)
+         SELECT doc_id, token, tf, df, score_ppm, rank
+         FROM s WHERE rank <= 3 ORDER BY doc_id, rank""",
     // identical window arithmetic: starts = range(0, n, stride), 1-based
     // inclusive list slice, md5 of the space-joined chunk
     "ta_chunk_documents" ->

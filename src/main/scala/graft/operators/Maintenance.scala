@@ -87,7 +87,13 @@ object Maintenance {
     scd2Of(Tables.orders(spark, dir))
 
   /** [[scd2Customers]] over any orders-shaped change log (spec entry). */
-  def scd2Of(orders: DataFrame): DataFrame = {
+  def scd2Of(orders: DataFrame): DataFrame =
+    scd2Core(orders).orderBy("o_custkey", "version")
+
+  /** [[scd2Of]] without the final presentation sort — the join-input
+    * shape ([[temporalJoinScd2]] consumes this so no ordering exchange
+    * sits between the history build and the fact join). */
+  private def scd2Core(orders: DataFrame): DataFrame = {
     val byTime = Window.partitionBy("o_custkey")
       .orderBy(col("o_orderdate"), col("o_orderkey"))
     val boundaries = orders
@@ -104,7 +110,36 @@ object Maintenance {
       .select(col("o_custkey"), col("priority"), col("valid_from"),
         col("valid_to"), col("version").cast("long").as("version"),
         col("valid_to").isNull.as("is_current"))
-      .orderBy("o_custkey", "version")
+  }
+
+  /** POINT-IN-TIME (temporal) join — enrich every fact row with the
+    * dimension version that was valid WHEN THE FACT HAPPENED, not the
+    * current one: the lookup every backtest/feature pipeline needs
+    * against an SCD2 dimension, and the operation that silently goes
+    * wrong (leaking future attribute values into history) when done as a
+    * plain current-version join.
+    *
+    * Scale: an equi-join on the entity key with the interval predicate
+    * as a residual filter — versions per entity are few (bounded by that
+    * entity's change count), so the residual scans a handful of rows per
+    * match, never a banded explosion. Both sides shuffle once on the
+    * same key; the SCD2 side arrives unsorted ([[scd2Core]]) so no
+    * presentation sort sits in the join pipeline. Each fact date lands
+    * in exactly one version (the history tiles [first_change, ∞)). */
+  def temporalJoinScd2(spark: SparkSession, dir: String): DataFrame =
+    temporalJoinOf(Tables.orders(spark, dir))
+
+  /** [[temporalJoinScd2]] over any orders-shaped change log (spec entry). */
+  def temporalJoinOf(orders: DataFrame): DataFrame = {
+    val hist = scd2Core(orders)
+    val o = orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+    o.join(hist,
+        o("o_custkey") === hist("o_custkey") &&
+          hist("valid_from") <= o("o_orderdate") &&
+          (hist("valid_to").isNull || o("o_orderdate") < hist("valid_to")))
+      .select(o("o_orderkey"), o("o_custkey"), o("o_orderdate"),
+        hist("priority").as("priority_at_order"), hist("version"))
+      .orderBy("o_orderkey")
   }
 
   /** INCREMENTAL AGGREGATE maintenance — the materialized-view refresh
@@ -200,6 +235,7 @@ object Maintenance {
     "rel_scd2_history" -> scd2Customers _,
     "rel_incr_agg_merge" -> incrementalAggMerge _,
     "rel_cdc_snapshot_diff" -> cdcSnapshotDiff _,
+    "rel_temporal_join_scd2" -> temporalJoinScd2 _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -281,5 +317,31 @@ object Maintenance {
          WHERE NOT in_new OR NOT in_old
             OR old_acctbal <> new_acctbal OR old_segment <> new_segment
          ORDER BY c_custkey, op""",
+    // the oracle rebuilds the identical history (the rel_scd2_history
+    // CTEs) and applies the raw interval predicate
+    "rel_temporal_join_scd2" ->
+      """WITH lg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey,
+                  o_orderpriority AS priority,
+                  lag(o_orderpriority) OVER w AS prev
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         b AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, priority
+           FROM lg WHERE prev IS NULL OR prev <> priority),
+         hist AS (
+           SELECT o_custkey, priority,
+                  o_orderdate AS valid_from,
+                  lead(o_orderdate) OVER w AS valid_to,
+                  CAST(row_number() OVER w AS BIGINT) AS version
+           FROM b
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT o.o_orderkey, o.o_custkey, o.o_orderdate,
+                h.priority AS priority_at_order, h.version
+         FROM orders o JOIN hist h
+           ON o.o_custkey = h.o_custkey
+          AND h.valid_from <= o.o_orderdate
+          AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+         ORDER BY o.o_orderkey""",
   )
 }

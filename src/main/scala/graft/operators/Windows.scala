@@ -412,7 +412,43 @@ object Windows {
       .orderBy("from_type", "to_type")
   }
 
+  /** LAST-TOUCH ATTRIBUTION (batch): every purchase is credited to the
+    * user's most recent PRECEDING marketing touch (view or click), with
+    * the conversion lag in whole seconds. The batch mirror of
+    * [[graft.streaming.Streams]]' attribution join, expressed as ONE
+    * window pass: all three touch columns are `last(..., ignoreNulls)`
+    * over the identical frame (unbounded preceding → 1 preceding), so
+    * they share a single sort and a single Window operator — no
+    * self-join of events to events, no per-purchase scan. The lag stays
+    * in integer microseconds until the final integer division (bit-
+    * stable; purchases with no prior touch keep NULL columns).
+    *
+    * Scale: one shuffle on user_id + per-user sort; the running "last
+    * touch seen" is O(1) state per row exactly like the streaming
+    * variant's value state. */
+  def lastTouchAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val isTouch = col("event_type").isin("view", "click")
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        expr("ts_ns div 1000").as("ts_us"))
+      // one select, one shared frame → Catalyst keeps all three lasts in
+      // a SINGLE Window operator (chained withColumn would emit three)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+        col("ts_us"),
+        last(when(isTouch, col("event_id")), ignoreNulls = true).over(frame).as("touch_id"),
+        last(when(isTouch, col("event_type")), ignoreNulls = true).over(frame).as("touch_type"),
+        last(when(isTouch, col("ts_us")), ignoreNulls = true).over(frame).as("touch_us"))
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("touch_id"), col("touch_type"),
+        expr("CAST((ts_us - touch_us) div 1000000 AS BIGINT)").as("secs_since_touch"))
+      .orderBy("purchase_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_last_touch"         -> lastTouchAttribution _,
     "win_event_transitions"  -> eventTransitions _,
     "win_active_streaks"     -> activeStreaks _,
     "win_ohlc_downsample"    -> ohlcDownsample _,
@@ -434,6 +470,27 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // the same single-frame derivation: three IGNORE NULLS last_value
+    // columns over the identical preceding frame
+    "win_last_touch" ->
+      """WITH e AS (
+           SELECT user_id, event_id, ts, event_type, epoch_us(ts) AS ts_us
+           FROM events),
+         t AS (
+           SELECT user_id, event_id, ts, event_type, ts_us,
+                  last_value(CASE WHEN event_type IN ('view', 'click')
+                                  THEN event_id END IGNORE NULLS) OVER w AS touch_id,
+                  last_value(CASE WHEN event_type IN ('view', 'click')
+                                  THEN event_type END IGNORE NULLS) OVER w AS touch_type,
+                  last_value(CASE WHEN event_type IN ('view', 'click')
+                                  THEN ts_us END IGNORE NULLS) OVER w AS touch_us
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+                touch_id, touch_type,
+                CAST((ts_us - touch_us) // 1000000 AS BIGINT) AS secs_since_touch
+         FROM t WHERE event_type = 'purchase' ORDER BY purchase_id""",
     // same lead-pair derivation; the ppm normalizer is a window over the
     // grouped counts in both engines
     "win_event_transitions" ->

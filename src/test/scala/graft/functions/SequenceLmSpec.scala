@@ -61,6 +61,64 @@ class SequenceLmSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("win_last_touch matches the sequential per-user walk (purchases " +
+    "credited to the latest strictly-preceding view/click)") {
+    val got = graft.operators.Windows.lastTouchAttribution(spark, dir).collect()
+      .map(r => r.getLong(1) -> (Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getString(4)),
+        Option(r.get(5)).map(_.asInstanceOf[Long]))).toMap
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+        col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expect = scala.collection.mutable.Map.empty[Long, (Option[Long], Option[String], Option[Long])]
+    rows.groupBy(_._1).foreach { case (_, es) =>
+      var touch: Option[(Long, String, Long)] = None
+      es.sortBy(e => (e._3, e._2)).foreach { case (_, id, us, tpe) =>
+        if (tpe == "purchase")
+          expect(id) = (touch.map(_._1), touch.map(_._2),
+            touch.map(t => (us - t._3) / 1000000L))
+        if (tpe == "view" || tpe == "click") touch = Some((id, tpe, us))
+      }
+    }
+    assert(got.nonEmpty)
+    assert(got === expect.toMap)
+  }
+
+  test("ta_tfidf_keywords: a token unique to one document outranks every " +
+    "corpus-wide token in that document") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma zzyzx zzyzx"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfKeywordsOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> r.getString(1)).toMap
+    assert(got((1L, 1L)) === "zzyzx") // tf=2, df=1 → 2e6 ppm, beats 333333
+  }
+
+  test("ta_tfidf_keywords matches the sequential count reference on testdata") {
+    val got = graft.functions.TextAnalysis.tfidfKeywords(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(5)) -> (r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toMap
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1)
+        .filter(_.nonEmpty).toVector)
+    val tf = docs.flatMap { case (id, t) => t.map(id -> _) }
+      .groupBy(identity).map { case ((id, w), xs) => (id, w) -> xs.size.toLong }
+    val dfc = tf.keys.groupBy(_._2).map { case (w, ks) => w -> ks.size.toLong }
+    val expect = tf.keys.groupBy(_._1).flatMap { case (id, ks) =>
+      ks.toSeq
+        .map { case (_, w) => (w, tf((id, w)), dfc(w), tf((id, w)) * 1000000L / dfc(w)) }
+        .sortBy { case (w, _, _, s) => (-s, w) }
+        .take(3).zipWithIndex
+        .map { case ((w, t, d, s), i) => (id, i + 1L) -> (w, t, d, s) }
+    }
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
   test("bigram scores rank a shuffled-token document below its source") {
     import spark.implicits._
     // 30 copies of a fluent sentence + ONE doc with the same tokens in a

@@ -138,4 +138,44 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(applied === expected)
     assert(applied.nonEmpty)
   }
+
+  test("temporal join picks the version valid AT the fact date, not the " +
+    "current one (hand-built history)") {
+    // entity 9: A until 03-01, B until 04-01, A (current) afterwards;
+    // the log rows double as the probe facts — the boundary order (key 3)
+    // must land in the version IT opened (valid_from <= d < valid_to),
+    // and a same-value follow-up (key 5) must land in the older version
+    // that already covered it
+    val log = ordersOf(
+      (1L, 9L, "A", "1996-01-01 00:00:00"),
+      (2L, 9L, "A", "1996-02-01 00:00:00"), // same value → still v1
+      (3L, 9L, "B", "1996-03-01 00:00:00"), // opens v2 ON the boundary
+      (4L, 9L, "A", "1996-04-01 00:00:00"), // opens v3 (back to A)
+      (5L, 8L, "C", "1996-01-15 00:00:00")) // second entity
+    val got = Maintenance.temporalJoinOf(log).collect()
+      .map(r => (r.getLong(0), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "A", 1L), (2L, "A", 1L), (3L, "B", 2L), (4L, "A", 3L),
+      (5L, "C", 1L)))
+  }
+
+  test("temporal join on the real table: exactly one version per order; the " +
+    "last order of each (custkey, date) group sees its own priority") {
+    val dir = "/root/testdata/sf0.01"
+    val joined = Maintenance.temporalJoinScd2(spark, dir)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    assert(joined.count() === orders.count())
+    assert(joined.select("o_orderkey").distinct().count() === orders.count())
+    // the last order (by key) of each (custkey, date) group defines the
+    // value from that instant — its as-of lookup must return itself
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey", "o_orderdate")
+      .orderBy(col("o_orderkey").desc)
+    val lastOfGroup = orders
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val mismatches = joined.join(lastOfGroup, "o_orderkey")
+      .filter(col("priority_at_order") =!= col("o_orderpriority"))
+    assert(mismatches.count() === 0)
+  }
 }

@@ -484,6 +484,37 @@ class PlanSpec extends AnyFunSuite {
       s"scoring must stay equi-join:\n${plan.take(3000)}")
   }
 
+  test("temporal scd2 join: equi join on the entity key with the interval " +
+       "as residual — no banded explode, no cartesian, no sort between " +
+       "history build and join") {
+    val plan = planOf(Maintenance.temporalJoinScd2(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"temporal join must stay equi-join:\n${plan.take(3000)}")
+    assert(!plan.contains("Generate explode"),
+      s"no band explosion expected:\n${plan.take(3000)}")
+    // the o_custkey equi-key carries the join; interval checks ride as
+    // the join condition/filter
+    assert(plan.contains("o_custkey"), s"missing entity key join:\n${plan.take(2000)}")
+  }
+
+  test("last-touch attribution: all three ignore-nulls lasts share ONE " +
+       "window operator and one user_id exchange") {
+    val plan = planOf(Windows.lastTouchAttribution(spark, dir))
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 1, s"expected 1 window pass, got $windows:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 hash exchange (user_id), got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("tfidf keywords: tf aggregation partial+final; df joins back on the " +
+       "token key, no cartesian") {
+    val plan = planOf(graft.functions.TextAnalysis.tfidfKeywords(spark, dir))
+    assert(plan.contains("partial_count"), s"no map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"df join must stay equi-join:\n${plan.take(3000)}")
+  }
+
   test("event transitions: lead and the ppm normalizer are two Window passes — " +
        "the second over the tiny aggregate, not over events") {
     val df = Windows.eventTransitions(spark, dir)
