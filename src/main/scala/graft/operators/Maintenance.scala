@@ -230,7 +230,47 @@ object Maintenance {
       .orderBy("c_custkey", "op")
   }
 
+  /** CASCADED PURGE accounting — the right-to-be-forgotten / takedown
+    * propagation every data platform must run: given a subject key set
+    * (here the deterministic custkey ≡0 mod 97 slice), walk the FK chain
+    * customer → orders → lineitem and report, per table, how many rows
+    * the purge removes and keeps. Running the COUNTS first is how a real
+    * purge is operated (audit the blast radius before the irreversible
+    * delete); the delete itself is then [[upsertOf]]-style partition
+    * rewriting on each table.
+    *
+    * Scale: the subject set is a tiny fraction of one dimension —
+    * broadcast; each fact table is counted in ONE pass with a
+    * conditional sum over the broadcast-semi-join flag (orders), and the
+    * lineitem leg joins through the purged-orders key set (itself
+    * |purged orders|-sized, not corpus-sized). No table shuffles. */
+  def purgeCascade(spark: SparkSession, dir: String): DataFrame = {
+    val subjects = Tables.customer(spark, dir)
+      .filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey").as("k"))
+    val o = Tables.orders(spark, dir)
+      .join(broadcast(subjects), col("o_custkey") === col("k"), "left")
+      .select(col("o_orderkey"), col("k").isNotNull.as("hit"))
+    val purgedOrders = o.filter(col("hit")).select(col("o_orderkey").as("pk"))
+    val l = Tables.lineitem(spark, dir)
+      .join(broadcast(purgedOrders), col("l_orderkey") === col("pk"), "left")
+      .select(col("pk").isNotNull.as("hit"))
+    val c = Tables.customer(spark, dir)
+      .select((col("c_custkey") % 97 === 0).as("hit"))
+    def countsOf(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("rows_total"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("rows_purged"))
+        .select(lit(name).as("table_name"), col("rows_total"),
+          expr("CAST(rows_purged AS BIGINT)").as("rows_purged"))
+    countsOf("customer", c)
+      .unionAll(countsOf("orders", o.select("hit")))
+      .unionAll(countsOf("lineitem", l))
+      .withColumn("rows_kept", col("rows_total") - col("rows_purged"))
+      .orderBy("table_name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_purge_cascade" -> purgeCascade _,
     "rel_upsert_merge" -> upsertOrders _,
     "rel_scd2_history" -> scd2Customers _,
     "rel_incr_agg_merge" -> incrementalAggMerge _,
@@ -239,6 +279,33 @@ object Maintenance {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle re-walks the FK chain with plain IN-subqueries
+    "rel_purge_cascade" ->
+      """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+         po AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM subj))
+         SELECT 'customer' AS table_name,
+                count(*) AS rows_total,
+                CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS rows_purged,
+                count(*) - CAST(sum(CASE WHEN c_custkey % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  AS rows_kept
+         FROM customer
+         UNION ALL
+         SELECT 'lineitem', count(*),
+                CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                count(*) - CAST(sum(CASE WHEN l_orderkey IN (SELECT o_orderkey FROM po)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM lineitem
+         UNION ALL
+         SELECT 'orders', count(*),
+                CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM subj)
+                              THEN 1 ELSE 0 END) AS BIGINT),
+                count(*) - CAST(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM subj)
+                              THEN 1 ELSE 0 END) AS BIGINT)
+         FROM orders
+         ORDER BY table_name""",
     // the oracle aggregates the un-split table directly: partial-merge
     // must be indistinguishable from a full recompute
     "rel_incr_agg_merge" ->

@@ -732,7 +732,31 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** PER-LABEL CENTROIDS — the "mean embedding per class" aggregate every
+    * labeled-vector workflow needs (cluster profiling, nearest-class
+    * serving, drift dashboards). Emitted one row per (label, dimension)
+    * rather than one array per label: the long/narrow layout keeps the
+    * shuffle a plain partial+final sum (no array aggregation buffers)
+    * and is itself the storage shape a serving layer bucket-joins on.
+    *
+    * Components ride the same round(x·1000) milli-unit quantization as
+    * [[graft.functions.VectorOps.quantDot]], summed in longs — bit-stable
+    * regardless of partitioning. The centroid component is sum/n in
+    * TRUNCATING integer division (components can be negative; Spark's
+    * `div` and DuckDB's `//` both truncate toward zero, verified on the
+    * negative sums this table produces). */
+  def centroidPerLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("label"), col("dim").cast("long").as("dim"),
+        expr("CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)").as("q"))
+      .groupBy("label", "dim")
+      .agg(count(lit(1)).as("n_vecs"), expr("CAST(sum(q) AS BIGINT)").as("sum_milli"))
+      .withColumn("c_milli", expr("sum_milli div n_vecs"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_centroid_labels" -> centroidPerLabel _,
     "sim_ann_topk"       -> annBruteForceTopK _,
     "sim_neardup_pairs"  -> nearDupPairs _,
     "sim_ivf_topk"       -> ivfTopK _,
@@ -1012,6 +1036,20 @@ object Similarity {
          SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   val oracles: Map[String, String] = Map(
+    // same round(x·1000) milli quantization; `//` truncates toward zero
+    // in DuckDB exactly like Spark's `div` (matters for negative sums)
+    "sim_centroid_labels" ->
+      """WITH x AS (
+           SELECT label,
+                  unnest(list_transform(range(1, len(embedding) + 1),
+                                        i -> CAST(i - 1 AS BIGINT))) AS dim,
+                  unnest(list_transform(embedding,
+                    v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT))) AS q
+           FROM embeddings)
+         SELECT label, dim, count(*) AS n_vecs,
+                CAST(sum(q) AS BIGINT) AS sum_milli,
+                CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS c_milli
+         FROM x GROUP BY 1, 2 ORDER BY 1, 2""",
     "sim_ivf_topk" ->
       s"""${ivfFitCtes()}
          qcell AS (SELECT cell FROM assigned WHERE vec_id = 0),

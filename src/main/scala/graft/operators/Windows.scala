@@ -447,7 +447,40 @@ object Windows {
       .orderBy("purchase_id")
   }
 
+  /** TIME-WEIGHTED AVERAGE value per user — the correct mean for
+    * irregularly-sampled series (a value "holds" until the next
+    * observation, so long-held values weigh more than rapid-fire ones;
+    * the plain mean every naive dashboard computes instead is wrong
+    * whenever sampling is bursty). Step-function integral over each
+    * user's observed span: Σ valueᵢ·(tᵢ₊₁−tᵢ) / (t_last − t_first).
+    *
+    * All integer: values in cents (the round(x·100) contract the EWMA
+    * family uses), durations in whole seconds, one final integer
+    * division — bit-stable across engines and partitionings. Users with
+    * a single event (zero span) are excluded; the last value of each
+    * user carries zero weight by construction (step integral).
+    *
+    * Scale: one user_id shuffle; lead + the final agg share its sort. */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead(col("ts_us"), 1).over(byTime))
+      .filter(col("next_us").isNotNull)
+      .withColumn("dur_s", expr("(next_us - ts_us) div 1000000"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_steps"),
+        expr("CAST(sum(dur_s) AS BIGINT)").as("span_s"),
+        expr("CAST(sum(cents * dur_s) AS BIGINT)").as("weighted_cents"))
+      .filter(col("span_s") > 0)
+      .withColumn("twa_cents", expr("weighted_cents div span_s"))
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_time_weighted_avg"  -> timeWeightedAvg _,
     "win_last_touch"         -> lastTouchAttribution _,
     "win_event_transitions"  -> eventTransitions _,
     "win_active_streaks"     -> activeStreaks _,
@@ -470,6 +503,27 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // identical integer step-integral: cents · floored whole-second
+    // durations, one final integer division (all terms non-negative)
+    "win_time_weighted_avg" ->
+      """WITH e AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         t AS (
+           SELECT user_id, cents, ts_us,
+                  lead(ts_us) OVER
+                    (PARTITION BY user_id ORDER BY ts_us, event_id) AS next_us
+           FROM e),
+         d AS (SELECT user_id, cents, (next_us - ts_us) // 1000000 AS dur_s
+               FROM t WHERE next_us IS NOT NULL),
+         g AS (SELECT user_id, count(*) AS n_steps,
+                      CAST(sum(dur_s) AS BIGINT) AS span_s,
+                      CAST(sum(cents * dur_s) AS BIGINT) AS weighted_cents
+               FROM d GROUP BY 1)
+         SELECT user_id, n_steps, span_s, weighted_cents,
+                CAST(weighted_cents // span_s AS BIGINT) AS twa_cents
+         FROM g WHERE span_s > 0 ORDER BY user_id""",
     // the same single-frame derivation: three IGNORE NULLS last_value
     // columns over the identical preceding frame
     "win_last_touch" ->

@@ -447,6 +447,45 @@ object Streams {
       }
   }
 
+  case class TouchState(ts: Option[Long], tpe: Option[String])
+  case class TouchOut(user_id: Long, purchase_ts: Long, touch_ts: Option[Long],
+                      touch_type: Option[String], secs_since_touch: Option[Long])
+
+  /** Streaming LAST-TOUCH ATTRIBUTION — the incremental mirror of the
+    * batch [[graft.operators.Windows.lastTouchAttribution]]: each
+    * purchase is emitted immediately, credited to the latest view/click
+    * seen STRICTLY BEFORE it. State per user is one (ts, type) pair —
+    * O(1) forever, no event log retained (the windowed-join alternative
+    * holds `watermark`-worth of both streams). Each batch folds its
+    * group's rows in event-time order, so under event-time-ordered
+    * arrival the emitted rows equal the batch window query row-for-row;
+    * purchases before any touch emit NULL attribution exactly like the
+    * batch frame does. */
+  def lastTouchStream(events: Dataset[Event])
+                     (implicit spark: SparkSession): Dataset[TouchOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, TouchOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
+          var s = state.getOption.getOrElse(TouchState(None, None))
+          val out = Seq.newBuilder[TouchOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "purchase" =>
+                out += TouchOut(uid, t, s.ts, s.tpe, s.ts.map(x => (t - x) / 1000L))
+              case "view" | "click" =>
+                s = TouchState(Some(t), Some(e.event_type))
+              case _ => ()
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** File-source stream over the driver's `events.parquet` (TESTDATA).
     * File streams must declare a schema up front; we take it from the
     * BATCH reader's parquet footer scan and then apply the same

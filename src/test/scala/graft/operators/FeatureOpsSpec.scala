@@ -10,6 +10,52 @@ class FeatureOpsSpec extends AnyFunSuite {
   lazy val spark = graft.Sessions.local("4", "graft-featureops-test")
   private val dir = "/root/testdata/sf0.001"
 
+  test("sim_centroid_labels matches the sequential milli-quantized mean") {
+    val got = Similarity.centroidPerLabel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("label", "embedding").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1).toVector)
+    def q(f: Float): Long = { // Spark round(): half away from zero
+      val d = f.toDouble * 1000.0
+      if (d < 0) -math.floor(-d + 0.5).toLong else math.floor(d + 0.5).toLong
+    }
+    val expect = vecs.groupBy(_._1).flatMap { case (lbl, vs) =>
+      val dims = vs.head._2.length
+      (0 until dims).map { i =>
+        val sum = vs.map(v => q(v._2(i))).sum
+        (lbl, i.toLong) -> (vs.size.toLong, sum, sum / vs.size) // Long / truncates
+      }
+    }
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
+  test("win_time_weighted_avg matches the sequential step integral") {
+    val got = Windows.timeWeightedAvg(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val rows = graft.sources.Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), expr("ts_ns div 1000").as("us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expect = rows.groupBy(_._1).flatMap { case (u, es) =>
+      val s = es.sortBy(e => (e._3, e._2))
+      val steps = s.zip(s.drop(1)).map { case ((_, _, t0, c), (_, _, t1, _)) =>
+        (c, (t1 - t0) / 1000000L)
+      }
+      val span = steps.map(_._2).sum
+      if (span > 0)
+        Some(u -> (steps.size.toLong, span,
+          steps.map { case (c, d) => c * d }.sum,
+          steps.map { case (c, d) => c * d }.sum / span))
+      else None
+    }
+    assert(got.nonEmpty)
+    assert(got === expect)
+  }
+
   test("win_ewma matches a sequential per-user reference on the 8-tap ladder") {
     val got = Windows.ewmaPerUser(spark, dir).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getAs[Double]("ewma")).toMap

@@ -178,4 +178,30 @@ class MaintenanceSpec extends AnyFunSuite {
       .filter(col("priority_at_order") =!= col("o_orderpriority"))
     assert(mismatches.count() === 0)
   }
+
+  test("purge cascade: counts equal independent recomputation and the kept " +
+    "set has no dangling FK references") {
+    val dir = "/root/testdata/sf0.01"
+    val got = Maintenance.purgeCascade(spark, dir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val li = graft.sources.Tables.lineitem(spark, dir)
+    val subj = cust.filter(col("c_custkey") % 97 === 0)
+      .select(col("c_custkey")).collect().map(_.getLong(0)).toSet
+    assert(subj.nonEmpty, "subject slice empty — test data too small")
+    val po = orders.filter(col("o_custkey").isin(subj.toSeq: _*))
+      .select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val pl = li.filter(col("l_orderkey").isin(po.toSeq: _*)).count()
+    assert(got("customer") === ((cust.count(), subj.size.toLong,
+      cust.count() - subj.size)))
+    assert(got("orders") === ((orders.count(), po.size.toLong,
+      orders.count() - po.size)))
+    assert(got("lineitem") === ((li.count(), pl, li.count() - pl)))
+    // kept lineitems must not reference purged orders (cascade closure)
+    val dangling = li.filter(!col("l_orderkey").isin(po.toSeq: _*))
+      .join(orders.filter(col("o_custkey").isin(subj.toSeq: _*)),
+        col("l_orderkey") === col("o_orderkey"))
+    assert(dangling.count() === 0)
+  }
 }

@@ -515,6 +515,34 @@ class PlanSpec extends AnyFunSuite {
       s"df join must stay equi-join:\n${plan.take(3000)}")
   }
 
+  test("centroid per label: posexplode feeds a partial+final sum — one hash " +
+       "exchange, no join") {
+    val plan = planOf(Similarity.centroidPerLabel(spark, dir))
+    assert(!plan.contains("Join"), s"centroid needs no join:\n${plan.take(2000)}")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"no map-side combine:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 hash exchange ((label,dim) agg), got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("purge cascade: subject and purged-order sets broadcast — the fact " +
+       "tables never hash-shuffle") {
+    val plan = planOf(Maintenance.purgeCascade(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast key-set joins:\n${plan.take(3000)}")
+    assert("Exchange hashpartitioning".r.findFirstIn(plan).isEmpty,
+      s"fact tables must not shuffle for the counts:\n${plan.take(3000)}")
+  }
+
+  test("time-weighted avg: the lead window and the per-user aggregate share " +
+       "one user partitioning") {
+    val plan = planOf(Windows.timeWeightedAvg(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"window and agg must share the user_id exchange, got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("event transitions: lead and the ppm normalizer are two Window passes — " +
        "the second over the tiny aggregate, not over events") {
     val df = Windows.eventTransitions(spark, dir)

@@ -68,6 +68,44 @@ class FunnelStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("lastTouchStream emits one row per purchase crediting the latest " +
+    "strictly-preceding touch, across batch boundaries") {
+    val events = Seq(
+      // user 1: view → purchase → click → purchase (2nd credits the click)
+      Streams.Event(1L, ts(1000), "view", 1.0),
+      Streams.Event(1L, ts(5000), "purchase", 1.0),
+      Streams.Event(1L, ts(7000), "click", 1.0),
+      Streams.Event(1L, ts(9000), "purchase", 1.0),
+      // user 2: purchase with NO prior touch → null attribution
+      Streams.Event(2L, ts(800), "purchase", 1.0),
+      // user 3: touch in batch 1, purchase in batch 2 (state crosses)
+      Streams.Event(3L, ts(2000), "click", 1.0),
+      Streams.Event(3L, ts(8000), "purchase", 1.0),
+      // error events never count as touches
+      Streams.Event(2L, ts(900), "error", 1.0),
+      Streams.Event(2L, ts(1100), "purchase", 1.0))
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(5)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.lastTouchStream(in.toDS()).writeStream
+      .format("memory").queryName("touch_out").outputMode(OutputMode.Append()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val got = spark.sql(
+      "SELECT user_id, purchase_ts, touch_ts, touch_type, secs_since_touch FROM touch_out")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        Option(r.getString(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    q.stop()
+    assert(got === Set(
+      (1L, 5000L, Some(1000L), Some("view"), Some(4L)),
+      (1L, 9000L, Some(7000L), Some("click"), Some(2L)),
+      (2L, 800L, None, None, None),
+      (2L, 1100L, None, None, None),
+      (3L, 8000L, Some(2000L), Some("click"), Some(6L))))
+  }
+
   test("ewmaStream: final per-user value equals the 8-tap ladder on the last values") {
     val events = Seq(
       Streams.Event(1L, ts(1000), "view", 1.25),
