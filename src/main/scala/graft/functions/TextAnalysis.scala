@@ -622,7 +622,42 @@ object TextAnalysis {
       .orderBy("doc_id", "rank")
   }
 
+  /** K-ANONYMITY AUDIT over the corpus metadata: treat (lang, source) as
+    * the quasi-identifier tuple and report every equivalence class with
+    * its size and at-risk flag (n < k — those documents are
+    * re-identifiable by their metadata alone), then the GENERALIZATION
+    * step every anonymization ladder applies: at-risk classes coarsen to
+    * (lang, *) and are re-audited at the weaker identifier. The release
+    * decision (publish exact, publish generalized, suppress) reads
+    * straight off the output. Privacy accounting is a release gate for
+    * training corpora alongside the PII scrub — scrubbing removes
+    * identifiers IN the text, this catches identification BY metadata.
+    *
+    * Scale: two partial-agg groupBys on tiny key spaces; the at-risk
+    * class list is ≤ |lang×source| rows and BROADCASTs back onto the
+    * corpus for the generalized recount. One corpus pass per level. */
+  def kAnonymity(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val exact = docs.groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"))
+    val risk = exact.filter(col("n_docs") < k)
+      .select(col("lang").as("r_lang"), col("source").as("r_source"))
+    val generalized = docs
+      .join(broadcast(risk),
+        col("lang") === col("r_lang") && col("source") === col("r_source"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .select(lit("generalized").as("level"), col("lang"),
+        lit("*").as("source"), col("n_docs"), (col("n_docs") < k).as("at_risk"))
+    exact
+      .select(lit("exact").as("level"), col("lang"), col("source"),
+        col("n_docs"), (col("n_docs") < k).as("at_risk"))
+      .unionAll(generalized)
+      .orderBy("level", "lang", "source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "ta_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "ta_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
     "ta_tokenize_ids" -> ((s: SparkSession, d: String) => tokenizeIds(s, d)),
@@ -668,6 +703,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // identical two-level audit: exact classes, then the at-risk slice
+    // regrouped at (lang, *)
+    "ta_k_anonymity" ->
+      """WITH g AS (SELECT lang, source, count(*) AS n_docs
+                    FROM documents GROUP BY 1, 2),
+         risk AS (SELECT lang, source FROM g WHERE n_docs < 5),
+         gen AS (SELECT d.lang, count(*) AS n_docs
+                 FROM documents d JOIN risk r
+                   ON d.lang = r.lang AND d.source = r.source
+                 GROUP BY 1)
+         SELECT 'exact' AS level, lang, source, n_docs, n_docs < 5 AS at_risk
+         FROM g
+         UNION ALL
+         SELECT 'generalized', lang, '*', n_docs, n_docs < 5 FROM gen
+         ORDER BY level, lang, source""",
     // same space-split tokens, same integer rarity ratio and (score desc,
     // token asc) tie-break
     "ta_tfidf_keywords" ->

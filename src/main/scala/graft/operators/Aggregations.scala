@@ -535,7 +535,30 @@ object Aggregations {
       .orderBy("cohort_day", "week_offset")
   }
 
+  /** MIN-MAX FEATURE SCALING per group — the normalization step feature
+    * pipelines apply before models see a column: each document's length
+    * rescaled to [0, 10⁶] ppm WITHIN ITS SOURCE (cross-source lengths are
+    * not comparable — that's the point of group-wise scaling). Integer
+    * ppm with truncating division, single-valued groups pin to 0.
+    *
+    * Scale: the min/max are an unordered-frame window over the group key
+    * — one shuffle shared with nothing else, no second pass, no join
+    * (the groupBy+broadcast-stats alternative costs a corpus join; the
+    * window computes stats and applies them in the same exchange). */
+  def minmaxScale(spark: SparkSession, dir: String): DataFrame = {
+    val bySource = org.apache.spark.sql.expressions.Window.partitionBy("source")
+    graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("mn", min(col("n_chars")).over(bySource))
+      .withColumn("mx", max(col("n_chars")).over(bySource))
+      .withColumn("scaled_ppm", when(col("mx") === col("mn"), 0L)
+        .otherwise(expr("(n_chars - mn) * 1000000 div (mx - mn)")))
+      .select("doc_id", "source", "n_chars", "mn", "mx", "scaled_ppm")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_minmax_scale"        -> minmaxScale _,
     "agg_retention_cohorts"   -> retentionCohorts _,
     "agg_grouping_sets"       -> groupingSetsStatusPriority _,
     "agg_profile_columns"     -> profileColumns _,
@@ -563,6 +586,17 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same per-source window min/max, same integer ppm rescale
+    "agg_minmax_scale" ->
+      """WITH s AS (
+           SELECT doc_id, source, n_chars,
+                  min(n_chars) OVER (PARTITION BY source) AS mn,
+                  max(n_chars) OVER (PARTITION BY source) AS mx
+           FROM documents)
+         SELECT doc_id, source, n_chars, mn, mx,
+                CASE WHEN mx = mn THEN 0
+                     ELSE (n_chars - mn) * 1000000 // (mx - mn) END AS scaled_ppm
+         FROM s ORDER BY doc_id""",
     "agg_retention_cohorts" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
          f AS (SELECT user_id, min(d) AS cohort_day FROM ev GROUP BY user_id)

@@ -482,6 +482,7 @@ object Relational {
     "rel_zorder_layout"          -> (graft.sources.Layout.zTileStats _),
     "rel_orc_roundtrip"          -> (graft.sources.Formats.orcRoundtrip _),
     "rel_jsonl_roundtrip"        -> (graft.sources.Formats.jsonlRoundtrip _),
+    "rel_csv_roundtrip"          -> (graft.sources.Formats.csvRoundtrip _),
   )
 
   // DuckDB's native ASOF LEFT JOIN is the oracle for BOTH asof paths
@@ -717,5 +718,10 @@ object Relational {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // the oracle digests the ORIGINAL parquet text: a match proves the
+    // CSV quoting round-trip byte-exact per document
+    "rel_csv_roundtrip" ->
+      """SELECT doc_id, lang, md5(text) AS text_md5
+         FROM documents ORDER BY doc_id""",
   )
 }

@@ -73,4 +73,44 @@ object Formats {
         max(col("doc_id")).as("max_doc"))
       .orderBy("lang", "source")
   }
+
+  /** Write-once RFC-4180 CSV mirror CARRYING THE TEXT COLUMN — the
+    * adversarial case for CSV (embedded commas and quotes force the
+    * writer to quote and double-quote); escape is pinned to '"' because
+    * Spark's default backslash-escape is NOT RFC-4180 and round-trips
+    * incorrectly through standards-compliant readers. */
+  private def csvMirror(spark: SparkSession, dir: String): String = {
+    val path = new java.io.File(
+      s"target/csvrt/docs_${IndexStore.keyOf(dir)}").getAbsolutePath
+    if (!new java.io.File(path, "_SUCCESS").exists()) {
+      Tables.documents(spark, dir)
+        .select("doc_id", "lang", "text")
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        // the WRITER trims cell whitespace by default — silent corruption
+        // for text payloads; pin both off (spec-covered)
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+    }
+    path
+  }
+
+  /** Per-document text digest read back from the CSV mirror — the DuckDB
+    * oracle md5s the ORIGINAL parquet text, so a hash match proves the
+    * CSV sink+source preserved every byte of every document through
+    * quoting (`rel_csv_roundtrip`). Schema pinned on read (CSV inference
+    * is the classic silent-corruption source: a numeric-looking text
+    * column would widen). */
+  def csvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("text", StringType)))
+    spark.read.schema(schema)
+      .option("header", "true").option("escape", "\"")
+      .csv(csvMirror(spark, dir))
+      .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
+      .orderBy("doc_id")
+  }
 }
