@@ -557,7 +557,31 @@ object Aggregations {
       .orderBy("doc_id")
   }
 
+  /** EQUI-WIDTH HISTOGRAM over event values — the distribution sketch a
+    * profiler draws: 20 fixed-width buckets spanning [0, max], per-bucket
+    * row count and observed value range in integer cents. The bucket id
+    * is `cents·20 div (max_cents + 1)` (the +1 puts the max value in the
+    * last bucket without a branch); the global max arrives as a
+    * BROADCAST one-row stat crossed onto the scan — the standard
+    * two-pass profile shape (stat pass is agg-only, histogram pass is
+    * map-side until the 20-key count).
+    *
+    * Empty buckets are absent by construction (count-based histogram);
+    * the gap-fill operator composes if a dense 0..19 spine is wanted. */
+  def equiwidthHist(spark: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val stat = cents.agg(max(col("cents")).as("max_cents"))
+    cents.crossJoin(broadcast(stat))
+      .withColumn("bucket", expr("cents * 20 div (max_cents + 1)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_equiwidth_hist"      -> equiwidthHist _,
     "agg_minmax_scale"        -> minmaxScale _,
     "agg_retention_cohorts"   -> retentionCohorts _,
     "agg_grouping_sets"       -> groupingSetsStatusPriority _,
@@ -586,6 +610,15 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer bucket arithmetic off a scalar-subquery max
+    "agg_equiwidth_hist" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents
+                    FROM events),
+         m AS (SELECT max(cents) AS mx FROM c)
+         SELECT CAST(cents * 20 // (m.mx + 1) AS BIGINT) AS bucket,
+                count(*) AS n_rows,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM c, m GROUP BY 1 ORDER BY 1""",
     // same per-source window min/max, same integer ppm rescale
     "agg_minmax_scale" ->
       """WITH s AS (

@@ -755,7 +755,39 @@ object Similarity {
       .withColumn("c_milli", expr("sum_milli div n_vecs"))
       .orderBy("label", "dim")
 
+  /** K-NN LABEL CLASSIFICATION — the serving-side counterpart of
+    * [[centroidPerLabel]]: predict each probe vector's label by majority
+    * vote among its k nearest labeled neighbors (quantized cosine, ties
+    * → lower vec_id; vote ties → lower label — fully deterministic).
+    * Emits prediction, vote count, the probe's true label and a
+    * correctness flag, so the query doubles as the accuracy monitor a
+    * deployed classifier reports.
+    *
+    * Scale: rides [[annMultiQueryTopK]]'s broadcast-probe scan (probe
+    * table broadcast, ONE pass over the corpus, bounded typed top-k);
+    * the vote is then O(probes·k) rows — driver-free and tiny. Swap the
+    * brute-force leg for [[ivfMultiQueryTopK]] / the SQ8 serve path for
+    * sublinear candidate generation at corpus scale. */
+  def knnClassify(spark: SparkSession, dir: String,
+                  probeBound: Long = 20L, k: Int = 10): DataFrame = {
+    val labels = Tables.embeddings(spark, dir).select(col("vec_id"), col("label"))
+    val nb = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id"), col("vec_id"))
+      .join(labels, "vec_id")
+    val byVotes = Window.partitionBy("q_id")
+      .orderBy(col("n_votes").desc, col("label").asc)
+    nb.groupBy("q_id", "label")
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("r", row_number().over(byVotes))
+      .filter(col("r") === 1)
+      .join(labels.select(col("vec_id").as("q_id"), col("label").as("true_label")), "q_id")
+      .select(col("q_id"), col("label").as("predicted_label"), col("n_votes"),
+        col("true_label"), (col("label") === col("true_label")).as("correct"))
+      .orderBy("q_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_knn_classify"   -> ((s: SparkSession, d: String) => knnClassify(s, d)),
     "sim_centroid_labels" -> centroidPerLabel _,
     "sim_ann_topk"       -> annBruteForceTopK _,
     "sim_neardup_pairs"  -> nearDupPairs _,
@@ -1102,6 +1134,23 @@ object Similarity {
     // assigned at query time — so it shares the multiquery oracle too
     "sim_ivf_incremental" -> ivfMultiOracle,
     "sim_ann_multiquery" -> annMultiOracle,
+    // same brute-force neighbor CTEs at k=10, then the identical
+    // deterministic majority vote and true-label join
+    "sim_knn_classify" ->
+      s"""WITH ${annMultiVecCtes(20)},
+         nb AS (SELECT v.q_id, v.vec_id, e.label FROM vr v
+                JOIN embeddings e ON v.vec_id = e.vec_id WHERE v.rnk <= 10),
+         votes AS (SELECT q_id, label, count(*) AS n_votes FROM nb GROUP BY 1, 2),
+         win AS (SELECT q_id, label, n_votes,
+                   row_number() OVER
+                     (PARTITION BY q_id ORDER BY n_votes DESC, label ASC) AS r
+                 FROM votes)
+         SELECT w.q_id, w.label AS predicted_label,
+                CAST(w.n_votes AS BIGINT) AS n_votes,
+                t.label AS true_label,
+                w.label = t.label AS correct
+         FROM win w JOIN embeddings t ON w.q_id = t.vec_id
+         WHERE w.r = 1 ORDER BY w.q_id""",
     "sim_ivf_recall" -> s"""WITH ivf AS ($ivfMultiOracle),
          brute AS ($annMultiOracle),
          nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),

@@ -479,7 +479,35 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** PERIOD-OVER-PERIOD deltas — the day-over-day growth table every KPI
+    * dashboard opens with: daily value totals (integer cents), the prior
+    * OBSERVED day's total, the absolute delta, and the relative change
+    * in integer ppm (delta·10⁶ div prev — truncating division both
+    * engines; prev=0 days emit NULL rather than divide, which ANSI mode
+    * would throw on). Composes with [[gapFillDaily]] when calendar-
+    * aligned (vs observed-day-aligned) periods are wanted.
+    *
+    * Scale: the daily rollup is one partial+final agg down to |days|
+    * rows; the lag window then runs on that tiny aggregate — events are
+    * never window-sorted. */
+  def periodOverPeriod(spark: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.orderBy(col("d"))
+    Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("d")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(cents) AS BIGINT)").as("total_cents"))
+      .withColumn("prev_cents", lag(col("total_cents"), 1).over(byDay))
+      .withColumn("delta_cents", col("total_cents") - col("prev_cents"))
+      .withColumn("pct_change_ppm",
+        when(col("prev_cents") > 0,
+          expr("delta_cents * 1000000 div prev_cents")))
+      .orderBy("d")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_period_over_period" -> periodOverPeriod _,
     "win_time_weighted_avg"  -> timeWeightedAvg _,
     "win_last_touch"         -> lastTouchAttribution _,
     "win_event_transitions"  -> eventTransitions _,
@@ -503,6 +531,22 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same observed-day lag; ppm division guarded identically
+    "win_period_over_period" ->
+      """WITH g AS (
+           SELECT CAST(ts AS DATE) AS d, count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                    AS total_cents
+           FROM events GROUP BY 1),
+         l AS (SELECT d, n_events, total_cents,
+                      lag(total_cents) OVER (ORDER BY d) AS prev_cents
+               FROM g)
+         SELECT d, n_events, total_cents, prev_cents,
+                total_cents - prev_cents AS delta_cents,
+                CASE WHEN prev_cents > 0
+                     THEN CAST((total_cents - prev_cents) * 1000000 // prev_cents
+                               AS BIGINT) END AS pct_change_ppm
+         FROM l ORDER BY d""",
     // identical integer step-integral: cents · floored whole-second
     // durations, one final integer division (all terms non-negative)
     "win_time_weighted_avg" ->

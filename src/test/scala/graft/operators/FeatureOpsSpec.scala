@@ -10,6 +10,64 @@ class FeatureOpsSpec extends AnyFunSuite {
   lazy val spark = graft.Sessions.local("4", "graft-featureops-test")
   private val dir = "/root/testdata/sf0.001"
 
+  test("sim_knn_classify: the vote over the (separately oracle-gated) " +
+    "neighbor lists matches a sequential recount") {
+    val nbrs = Similarity.annMultiQueryTopK(spark, dir, 20L, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(2))) // (q_id, neighbor vec_id)
+    val labels = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = nbrs.groupBy(_._1).map { case (q, ns) =>
+      val votes = ns.map(n => labels(n._2)).groupBy(identity)
+        .map { case (l, vs) => (l, vs.size.toLong) }.toSeq
+        .sortBy { case (l, n) => (-n, l) }
+      q -> (votes.head._1, votes.head._2, labels(q))
+    }
+    val got = Similarity.knnClassify(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+    assert(got.nonEmpty)
+    assert(got === expect)
+    got.foreach { case (_, (pred, _, truth)) =>
+      assert(Set(pred, truth).subsetOf(labels.values.toSet))
+    }
+  }
+
+  test("win_period_over_period: deltas telescope to last-minus-first and " +
+    "ppm signs follow deltas") {
+    val rows = Windows.periodOverPeriod(spark, dir).collect()
+      .map(r => (r.getDate(0), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)),
+        if (r.isNullAt(5)) None else Some(r.getLong(5))))
+    assert(rows.length > 2)
+    assert(rows.head._3 === None) // first day has no prior period
+    val deltas = rows.flatMap(_._4)
+    assert(deltas.sum === rows.last._2 - rows.head._2) // telescoping
+    rows.foreach { case (_, _, prev, delta, ppm) =>
+      (delta, ppm) match {
+        case (Some(d), Some(p)) =>
+          assert(math.signum(d.toDouble) == math.signum(p.toDouble) || p == 0L)
+          assert(prev.exists(_ > 0))
+        case _ => ()
+      }
+    }
+  }
+
+  test("agg_equiwidth_hist: buckets partition all rows and every bucket's " +
+    "observed range maps back to its own bucket id") {
+    val rows = Aggregations.equiwidthHist(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = graft.sources.Tables.events(spark, dir).count()
+    assert(rows.map(_._2).sum === total)
+    val globalMax = rows.map(_._4).max
+    rows.foreach { case (b, _, mn, mx) =>
+      assert(b >= 0L && b <= 19L)
+      assert(mn * 20 / (globalMax + 1) === b, s"bucket $b min $mn")
+      assert(mx * 20 / (globalMax + 1) === b, s"bucket $b max $mx")
+    }
+    assert(rows.exists(_._1 == 19L)) // the max value lands in the last bucket
+  }
+
   test("sim_centroid_labels matches the sequential milli-quantized mean") {
     val got = Similarity.centroidPerLabel(spark, dir).collect()
       .map(r => (r.getInt(0), r.getLong(1)) ->

@@ -515,6 +515,35 @@ class PlanSpec extends AnyFunSuite {
       s"df join must stay equi-join:\n${plan.take(3000)}")
   }
 
+  test("knn classify: probe table broadcasts (one corpus pass), vote " +
+       "aggregate partial+final, no cartesian") {
+    val plan = planOf(Similarity.knnClassify(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"probes must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_count"), s"no map-side vote combine:\n${plan.take(3000)}")
+  }
+
+  test("period-over-period: ONE lag window running over the daily aggregate, " +
+       "never over events") {
+    val plan = planOf(Windows.periodOverPeriod(spark, dir))
+    assert("Window ".r.findAllIn(plan).length == 1,
+      s"expected 1 window:\n${plan.take(3000)}")
+    // parent-first printing: the lag window must sit ABOVE the day agg
+    assert(plan.indexOf("Window [lag") < plan.indexOf("HashAggregate"),
+      s"window must consume the aggregate:\n${plan.take(3000)}")
+  }
+
+  test("equi-width histogram: scalar max broadcasts; the only hash exchange " +
+       "is the 20-key bucket agg") {
+    val plan = planOf(Aggregations.equiwidthHist(spark, dir))
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoop"),
+      s"stat row must broadcast:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (bucket agg), got $exchanges:\n${plan.take(3000)}")
+  }
+
   test("centroid per label: posexplode feeds a partial+final sum — one hash " +
        "exchange, no join") {
     val plan = planOf(Similarity.centroidPerLabel(spark, dir))
