@@ -385,7 +385,47 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** VOCABULARY COVERAGE CURVE — the tokenizer-sizing statistic: how
+    * many vocabulary entries (ranked by frequency, ties lexicographic)
+    * are needed to cover 50% / 90% / 99% of all token OCCURRENCES.
+    * Directly answers "what vocab size should the tokenizer fit" and
+    * quantifies the long tail a subword scheme must absorb. Coverage is
+    * integer ppm (cumulative·10⁶ div total — bit-stable).
+    *
+    * Scale: the corpus collapses to vocabulary-sized counts in one
+    * partial-agg shuffle; the cumulative window and threshold probe then
+    * run over |vocab| rows (single-partition sort bounded by vocabulary,
+    * not corpus — the standard shape for frequency curves). */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame =
+    vocabCoverageOf(Tables.documents(spark, dir))
+
+  /** [[vocabCoverage]] over any documents-shaped corpus (spec entry). */
+  def vocabCoverageOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+    val byFreq = Window.orderBy(col("c").desc, col("w").asc)
+    val curve = counts
+      .withColumn("vocab_rank", row_number().over(byFreq).cast("long"))
+      .withColumn("cum", sum(col("c")).over(
+        byFreq.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("total", sum(col("c")).over(
+        Window.partitionBy(lit(1))))
+      .withColumn("coverage_ppm", expr("cum * 1000000 div total"))
+    val thresholds = curve.sparkSession.range(1)
+      .select(explode(array(lit(500000L), lit(900000L), lit(990000L))).as("threshold_ppm"))
+    thresholds.join(curve, col("coverage_ppm") >= col("threshold_ppm"))
+      .groupBy("threshold_ppm")
+      .agg(min(col("vocab_rank")).as("vocab_rank"))
+      .join(curve.select(col("vocab_rank"), col("coverage_ppm"), col("cum").as("covered_tokens")), "vocab_rank")
+      .select("threshold_ppm", "vocab_rank", "coverage_ppm", "covered_tokens")
+      .orderBy("threshold_ppm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_vocab_coverage"   -> vocabCoverage _,
     "ta_bigram_lm_score"  -> bigramLmScore _,
     "ta_decontaminate"    -> decontaminate _,
     "ta_dsir_weights"     -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
@@ -401,6 +441,35 @@ object CorpusOps {
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    // same (count desc, token asc) ranking, cumulative ppm, and
+    // min-rank-at-threshold probe
+    "ta_vocab_coverage" ->
+      """WITH tok AS (
+           SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                     x -> len(x) > 0)) AS w
+           FROM documents),
+         c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+         curve AS (
+           SELECT w, c,
+                  CAST(row_number() OVER (ORDER BY c DESC, w ASC) AS BIGINT)
+                    AS vocab_rank,
+                  CAST(sum(c) OVER (ORDER BY c DESC, w ASC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    AS cum,
+                  CAST(sum(c) OVER () AS BIGINT) AS total
+           FROM c),
+         cov AS (SELECT vocab_rank, cum AS covered_tokens,
+                        CAST(cum * 1000000 // total AS BIGINT) AS coverage_ppm
+                 FROM curve),
+         thr(threshold_ppm) AS (VALUES (CAST(500000 AS BIGINT)),
+                                       (CAST(900000 AS BIGINT)),
+                                       (CAST(990000 AS BIGINT))),
+         hit AS (SELECT t.threshold_ppm, min(c.vocab_rank) AS vocab_rank
+                 FROM thr t JOIN cov c ON c.coverage_ppm >= t.threshold_ppm
+                 GROUP BY 1)
+         SELECT h.threshold_ppm, h.vocab_rank, c.coverage_ppm, c.covered_tokens
+         FROM hit h JOIN cov c ON h.vocab_rank = c.vocab_rank
+         ORDER BY h.threshold_ppm""",
     // same space-split tokens, same zipped bigram unnest, same integer
     // ppm arithmetic — `//` is DuckDB's integer division
     "ta_bigram_lm_score" ->

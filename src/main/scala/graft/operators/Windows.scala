@@ -506,7 +506,42 @@ object Windows {
       .orderBy("d")
   }
 
+  /** LEADERBOARD RANK MOVEMENT — who rose and who fell between two
+    * periods: per-user value totals in the first 15 observed days vs the
+    * rest of the span, each period ranked (total desc, user asc — fully
+    * deterministic), movement = rank change. Only users active in BOTH
+    * periods rank (new/churned users have no movement to report).
+    *
+    * Scale: the period split key comes from a BROADCAST one-row min-date
+    * stat; events collapse to one row per user in a single conditional-
+    * sum aggregation (no per-period scans); the two ranking windows then
+    * run over the |users| aggregate — a single-partition sort, bounded
+    * by the leaderboard's own size, never by events. */
+  def rankChanges(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val stat = ev.agg(min(col("d")).as("d0"))
+    val perUser = ev.crossJoin(broadcast(stat))
+      .withColumn("p1", col("d") < date_add(col("d0"), 15))
+      .groupBy("user_id")
+      .agg(expr("CAST(sum(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT)").as("cents_p1"),
+        expr("CAST(sum(CASE WHEN p1 THEN 0 ELSE cents END) AS BIGINT)").as("cents_p2"),
+        expr("CAST(sum(CASE WHEN p1 THEN 1 ELSE 0 END) AS BIGINT)").as("n_p1"),
+        expr("CAST(sum(CASE WHEN p1 THEN 0 ELSE 1 END) AS BIGINT)").as("n_p2"))
+      .filter(col("n_p1") > 0 && col("n_p2") > 0)
+    val r1 = Window.orderBy(col("cents_p1").desc, col("user_id").asc)
+    val r2 = Window.orderBy(col("cents_p2").desc, col("user_id").asc)
+    perUser
+      .withColumn("rank_p1", row_number().over(r1).cast("long"))
+      .withColumn("rank_p2", row_number().over(r2).cast("long"))
+      .withColumn("movement", col("rank_p1") - col("rank_p2"))
+      .select("user_id", "cents_p1", "cents_p2", "rank_p1", "rank_p2", "movement")
+      .orderBy("user_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rank_changes"       -> rankChanges _,
     "win_period_over_period" -> periodOverPeriod _,
     "win_time_weighted_avg"  -> timeWeightedAvg _,
     "win_last_touch"         -> lastTouchAttribution _,
@@ -531,6 +566,29 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 15-day split off the scalar min date, same conditional-sum
+    // collapse and (total desc, user asc) ranking
+    "win_rank_changes" ->
+      """WITH ev AS (
+           SELECT CAST(ts AS DATE) AS d, user_id,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         s AS (SELECT min(d) AS d0 FROM ev),
+         pu AS (
+           SELECT user_id,
+                  CAST(sum(CASE WHEN d < d0 + 15 THEN cents ELSE 0 END) AS BIGINT) AS cents_p1,
+                  CAST(sum(CASE WHEN d < d0 + 15 THEN 0 ELSE cents END) AS BIGINT) AS cents_p2,
+                  sum(CASE WHEN d < d0 + 15 THEN 1 ELSE 0 END) AS n_p1,
+                  sum(CASE WHEN d < d0 + 15 THEN 0 ELSE 1 END) AS n_p2
+           FROM ev, s GROUP BY user_id),
+         r AS (
+           SELECT user_id, cents_p1, cents_p2,
+                  CAST(row_number() OVER (ORDER BY cents_p1 DESC, user_id ASC) AS BIGINT) AS rank_p1,
+                  CAST(row_number() OVER (ORDER BY cents_p2 DESC, user_id ASC) AS BIGINT) AS rank_p2
+           FROM pu WHERE n_p1 > 0 AND n_p2 > 0)
+         SELECT user_id, cents_p1, cents_p2, rank_p1, rank_p2,
+                rank_p1 - rank_p2 AS movement
+         FROM r ORDER BY user_id""",
     // same observed-day lag; ppm division guarded identically
     "win_period_over_period" ->
       """WITH g AS (

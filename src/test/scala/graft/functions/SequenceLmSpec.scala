@@ -119,6 +119,42 @@ class SequenceLmSpec extends AnyFunSuite {
     assert(got === expect)
   }
 
+  test("ta_vocab_coverage: known curve on a hand-built corpus and minimality " +
+    "of each threshold rank") {
+    import spark.implicits._
+    // counts: the=6, cat=3, dog=1 → total 10; curve: rank1=600000,
+    // rank2=900000, rank3=1000000 → thresholds 50/90/99% hit at 1/2/3
+    val docs = Seq((1L, "the cat the dog the cat"),
+      (2L, "the the the cat")).toDF("doc_id", "text")
+    val got = CorpusOps.vocabCoverageOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got === Map(
+      500000L -> ((1L, 600000L, 6L)),
+      900000L -> ((2L, 900000L, 9L)),
+      990000L -> ((3L, 1000000L, 10L))))
+  }
+
+  test("ta_vocab_coverage on testdata: ranks monotone in threshold, each " +
+    "rank minimal (previous rank is below its threshold)") {
+    val rows = CorpusOps.vocabCoverage(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rows.length === 3)
+    assert(rows.map(_._2) === rows.map(_._2).sorted) // monotone ranks
+    rows.foreach { case (thr, _, cov) => assert(cov >= thr) }
+  }
+
+  test("win_rank_changes: both period rankings are permutations of 1..n and " +
+    "movements sum to zero") {
+    val rows = graft.operators.Windows.rankChanges(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    assert(rows.map(_._2).sorted.toSeq === (1L to n))
+    assert(rows.map(_._3).sorted.toSeq === (1L to n))
+    assert(rows.map(_._4).sum === 0L) // rank changes are zero-sum
+  }
+
   test("bigram scores rank a shuffled-token document below its source") {
     import spark.implicits._
     // 30 copies of a fluent sentence + ONE doc with the same tokens in a

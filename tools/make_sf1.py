@@ -11,7 +11,12 @@ shifts (replica i shifts every key column by i * (max_key + 1)), so
 referential joins keep working:
   - region/nation: copied (dimension tables)
   - customer/supplier/part/orders/lineitem: 10 shifted replicas
-  - events: 10 replicas, event_id/user_id shifted, timestamps kept
+  - events: 10 replicas, event_id/user_id shifted, timestamps shifted
+    by i * (span + 1 day) so the event stream EXTENDS in time: a real
+    10x event corpus covers more wall-clock, keeping per-hour density
+    constant (verbatim timestamps would make every time band 10x denser
+    and banded interval joins quadratically heavier than real growth —
+    the same reasoning as the document marker suffix below)
   - documents: 10 replicas, doc_id shifted; replica text gets a
     ' replicaN markerN' suffix so dedup workloads grow ~linearly
     (verbatim copies would make every LSH bucket 10x denser and the
@@ -84,8 +89,27 @@ save("lineitem", replicate(
     li, {"l_orderkey": OS, "l_partkey": PS, "l_suppkey": SS}))
 
 ev = load("events")
+_ts = ev["ts"].combine_chunks().cast(pa.int64())
+_span_us = int(pa.compute.max(_ts).as_py()) - int(pa.compute.min(_ts).as_py())
+_ts_shift = _span_us + 86_400_000_000  # span + 1 day of clearance
+
+
+def ev_transform(t, i):
+    if i == 0:
+        return t
+    cols = []
+    for name in t.column_names:
+        arr = t[name].combine_chunks()
+        if name == "ts":
+            arr = pa.compute.add(arr.cast(pa.int64()), _ts_shift * i) \
+                .cast(t.schema.field(name).type)
+        cols.append(arr)
+    return pa.Table.from_arrays(cols, schema=t.schema)
+
+
 save("events", replicate(
-    ev, {"event_id": shift_of(ev, "event_id"), "user_id": shift_of(ev, "user_id")}))
+    ev, {"event_id": shift_of(ev, "event_id"), "user_id": shift_of(ev, "user_id")},
+    transform=ev_transform))
 
 
 def doc_transform(t, i):
