@@ -35,14 +35,25 @@ object ScaleCheck {
     val only = if (args.length > 4) Some(args(4).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = Sessions.local(cpus, appName = "graft-scale-check")
+    // reducer count must scale with the data, exactly as a cluster
+    // deployment sizes it (AQE advisory target / dynamic allocation):
+    // SPARK_GRAFT_SHUFFLE_BIG sets shuffle partitions for BIG-side runs
+    // only (the 100x sweep passes 256 — 100x data through the base's 32
+    // reducers measures single-partition saturation, not the plan; the
+    // 10x sweep keeps base=big=32 so its ratios stay conservative).
+    val baseShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val bigShuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BIG", baseShuffle)
     def force(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
     def timed(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
-              dir: String): Double = {
-      force(fn(spark, dir)) // warm
-      val t0 = System.nanoTime()
-      force(fn(spark, dir))
-      (System.nanoTime() - t0) / 1e9
+              dir: String, shuffle: String): Double = {
+      spark.conf.set("spark.sql.shuffle.partitions", shuffle)
+      try {
+        force(fn(spark, dir)) // warm
+        val t0 = System.nanoTime()
+        force(fn(spark, dir))
+        (System.nanoTime() - t0) / 1e9
+      } finally spark.conf.set("spark.sql.shuffle.partitions", baseShuffle)
     }
     force(SparkEntry.entry(spark))
 
@@ -64,8 +75,8 @@ object ScaleCheck {
           println(s"CHECK-SKIP> $reason")
           None
         case None =>
-          val base = timed(fn, baseDir)
-          val big = timed(fn, bigDir)
+          val base = timed(fn, baseDir, baseShuffle)
+          val big = timed(fn, bigDir, bigShuffle)
           val ratio = big / math.max(base, 0.05)
           println(f"CHECK> $name%-32s base $base%7.2f s  big $big%7.2f s  ratio $ratio%6.1fx")
           Some((name, base, big, ratio))

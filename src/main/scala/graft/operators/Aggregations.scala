@@ -580,7 +580,40 @@ object Aggregations {
       .orderBy("bucket")
   }
 
+  /** BENFORD FIRST-DIGIT AUDIT — the classic anomaly screen for price /
+    * amount columns: observed leading-digit distribution of order totals
+    * vs Benford's law, per-digit deviation in integer ppm. Natural
+    * multi-magnitude amounts follow log₁₀(1+1/d); fabricated or
+    * truncated data visibly doesn't. The digit is taken from the INTEGER
+    * cents string (double formatting differs across engines; integer →
+    * string doesn't), and the expected shares are exact precomputed ppm
+    * literals, so the whole audit is bit-stable.
+    *
+    * Scale: a 9-key conditional count — one partial-agg shuffle of nine
+    * rows per mapper; deviation math happens on the 9-row aggregate. */
+  def benfordPrices(spark: SparkSession, dir: String): DataFrame = {
+    // round(1e6 · log10(1 + 1/d)) for d = 1..9
+    val expected = Seq(301030L, 176091L, 124939L, 96910L, 79181L,
+      66947L, 57992L, 51153L, 45757L)
+    val expectedSql = expected.zipWithIndex
+      .map { case (ppm, i) => s"WHEN ${i + 1} THEN ${ppm}L" }.mkString(" ")
+    val digits = Tables.orders(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+        .as("digit"))
+      .filter(col("digit") >= 1)
+    val stat = digits.agg(count(lit(1)).as("n_total"))
+    digits.groupBy("digit").agg(count(lit(1)).as("n_rows"))
+      .crossJoin(broadcast(stat))
+      .withColumn("observed_ppm", expr("n_rows * 1000000 div n_total"))
+      .withColumn("expected_ppm", expr(s"CASE digit $expectedSql END"))
+      .withColumn("deviation_ppm", col("observed_ppm") - col("expected_ppm"))
+      .select("digit", "n_rows", "observed_ppm", "expected_ppm", "deviation_ppm")
+      .orderBy("digit")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_benford_prices"      -> benfordPrices _,
     "agg_equiwidth_hist"      -> equiwidthHist _,
     "agg_minmax_scale"        -> minmaxScale _,
     "agg_retention_cohorts"   -> retentionCohorts _,
@@ -610,6 +643,28 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same integer-cents leading digit, same exact ppm literals
+    "agg_benford_prices" ->
+      """WITH d AS (
+           SELECT CAST(substring(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                                      AS VARCHAR), 1, 1) AS BIGINT) AS digit
+           FROM orders),
+         f AS (SELECT digit FROM d WHERE digit >= 1),
+         t AS (SELECT count(*) AS n_total FROM f),
+         g AS (SELECT digit, count(*) AS n_rows FROM f GROUP BY 1),
+         e(digit, expected_ppm) AS (VALUES
+           (1, CAST(301030 AS BIGINT)), (2, CAST(176091 AS BIGINT)),
+           (3, CAST(124939 AS BIGINT)), (4, CAST(96910 AS BIGINT)),
+           (5, CAST(79181 AS BIGINT)), (6, CAST(66947 AS BIGINT)),
+           (7, CAST(57992 AS BIGINT)), (8, CAST(51153 AS BIGINT)),
+           (9, CAST(45757 AS BIGINT)))
+         SELECT g.digit, g.n_rows,
+                CAST(g.n_rows * 1000000 // t.n_total AS BIGINT) AS observed_ppm,
+                e.expected_ppm,
+                CAST(g.n_rows * 1000000 // t.n_total AS BIGINT) - e.expected_ppm
+                  AS deviation_ppm
+         FROM g CROSS JOIN t JOIN e ON g.digit = e.digit
+         ORDER BY g.digit""",
     // same integer bucket arithmetic off a scalar-subquery max
     "agg_equiwidth_hist" ->
       """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents

@@ -349,6 +349,44 @@ object Relational {
     }.toDF("table_name", "n_rows").orderBy("table_name")
   }
 
+  /** FOREIGN-KEY DISCOVERY — the data-profiling step that infers the
+    * join graph of an unfamiliar lake: for each candidate (child.column
+    * → parent.key) pair, the CONTAINMENT ratio |distinct child ∩ parent
+    * keys| / |distinct child| in integer ppm; ≥ 999,000 ppm infers an
+    * FK. Candidates here are the star schema's real edges plus one
+    * deliberate NON-edge (events.user_id → customer) so the gate proves
+    * the test rejects as well as accepts.
+    *
+    * Scale: each check collapses the child column to its DISTINCT values
+    * first (partial-agg shuffle, key-cardinality-sized), then left-joins
+    * the parent key set — containment is computed on dictionaries, never
+    * on fact rows. Checks are independent (a profiler runs them in one
+    * pass group). */
+  def fkDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    def check(name: String, child: DataFrame, childCol: String,
+              parent: DataFrame, parentCol: String): DataFrame = {
+      val c = child.select(col(childCol).cast("long").as("k")).distinct()
+      val p = parent.select(col(parentCol).cast("long").as("pk")).distinct()
+      c.join(p, col("k") === col("pk"), "left")
+        .agg(count(lit(1)).as("n_child_distinct"),
+          count(col("pk")).as("n_contained"))
+        .select(lit(name).as("candidate"),
+          col("n_child_distinct"), col("n_contained"),
+          expr("n_contained * 1000000 div n_child_distinct").as("containment_ppm"),
+          expr("n_contained * 1000 >= n_child_distinct * 999").as("inferred_fk"))
+    }
+    val o = Tables.orders(spark, dir); val c = Tables.customer(spark, dir)
+    val l = Tables.lineitem(spark, dir); val s = Tables.supplier(spark, dir)
+    val p = Tables.part(spark, dir); val e = Tables.events(spark, dir)
+    check("orders.o_custkey->customer.c_custkey", o, "o_custkey", c, "c_custkey")
+      .unionAll(check("lineitem.l_orderkey->orders.o_orderkey", l, "l_orderkey", o, "o_orderkey"))
+      .unionAll(check("lineitem.l_suppkey->supplier.s_suppkey", l, "l_suppkey", s, "s_suppkey"))
+      .unionAll(check("lineitem.l_partkey->part.p_partkey", l, "l_partkey", p, "p_partkey"))
+      .unionAll(check("events.user_id->customer.c_custkey", e, "user_id", c, "c_custkey"))
+      .unionAll(check("orders.o_orderkey->customer.c_custkey", o, "o_orderkey", c, "c_custkey"))
+      .orderBy("candidate")
+  }
+
   /** Fuzzy ENTITY-RESOLUTION join — blocked edit-distance matching, the
     * record-linkage primitive (generalizing O-25's containment lookup to
     * true approximate matching). The naive formulation is a quadratic
@@ -464,6 +502,7 @@ object Relational {
     "rel_fuzzy_blocking_join" -> fuzzyBlockingJoin _,
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
+    "rel_fk_discovery"        -> fkDiscovery _,
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_asof_join_native"    -> asOfJoinNative _,
     "rel_semi_join"            -> semiJoinBigItems _,
@@ -718,6 +757,38 @@ object Relational {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // same dictionary-level containment per candidate edge
+    "rel_fk_discovery" ->
+      """WITH
+         c1 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT o_custkey AS k FROM orders) ch LEFT JOIN
+                (SELECT DISTINCT c_custkey AS pk FROM customer) p ON ch.k = p.pk),
+         c2 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT l_orderkey AS k FROM lineitem) ch LEFT JOIN
+                (SELECT DISTINCT o_orderkey AS pk FROM orders) p ON ch.k = p.pk),
+         c3 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT l_suppkey AS k FROM lineitem) ch LEFT JOIN
+                (SELECT DISTINCT s_suppkey AS pk FROM supplier) p ON ch.k = p.pk),
+         c4 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT l_partkey AS k FROM lineitem) ch LEFT JOIN
+                (SELECT DISTINCT p_partkey AS pk FROM part) p ON ch.k = p.pk),
+         c5 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT user_id AS k FROM events) ch LEFT JOIN
+                (SELECT DISTINCT c_custkey AS pk FROM customer) p ON ch.k = p.pk),
+         c6 AS (SELECT count(*) AS n, count(p.pk) AS m FROM
+                (SELECT DISTINCT o_orderkey AS k FROM orders) ch LEFT JOIN
+                (SELECT DISTINCT c_custkey AS pk FROM customer) p ON ch.k = p.pk),
+         u AS (
+           SELECT 'orders.o_custkey->customer.c_custkey' AS candidate, n, m FROM c1
+           UNION ALL SELECT 'lineitem.l_orderkey->orders.o_orderkey', n, m FROM c2
+           UNION ALL SELECT 'lineitem.l_suppkey->supplier.s_suppkey', n, m FROM c3
+           UNION ALL SELECT 'lineitem.l_partkey->part.p_partkey', n, m FROM c4
+           UNION ALL SELECT 'events.user_id->customer.c_custkey', n, m FROM c5
+           UNION ALL SELECT 'orders.o_orderkey->customer.c_custkey', n, m FROM c6)
+         SELECT candidate, n AS n_child_distinct, m AS n_contained,
+                CAST(m * 1000000 // n AS BIGINT) AS containment_ppm,
+                m * 1000 >= n * 999 AS inferred_fk
+         FROM u ORDER BY candidate""",
     // the oracle digests the ORIGINAL parquet text: a match proves the
     // CSV quoting round-trip byte-exact per document
     "rel_csv_roundtrip" ->

@@ -447,6 +447,37 @@ object Streams {
       }
   }
 
+  case class TransState(prevType: Option[String])
+  case class TransStep(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming MARKOV TRANSITION steps — the incremental mirror of the
+    * batch [[graft.operators.Windows.eventTransitions]] pair derivation:
+    * each arriving event emits one (from → to) step against the user's
+    * previous event type. State per user is ONE string (the last type
+    * seen) — O(1) forever; the downstream consumer aggregates steps into
+    * the matrix with an ordinary streaming groupBy count, so matrix
+    * maintenance never replays history. Per-batch rows fold in
+    * event-time order like every mirror here; under event-time-ordered
+    * arrival the emitted step multiset equals the batch lead-pair set. */
+  def transitionsStream(events: Dataset[Event])
+                       (implicit spark: SparkSession): Dataset[TransStep] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransStep](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
+          var prev = state.getOption.flatMap(_.prevType)
+          val out = Seq.newBuilder[TransStep]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            prev.foreach(p => out += TransStep(uid, p, e.event_type))
+            prev = Some(e.event_type)
+          }
+          state.update(TransState(prev))
+          out.result().iterator
+      }
+  }
+
   case class TouchState(ts: Option[Long], tpe: Option[String])
   case class TouchOut(user_id: Long, purchase_ts: Long, touch_ts: Option[Long],
                       touch_type: Option[String], secs_since_touch: Option[Long])

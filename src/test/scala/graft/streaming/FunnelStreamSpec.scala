@@ -106,6 +106,35 @@ class FunnelStreamSpec extends AnyFunSuite {
       (3L, 8000L, Some(2000L), Some("click"), Some(6L))))
   }
 
+  test("transitionsStream emits the batch lead-pair multiset across batch " +
+    "boundaries (state carries the last type over)") {
+    val events = Seq(
+      Streams.Event(1L, ts(1000), "view", 1.0),
+      Streams.Event(1L, ts(2000), "click", 1.0),
+      Streams.Event(1L, ts(3000), "view", 1.0),   // batch 2 continues from click
+      Streams.Event(1L, ts(4000), "purchase", 1.0),
+      Streams.Event(2L, ts(1500), "signup", 1.0), // single event → no step
+      Streams.Event(3L, ts(500), "view", 1.0),
+      Streams.Event(3L, ts(2500), "view", 1.0))   // self-transition counts
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(4)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.transitionsStream(in.toDS()).writeStream
+      .format("memory").queryName("trans_out").outputMode(OutputMode.Append()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, from_type, to_type FROM trans_out")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .groupBy(identity).view.mapValues(_.length).toMap
+    q.stop()
+    // batch reference: per user sorted by ts, consecutive pairs
+    val expect = events.groupBy(_.user_id).toSeq.flatMap { case (u, es) =>
+      val s = es.sortBy(_.ts.getTime).map(_.event_type)
+      s.zip(s.drop(1)).map { case (f, t) => (u, f, t) }
+    }.groupBy(identity).view.mapValues(_.length).toMap
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
   test("ewmaStream: final per-user value equals the 8-tap ladder on the last values") {
     val events = Seq(
       Streams.Event(1L, ts(1000), "view", 1.25),

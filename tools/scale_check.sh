@@ -31,6 +31,16 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-7 second-session additions: iterative graph analytics, the
   # event-stream window families, map-side chunking
   HEADLINE="$HEADLINE,rel_pagerank,win_ewma,ta_chunk_documents"
+  # round-7 third-session additions: graph mining (k-NN-sparsified
+  # triangles) and the corpus bigram LM — the session's two heaviest
+  HEADLINE="$HEADLINE,rel_triangle_count,ta_bigram_lm_score"
+  # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
+  # reducers AND real executor memory — the default 8g JVM models a
+  # single small executor, not the cluster a 100x corpus runs on (the
+  # host has 128 GiB; checkpointed graph edges + 60M-row aggregations
+  # OOM an 8g heap while fitting a deployment-sized one easily)
+  export SPARK_GRAFT_SHUFFLE_BIG="${SPARK_GRAFT_SHUFFLE_BIG:-256}"
+  export SPARK_DRIVER_MEM="${SPARK_DRIVER_MEM:-64g}"
   exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF10_DIR ${2:-100} ${3:-120} $HEADLINE"
 fi
 BOUND="${1:-10}"
