@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.sources.Tables
 import graft.functions.Det._
@@ -387,6 +388,46 @@ object Relational {
       .orderBy("candidate")
   }
 
+  /** SKYLINE (Pareto frontier) — customers not dominated on (order
+    * count, total spend): no other customer is ≥ on both dimensions and
+    * > on one. The textbook operator costs a quadratic NOT EXISTS —
+    * which is exactly what the DuckDB oracle runs, so the hash match
+    * proves this LINEARITHMIC formulation equivalent:
+    *   1. collapse to one candidate per x (same x, lower y is dominated
+    *      by the per-x max; EQUAL (x,y) rows all survive — no strict
+    *      inequality — and rejoin at the end);
+    *   2. sort the per-x table by x desc: a candidate is on the skyline
+    *      iff its y exceeds the running max y of every strictly-higher
+    *      x — one window pass, no pair ever materializes.
+    * Scale: the per-customer aggregate is the only corpus shuffle; the
+    * window runs over |distinct x| rows (≤ a few hundred here, always
+    * ≪ entities) on a single partition, and the rejoin broadcasts the
+    * frontier. The divide-and-conquer generalization (local skylines
+    * per partition → skyline of the union — skyline is distributive)
+    * kicks in when |distinct x| itself explodes. */
+  def skylineCustomers(spark: SparkSession, dir: String): DataFrame = {
+    // the entity aggregate feeds BOTH the frontier derivation and the
+    // final rejoin; localCheckpoint computes the corpus scan + agg once
+    // (same pattern as pageRankOf's edge list)
+    val per = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)")
+          .as("spend_cents"))
+      .localCheckpoint()
+    val bestPerX = per.groupBy("n_orders")
+      .agg(max(col("spend_cents")).as("spend_cents"))
+    val byXDesc = Window.orderBy(col("n_orders").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = bestPerX
+      .withColumn("prev_max", max(col("spend_cents")).over(byXDesc))
+      .filter(col("prev_max").isNull || col("spend_cents") > col("prev_max"))
+      .select("n_orders", "spend_cents")
+    per.join(broadcast(frontier), Seq("n_orders", "spend_cents"))
+      .select("o_custkey", "n_orders", "spend_cents")
+      .orderBy("o_custkey")
+  }
+
   /** Fuzzy ENTITY-RESOLUTION join — blocked edit-distance matching, the
     * record-linkage primitive (generalizing O-25's containment lookup to
     * true approximate matching). The naive formulation is a quadratic
@@ -503,6 +544,7 @@ object Relational {
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
     "rel_fk_discovery"        -> fkDiscovery _,
+    "rel_skyline_pareto"      -> skylineCustomers _,
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_asof_join_native"    -> asOfJoinNative _,
     "rel_semi_join"            -> semiJoinBigItems _,
@@ -757,6 +799,22 @@ object Relational {
                 CAST(sum(n_chars) AS BIGINT) AS sum_chars,
                 min(doc_id) AS min_doc, max(doc_id) AS max_doc
          FROM documents GROUP BY lang, source ORDER BY lang, source""",
+    // INDEPENDENT derivation: the oracle runs the quadratic NOT EXISTS
+    // dominance test — a hash match proves the window formulation
+    // equivalent, not just self-consistent
+    "rel_skyline_pareto" ->
+      """WITH per AS (
+           SELECT o_custkey, count(*) AS n_orders,
+                  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                    AS spend_cents
+           FROM orders GROUP BY 1)
+         SELECT a.o_custkey, a.n_orders, a.spend_cents
+         FROM per a
+         WHERE NOT EXISTS (
+           SELECT 1 FROM per b
+           WHERE b.n_orders >= a.n_orders AND b.spend_cents >= a.spend_cents
+             AND (b.n_orders > a.n_orders OR b.spend_cents > a.spend_cents))
+         ORDER BY a.o_custkey""",
     // same dictionary-level containment per candidate edge
     "rel_fk_discovery" ->
       """WITH

@@ -786,7 +786,85 @@ object Similarity {
       .orderBy("q_id")
   }
 
+  /** PRODUCT QUANTIZATION with ADC serving — the remaining member of
+    * the quantization family (IVF coarse cells, SQ8 scalar codes, now
+    * PQ subspace codes): each vector is stored as FOUR codeword ids
+    * (one per 16-dim subspace, 16 codewords each — 32× compression vs
+    * the milli vectors), and queries score candidates ASYMMETRICALLY by
+    * summing precomputed query×codeword partial dot products — a
+    * 512-entry lookup table; the corpus embeddings are never touched at
+    * query time. Codebooks are k-means INITIALIZATIONS (the sampled
+    * subvectors of vec_id 1..16, the same deterministic-sample device
+    * the IVF fit uses for its seeds) — zero iterations, so the oracle
+    * replays the whole index in closed form; everything is integer
+    * milli space (L2 assignment, dot scoring), no floats anywhere.
+    *
+    * Scale: codebook BROADCASTs (64 rows); encoding is one pass over
+    * the corpus (argmin over 16 codewords per subspace); the ADC table
+    * is |queries|·64 rows broadcast back; scoring touches only the
+    * 4-int codes table + a partial-agg sum. The codes table is the
+    * natural [[graft.sources.IndexStore]] artifact if build cost ever
+    * dominates (cf. sim_ivf_persisted). */
+  def pqTopK(spark: SparkSession, dir: String,
+             probeBound: Long = 8L, k: Int = 5): DataFrame = {
+    val mv = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
+      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("mv"))
+    val subs = mv.select(col("vec_id"), explode(expr(
+        """transform(sequence(0, 3), m -> named_struct(
+          |  'm', m,
+          |  'sv', slice(mv, m * (size(mv) div 4) + 1, size(mv) div 4)))""".stripMargin)).as("s"))
+      .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
+    val codebook = subs.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+      .select(col("vec_id").as("cent_id"), col("m"), col("sv").as("cw"))
+    val byDist = Window.partitionBy("vec_id", "m")
+      .orderBy(col("l2").asc, col("cent_id").asc)
+    val codes = subs.join(broadcast(codebook), "m")
+      .withColumn("l2", expr(
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
+      .withColumn("rn", row_number().over(byDist))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("m"), col("cent_id"))
+    val adc = subs.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sv").as("qv"))
+      .join(broadcast(codebook), col("qm") === col("m"))
+      .withColumn("pdot", expr(
+        "aggregate(zip_with(qv, cw, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .select(col("q_id"), col("m"), col("cent_id"), col("pdot"))
+    val byScore = Window.partitionBy("q_id")
+      .orderBy(col("score_adc").desc, col("vec_id").asc)
+    codes.join(broadcast(adc), Seq("m", "cent_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(expr("CAST(sum(pdot) AS BIGINT)").as("score_adc"))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "score_adc")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** PQ RECALL CONTRACT — recall@k of the 32×-compressed ADC search
+    * against the exact brute-force answer over the same probes: the
+    * number that decides whether the compression is usable, gated like
+    * [[ivfMultiQueryRecall]] (same exact-integer division, both engines
+    * compute the identical double). */
+  def pqRecall(spark: SparkSession, dir: String,
+               probeBound: Long = 8L, k: Int = 5): DataFrame = {
+    val pq = pqTopK(spark, dir, probeBound, k).select("q_id", "vec_id")
+    val brute = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    pq.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+      .agg(count(lit(1)).as("n_hits_total"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("n_queries"), col("n_hits_total"),
+        (col("n_hits_total").cast("double") / (col("n_queries") * k)).as("mean_recall"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_pq_topk"        -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "sim_pq_recall"      -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "sim_knn_classify"   -> ((s: SparkSession, d: String) => knnClassify(s, d)),
     "sim_centroid_labels" -> centroidPerLabel _,
     "sim_ann_topk"       -> annBruteForceTopK _,
@@ -1067,6 +1145,41 @@ object Similarity {
     s"""WITH ${annMultiVecCtes(20)}
          SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
+  /** Closed-form PQ index replay (sampled codebooks, integer L2 codes,
+    * integer ADC) — shared by the top-k oracle and the recall gate. */
+  private lazy val pqCoreSql: String =
+    """WITH mv AS (
+           SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mv
+           FROM embeddings),
+         dims AS (SELECT len(mv) // 4 AS sl FROM mv LIMIT 1),
+         sub AS (SELECT v.vec_id, u.m,
+                        list_slice(v.mv, u.m * s.sl + 1, (u.m + 1) * s.sl) AS sv
+                 FROM mv v, (SELECT unnest(range(4)) AS m) u, dims s),
+         cb AS (SELECT vec_id AS cent_id, m, sv AS cw FROM sub
+                WHERE vec_id BETWEEN 1 AND 16),
+         l2 AS (SELECT s.vec_id, s.m, c.cent_id,
+                  list_sum(list_transform(range(1, len(s.sv) + 1),
+                    i -> (s.sv[i] - c.cw[i]) * (s.sv[i] - c.cw[i]))) AS dist
+                FROM sub s JOIN cb c ON s.m = c.m),
+         codes AS (SELECT vec_id, m, cent_id FROM (
+                     SELECT vec_id, m, cent_id, row_number() OVER
+                       (PARTITION BY vec_id, m ORDER BY dist ASC, cent_id ASC) AS rn
+                     FROM l2) WHERE rn = 1),
+         adc AS (SELECT s.vec_id AS q_id, s.m, c.cent_id,
+                   list_sum(list_transform(range(1, len(s.sv) + 1),
+                     i -> s.sv[i] * c.cw[i])) AS pdot
+                 FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 8),
+         sc AS (SELECT a.q_id, co.vec_id, CAST(sum(a.pdot) AS BIGINT) AS score_adc
+                FROM codes co JOIN adc a ON co.m = a.m AND co.cent_id = a.cent_id
+                WHERE co.vec_id <> a.q_id
+                GROUP BY 1, 2),
+         r AS (SELECT q_id, vec_id, score_adc,
+                 CAST(row_number() OVER (PARTITION BY q_id
+                   ORDER BY score_adc DESC, vec_id ASC) AS BIGINT) AS rnk
+               FROM sc)
+         SELECT q_id, rnk, vec_id, score_adc FROM r WHERE rnk <= 5"""
+
   val oracles: Map[String, String] = Map(
     // same round(x·1000) milli quantization; `//` truncates toward zero
     // in DuckDB exactly like Spark's `div` (matters for negative sums)
@@ -1134,6 +1247,22 @@ object Similarity {
     // assigned at query time — so it shares the multiquery oracle too
     "sim_ivf_incremental" -> ivfMultiOracle,
     "sim_ann_multiquery" -> annMultiOracle,
+    // closed-form PQ replay: same sampled codebooks, integer L2
+    // assignment, integer ADC partial dots (1-based list indexing)
+    "sim_pq_topk" -> s"$pqCoreSql ORDER BY q_id, rnk",
+    // PQ vs the independent brute-force CTEs at the same probe bound
+    "sim_pq_recall" ->
+      s"""WITH brute AS (
+           WITH ${annMultiVecCtes(8)}
+           SELECT q_id, vec_id FROM vr WHERE rnk <= 5),
+         pq AS ($pqCoreSql),
+         nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 8),
+         h AS (SELECT count(*) AS n_hits FROM pq p
+               JOIN brute b ON p.q_id = b.q_id AND p.vec_id = b.vec_id)
+         SELECT (SELECT n_queries FROM nq) AS n_queries,
+                (SELECT n_hits FROM h) AS n_hits_total,
+                CAST((SELECT n_hits FROM h) AS DOUBLE)
+                  / ((SELECT n_queries FROM nq) * 5) AS mean_recall""",
     // same brute-force neighbor CTEs at k=10, then the identical
     // deterministic majority vote and true-label join
     "sim_knn_classify" ->

@@ -10,6 +10,59 @@ class FeatureOpsSpec extends AnyFunSuite {
   lazy val spark = graft.Sessions.local("4", "graft-featureops-test")
   private val dir = "/root/testdata/sf0.001"
 
+  test("rel_skyline_pareto matches the quadratic dominance test; equal " +
+    "points co-survive") {
+    val per = graft.sources.Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val brute = per.filter { case (_, n, s) =>
+      !per.exists { case (_, n2, s2) =>
+        n2 >= n && s2 >= s && (n2 > n || s2 > s)
+      }
+    }.map(_._1).toSet
+    val got = Relational.skylineCustomers(spark, dir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got.nonEmpty)
+    assert(got === brute)
+  }
+
+  test("sim_pq_topk: every vector carries exactly 4 codes in [1,16] and the " +
+    "ADC scores reconstruct from the code + lookup tables") {
+    // reconstruct one query's scores from first principles on collected data
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toVector
+        .map(f => math.round(f.toDouble * 1000.0))).toMap
+    val sl = vecs.head._2.length / 4
+    def sub(v: Vector[Long], m: Int) = v.slice(m * sl, (m + 1) * sl)
+    val cb = (1L to 16L).map(c => c -> vecs(c)).toMap
+    def codeOf(v: Vector[Long], m: Int): Long =
+      (1L to 16L).minBy(c => {
+        val d = sub(v, m).zip(sub(cb(c), m)).map { case (x, y) => (x - y) * (x - y) }.sum
+        (d, c)
+      })
+    def adcScore(q: Vector[Long], v: Vector[Long]): Long =
+      (0 until 4).map { m =>
+        val c = codeOf(v, m)
+        sub(q, m).zip(sub(cb(c), m)).map { case (x, y) => x * y }.sum
+      }.sum
+    val got = Similarity.pqTopK(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    assert(got.nonEmpty)
+    got.foreach { case ((q, v), score) =>
+      assert(score === adcScore(vecs(q), vecs(v)), s"q=$q v=$v")
+    }
+  }
+
+  test("sim_pq_recall: compressed search recalls a sane fraction of the " +
+    "exact answer (> 0, <= 1)") {
+    val r = Similarity.pqRecall(spark, dir).collect().head
+    val recall = r.getDouble(2)
+    assert(recall > 0.0 && recall <= 1.0, s"recall $recall")
+  }
+
   test("sim_knn_classify: the vote over the (separately oracle-gated) " +
     "neighbor lists matches a sequential recount") {
     val nbrs = Similarity.annMultiQueryTopK(spark, dir, 20L, 10).collect()

@@ -515,6 +515,28 @@ class PlanSpec extends AnyFunSuite {
       s"df join must stay equi-join:\n${plan.take(3000)}")
   }
 
+  test("skyline: one corpus shuffle (the per-entity agg), frontier " +
+       "broadcasts back, window runs over the distinct-x table") {
+    val plan = planOf(Relational.skylineCustomers(spark, dir))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"frontier must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+    // corpus agg + the (tiny) per-x agg — no third corpus shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected <=2 hash exchanges, got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("pq: codebook and ADC tables broadcast; encoding joins on the " +
+       "subspace key with no cartesian") {
+    val plan = planOf(Similarity.pqTopK(spark, dir))
+    assert(plan.contains("BroadcastExchange"),
+      s"codebook must broadcast:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"ADC sum must combine map-side:\n${plan.take(3000)}")
+  }
+
   test("knn classify: probe table broadcasts (one corpus pass), vote " +
        "aggregate partial+final, no cartesian") {
     val plan = planOf(Similarity.knnClassify(spark, dir))
