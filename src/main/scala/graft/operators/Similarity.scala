@@ -806,27 +806,46 @@ object Similarity {
     * natural [[graft.sources.IndexStore]] artifact if build cost ever
     * dominates (cf. sim_ivf_persisted). */
   def pqTopK(spark: SparkSession, dir: String,
-             probeBound: Long = 8L, k: Int = 5): DataFrame = {
-    val mv = Tables.embeddings(spark, dir).select(col("vec_id"), expr(
-      "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("mv"))
-    val subs = mv.select(col("vec_id"), explode(expr(
+             probeBound: Long = 8L, k: Int = 5): DataFrame =
+    pqAdcServe(spark, dir, pqCodesOf(spark, dir), probeBound, k)
+
+  /** Per-subspace milli subvectors of every embedding. */
+  private def pqSubs(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))").as("mv"))
+      .select(col("vec_id"), explode(expr(
         """transform(sequence(0, 3), m -> named_struct(
           |  'm', m,
           |  'sv', slice(mv, m * (size(mv) div 4) + 1, size(mv) div 4)))""".stripMargin)).as("s"))
       .select(col("vec_id"), col("s.m").as("m"), col("s.sv").as("sv"))
-    val codebook = subs.filter(col("vec_id") >= 1 && col("vec_id") <= 16)
+
+  /** Sampled codebooks: the subvectors of vec_id 1..16 per subspace. */
+  private def pqCodebook(spark: SparkSession, dir: String): DataFrame =
+    pqSubs(spark, dir).filter(col("vec_id") >= 1 && col("vec_id") <= 16)
       .select(col("vec_id").as("cent_id"), col("m"), col("sv").as("cw"))
+
+  /** ENCODE: each vector's nearest codeword per subspace (integer L2,
+    * ties → lower cent_id) — the 4-int/vector PQ code table. */
+  private[operators] def pqCodesOf(spark: SparkSession, dir: String): DataFrame = {
     val byDist = Window.partitionBy("vec_id", "m")
       .orderBy(col("l2").asc, col("cent_id").asc)
-    val codes = subs.join(broadcast(codebook), "m")
+    pqSubs(spark, dir).join(broadcast(pqCodebook(spark, dir)), "m")
       .withColumn("l2", expr(
         "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)), 0L, (acc, v) -> acc + v)"))
       .withColumn("rn", row_number().over(byDist))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("m"), col("cent_id"))
-    val adc = subs.filter(col("vec_id") < probeBound)
+  }
+
+  /** SERVE: integer ADC scoring of a codes table (inline or persisted)
+    * against the probe queries — the corpus embeddings are only read
+    * for the probes' own subvectors. */
+  private def pqAdcServe(spark: SparkSession, dir: String, codes: DataFrame,
+                         probeBound: Long, k: Int): DataFrame = {
+    val adc = pqSubs(spark, dir).filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sv").as("qv"))
-      .join(broadcast(codebook), col("qm") === col("m"))
+      .join(broadcast(pqCodebook(spark, dir)), col("qm") === col("m"))
       .withColumn("pdot", expr(
         "aggregate(zip_with(qv, cw, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
       .select(col("q_id"), col("m"), col("cent_id"), col("pdot"))
@@ -840,6 +859,20 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "score_adc")
       .orderBy("q_id", "rnk")
+  }
+
+  /** PERSISTED PQ serving — the codes table built once per corpus via
+    * [[graft.sources.IndexStore]] (bucketed by vec_id, the 4-int rows
+    * that ARE the index — ~32× smaller than the embeddings) and every
+    * query thereafter scored off the stored table: zero encode work at
+    * query time, the same build-once lifecycle as the IVF/SQ8/BM25
+    * indexes. Row-identical to [[pqTopK]], shared oracle. */
+  def pqPersisted(spark: SparkSession, dir: String,
+                  probeBound: Long = 8L, k: Int = 5): DataFrame = {
+    val key = graft.sources.IndexStore.keyOf(dir)
+    val codes = graft.sources.IndexStore.orBuild(
+      spark, s"pq_codes_$key", 8, Seq("vec_id"))(pqCodesOf(spark, dir))
+    pqAdcServe(spark, dir, codes, probeBound, k)
   }
 
   /** PQ RECALL CONTRACT — recall@k of the 32×-compressed ADC search
@@ -864,6 +897,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk"        -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "sim_pq_persisted"   -> ((s: SparkSession, d: String) => pqPersisted(s, d)),
     "sim_pq_recall"      -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "sim_knn_classify"   -> ((s: SparkSession, d: String) => knnClassify(s, d)),
     "sim_centroid_labels" -> centroidPerLabel _,
@@ -1250,6 +1284,8 @@ object Similarity {
     // closed-form PQ replay: same sampled codebooks, integer L2
     // assignment, integer ADC partial dots (1-based list indexing)
     "sim_pq_topk" -> s"$pqCoreSql ORDER BY q_id, rnk",
+    // the persisted path serves the SAME codes — shared oracle
+    "sim_pq_persisted" -> s"$pqCoreSql ORDER BY q_id, rnk",
     // PQ vs the independent brute-force CTEs at the same probe bound
     "sim_pq_recall" ->
       s"""WITH brute AS (

@@ -537,6 +537,17 @@ class PlanSpec extends AnyFunSuite {
       s"ADC sum must combine map-side:\n${plan.take(3000)}")
   }
 
+  test("pq persisted: serving reads the stored code table — the encode " +
+       "ranking window is gone, only the per-query ranking remains") {
+    Similarity.pqPersisted(spark, dir).collect() // ensure built
+    val plan = planOf(Similarity.pqPersisted(spark, dir))
+    val windows = "Window ".r.findAllIn(plan).length
+    assert(windows == 1,
+      s"expected only the final ranking window, got $windows:\n${plan.take(3000)}")
+    assert(!plan.toLowerCase.contains("zip_with(sv"),
+      s"no L2 encode work at serve time:\n${plan.take(3000)}")
+  }
+
   test("knn classify: probe table broadcasts (one corpus pass), vote " +
        "aggregate partial+final, no cartesian") {
     val plan = planOf(Similarity.knnClassify(spark, dir))
