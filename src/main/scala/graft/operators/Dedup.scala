@@ -140,7 +140,7 @@ object Dedup {
     * table: docs sharing any band bucket. Join is on (band, bucket) —
     * shuffle-bounded, no cross product (and exchange-free when the
     * bands come from a persisted bucketed table). */
-  private def lshPairsFromBands(bands: DataFrame): DataFrame = {
+  private[operators] def lshPairsFromBands(bands: DataFrame): DataFrame = {
     val l = bands.select(col("doc_id").as("doc_a"), col("band"), col("bucket"))
     val r = bands.select(col("doc_id").as("doc_b"), col("band"), col("bucket"))
     l.join(r, Seq("band", "bucket"))
@@ -154,6 +154,35 @@ object Dedup {
     * the dir-based queries read the persisted band tables instead. */
   private def lshPairsOf(docs: DataFrame): DataFrame =
     lshPairsFromBands(minhashBandsOf(docs))
+
+  /** CONNECTIVITY pairs from a band table: per (band, bucket) STAR —
+    * every member links to the bucket's minimum doc_id instead of to
+    * every other member. A bucket is one connected blob under either
+    * encoding, so the transitive closure (and therefore every
+    * connected-components group downstream) is IDENTICAL to the
+    * all-pairs clique — at (n−1) edges per bucket instead of C(n,2).
+    * That linearizes the one genuinely quadratic term left in the
+    * suite: a near-dup family of k variants (the 100× stress corpus
+    * plants ~replicas variants of every document's final paragraph —
+    * r7 verdict #5, dd_paragraph_dedup 111× at 100× data) lands in one
+    * bucket and cost k²/2 pair rows per band. GROUP pipelines use this;
+    * pair-LISTING queries keep [[lshPairsFromBands]] — emitting the
+    * full candidate set IS their contract. The window shuffles on
+    * (band, bucket), the persisted band tables' bucketing key, so off a
+    * stored index it is exchange-free. */
+  private[operators] def lshStarPairsFromBands(bands: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bands
+      .withColumn("hub",
+        min(col("doc_id")).over(Window.partitionBy("band", "bucket")))
+      .filter(col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** [[lshStarPairsFromBands]] of any (doc_id, text) frame. */
+  private def lshStarPairsOf(docs: DataFrame): DataFrame =
+    lshStarPairsFromBands(minhashBandsOf(docs))
 
   /** MinHash+LSH near-dup candidate pairs over the documents table,
     * served from the persisted doc-level band index. */
@@ -559,7 +588,9 @@ object Dedup {
     // reps and it can be unpersisted here rather than leaking cached
     // blocks for the session lifetime.
     val reps = repsOf(docs).persist()
-    val out = dedupGroupsWithPairs(docs, lshPairsOf(reps.select("doc_id", "text")),
+    // star pairs: identical components, linear (not quadratic) in LSH
+    // bucket width — see lshStarPairsFromBands
+    val out = dedupGroupsWithPairs(docs, lshStarPairsOf(reps.select("doc_id", "text")),
       checkpointDir)
     reps.unpersist()
     out
@@ -598,7 +629,7 @@ object Dedup {
   private[graft] def groupsTable(spark: SparkSession, dir: String): DataFrame =
     IndexStore.orBuild(spark, s"dd_groups_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
       dedupGroupsWithPairs(Tables.documents(spark, dir),
-        lshPairsFromBands(repBandsTable(spark, dir))))
+        lshStarPairsFromBands(repBandsTable(spark, dir))))
 
   /** [[dedupGroupsOf]] over the documents table, served from the
     * persisted group-label index ([[groupsTable]]). */
@@ -623,7 +654,7 @@ object Dedup {
         repsOf(docs))
       val bands = IndexStore.orBuild(spark, s"${prefix}_bands", 32, Seq("band", "bucket"))(
         minhashBandsOf(reps.select("doc_id", "text")))
-      dedupGroupsWithPairs(docs, lshPairsFromBands(bands), checkpointDir)
+      dedupGroupsWithPairs(docs, lshStarPairsFromBands(bands), checkpointDir)
     }).select("doc_id", "group_id", "group_size", "is_canonical")
 
   // ---------------------------------------------- paragraph-level dedup
@@ -710,15 +741,22 @@ object Dedup {
       .orderBy("doc_id")
 
   /** [[paragraphDedupOf]] over 25-token spans of the documents table,
-    * with the paragraph-level reps + band tables persisted via
-    * [[IndexStore]] — the span-granularity mirror of the doc-level
-    * index lifecycle: the shingle/signature pass over every span runs
-    * once per corpus, not once per query run. */
+    * with the full index lifecycle: the paragraph reps/band/group
+    * tables persist via [[dedupGroupsPersisted]] (the shingle/signature
+    * pass and the components fixpoint run once per corpus), and the
+    * final per-document ACCOUNTING persists too — it is the artifact
+    * consumers actually read, and deriving it inline re-splits every
+    * document into spans and re-joins the span-length frame on every
+    * query run, which at 100× data made the serve path the suite's one
+    * superlinear query (r7 verdict #5). Served, this is a bucketed read. */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
     val mult = 100000L
-    val pid = pidFrameOf(paragraphs(Tables.documents(spark, dir)), mult)
-    paragraphAccounting(pid,
-      dedupGroupsPersisted(spark, s"dd_para_${IndexStore.keyOf(dir)}", pid), mult)
+    val key = IndexStore.keyOf(dir)
+    IndexStore.orBuild(spark, s"dd_paraacct_$key", 32, Seq("doc_id"))({
+      val pid = pidFrameOf(paragraphs(Tables.documents(spark, dir)), mult)
+      paragraphAccounting(pid,
+        dedupGroupsPersisted(spark, s"dd_para_$key", pid), mult)
+    }).orderBy("doc_id")
   }
 
   // ---------------------------------------------- repeated-span removal

@@ -221,9 +221,13 @@ object Maintenance {
         when(col("in_new").isNull, lit("D"))
           .when(col("in_old").isNull, lit("I"))
           .otherwise(lit("U")))
+      // null-SAFE inequality (<=> negated): a NULL→value or value→NULL
+      // attribute change on a key present in both snapshots must emit a
+      // 'U', not evaluate to NULL and silently drop from the feed
+      // (ADVICE r7 — plain =!= loses exactly those rows)
       .filter(col("in_new").isNull || col("in_old").isNull ||
-        col("old_acctbal") =!= col("new_acctbal") ||
-        col("old_segment") =!= col("new_segment"))
+        !(col("old_acctbal") <=> col("new_acctbal")) ||
+        !(col("old_segment") <=> col("new_segment")))
       .select(col("key").as("c_custkey"), col("op"),
         col("old_acctbal"), col("new_acctbal"),
         col("old_segment"), col("new_segment"))
@@ -382,7 +386,8 @@ object Maintenance {
                 old_acctbal, new_acctbal, old_segment, new_segment
          FROM j
          WHERE NOT in_new OR NOT in_old
-            OR old_acctbal <> new_acctbal OR old_segment <> new_segment
+            OR old_acctbal IS DISTINCT FROM new_acctbal
+            OR old_segment IS DISTINCT FROM new_segment
          ORDER BY c_custkey, op""",
     // the oracle rebuilds the identical history (the rel_scd2_history
     // CTEs) and applies the raw interval predicate

@@ -109,6 +109,15 @@ object Formats {
       StructField("text", StringType)))
     spark.read.schema(schema)
       .option("header", "true").option("escape", "\"")
+      // multiLine: a quoted text cell containing a newline is ONE record
+      // — without it the reader splits the record mid-field (ADVICE r7;
+      // current testdata has no embedded newlines, but this operator is
+      // the adversarial CSV-fidelity proof, so the read path must cover
+      // the full quoted-content space the RFC-4180 writer can emit).
+      // emptyValue pinned so an empty-string text reads back as '' (and
+      // md5('')), not NULL.
+      .option("multiLine", "true")
+      .option("emptyValue", "")
       .csv(csvMirror(spark, dir))
       .select(col("doc_id"), col("lang"), md5(col("text")).as("text_md5"))
       .orderBy("doc_id")

@@ -1,5 +1,7 @@
 package graft.sources
 
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Read-or-build persistence for derived "index" tables — the build-once
@@ -11,12 +13,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * `orBuild` resolves in three steps, cheapest first:
   *  1. session-catalog hit → zero work, read the stored bucketed table;
-  *  2. catalog miss but the table's files exist on disk with a matching
-  *     `_graft_meta.json` sidecar (buckets + keys recorded at build
-  *     time) → re-REGISTER the existing files as an external bucketed
-  *     table (`CREATE TABLE … CLUSTERED BY … LOCATION`) — metadata-only,
-  *     the build closure is never evaluated, so "build once" holds
-  *     ACROSS sessions, not just within one;
+  *  2. catalog miss but the table's files exist on storage with a
+  *     matching `_graft_meta.json` sidecar (buckets + keys recorded at
+  *     build time) → re-REGISTER the existing files as an external
+  *     bucketed table (`CREATE TABLE … CLUSTERED BY … LOCATION`) —
+  *     metadata-only, the build closure is never evaluated, so "build
+  *     once" holds ACROSS sessions, not just within one;
   *  3. neither → build the frame, write it bucketed
   *     ([[Bucketing.writeBucketed]] — the bucketing rides into every
   *     downstream join/agg on the key columns), register it, and drop
@@ -28,8 +30,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * key set changed between code versions) fails the match and the index
   * is rebuilt — a stale layout can degrade to a rebuild, never to wrong
   * bucketing metadata.
+  *
+  * All storage probing goes through the Hadoop [[FileSystem]] API (the
+  * same pattern as [[Tables.footerRowCount]]), never `java.io.File`: a
+  * 100 TB corpus lives on HDFS/S3, where a local-FS probe would (a)
+  * silently degenerate `keyOf` to path-only keying — the exact staleness
+  * bug the inventory exists to prevent — and (b) never match a sidecar,
+  * forcing a full rebuild every session (r7 verdict #3).
   */
 object IndexStore {
+
+  /** Hadoop conf of the active session (so `fs.defaultFS`,
+    * object-store credentials, etc. apply); a bare [[Configuration]]
+    * only when no session is active (tests constructing keys early). */
+  private def hadoopConf: Configuration =
+    SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
 
   /** Stable index-table key for a corpus directory: path PLUS the
     * directory's file inventory (name, length, mtime per file). Now that
@@ -39,13 +56,18 @@ object IndexStore {
     * changed inventory changes the key, orphaning the old index and
     * forcing a rebuild; the equivalent of a catalog's table version.
     * Listing a directory is metadata-only (no data read), negligible
-    * against any index build or scan. */
+    * against any index build or scan. Listing goes through the Hadoop
+    * [[FileSystem]] so the inventory is real on HDFS/S3 paths too. */
   def keyOf(dir: String): String = {
-    val f = new java.io.File(dir)
     val inventory =
-      if (!f.isDirectory) ""
-      else f.listFiles().sortBy(_.getName)
-        .map(x => s"${x.getName}:${x.length}:${x.lastModified}").mkString("|")
+      try {
+        val p = new Path(dir)
+        val fs = p.getFileSystem(hadoopConf)
+        if (!fs.getFileStatus(p).isDirectory) ""
+        else fs.listStatus(p).sortBy(_.getPath.getName)
+          .map(x => s"${x.getPath.getName}:${x.getLen}:${x.getModificationTime}")
+          .mkString("|")
+      } catch { case scala.util.control.NonFatal(_) => "" }
     java.security.MessageDigest.getInstance("MD5")
       .digest(s"$dir#$inventory".getBytes("UTF-8"))
       .map("%02x".format(_)).mkString.take(12)
@@ -54,40 +76,60 @@ object IndexStore {
   private def metaJson(buckets: Int, keys: Seq[String]): String =
     s"""{"buckets":$buckets,"keys":"${keys.mkString(",")}"}"""
 
+  /** Where index tables live: `SPARK_GRAFT_INDEX_ROOT` (any
+    * Hadoop-recognized URI — hdfs://, s3a://, file:) or the local
+    * `target/index` default. */
+  private def indexRoot: String =
+    sys.env.getOrElse("SPARK_GRAFT_INDEX_ROOT",
+      new java.io.File("target/index").getAbsolutePath)
+
   /** Metadata-only re-registration of previously-built index files.
-    * Underscore-prefixed sidecars are invisible to the parquet scan. */
-  private def registerExisting(spark: SparkSession, name: String, path: String,
-                               buckets: Int, keys: Seq[String]): Boolean =
+    * Underscore-prefixed sidecars are invisible to the parquet scan.
+    * Probes via the Hadoop [[FileSystem]], so cross-session build-once
+    * holds on object-store index roots, not just local disk. */
+  private def registerExisting(spark: SparkSession, name: String, path: Path,
+                               fs: FileSystem, buckets: Int, keys: Seq[String]): Boolean =
     try {
-      val meta    = new java.io.File(path, "_graft_meta.json")
-      val success = new java.io.File(path, "_SUCCESS")
-      if (!meta.exists() || !success.exists()) false
-      else if (new String(java.nio.file.Files.readAllBytes(meta.toPath), "UTF-8").trim
-                 != metaJson(buckets, keys)) false
+      val meta    = new Path(path, "_graft_meta.json")
+      val success = new Path(path, "_SUCCESS")
+      if (!fs.exists(meta) || !fs.exists(success)) false
       else {
-        val schema = spark.read.parquet(path).schema
-        val ks = keys.map(k => s"`$k`").mkString(", ")
-        spark.sql(
-          s"""CREATE TABLE `$name` (${schema.toDDL}) USING parquet
-             |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS
-             |LOCATION '$path'""".stripMargin)
-        true
+        val in = fs.open(meta)
+        val bytes =
+          try {
+            val out = new java.io.ByteArrayOutputStream()
+            org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, false)
+            out.toByteArray
+          } finally in.close()
+        if (new String(bytes, "UTF-8").trim != metaJson(buckets, keys)) false
+        else {
+          val schema = spark.read.parquet(path.toString).schema
+          val ks = keys.map(k => s"`$k`").mkString(", ")
+          spark.sql(
+            s"""CREATE TABLE `$name` (${schema.toDDL}) USING parquet
+               |CLUSTERED BY ($ks) SORTED BY ($ks) INTO $buckets BUCKETS
+               |LOCATION '${path.toString}'""".stripMargin)
+          true
+        }
       }
     } catch { case scala.util.control.NonFatal(_) => false }
 
   /** The catalog-or-disk-or-build read: returns `name` as a DataFrame,
     * building and persisting it (bucketed by `keys` into `buckets`) only
     * when no session has built it before. */
-  def orBuild(spark: SparkSession, name: String, buckets: Int, keys: Seq[String])
+  def orBuild(spark: SparkSession, name: String, buckets: Int, keys: Seq[String],
+              root: String = indexRoot)
              (build: => DataFrame): DataFrame = {
     if (!spark.catalog.tableExists(name)) {
-      val path = new java.io.File(s"target/index/$name").getAbsolutePath
-      if (!registerExisting(spark, name, path, buckets, keys)) {
-        Bucketing.writeBucketed(build, name, path, buckets, keys)
-        try java.nio.file.Files.write(
-          java.nio.file.Paths.get(path, "_graft_meta.json"),
-          metaJson(buckets, keys).getBytes("UTF-8"))
-        catch { case scala.util.control.NonFatal(_) => () }
+      val path = new Path(root, name)
+      val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!registerExisting(spark, name, path, fs, buckets, keys)) {
+        Bucketing.writeBucketed(build, name, path.toString, buckets, keys)
+        try {
+          val out = fs.create(new Path(path, "_graft_meta.json"), true)
+          try out.write(metaJson(buckets, keys).getBytes("UTF-8"))
+          finally out.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
       }
     }
     spark.table(name)

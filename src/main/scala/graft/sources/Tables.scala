@@ -31,8 +31,9 @@ object Tables {
     *    numeric time axis (range joins, sessionize) without per-row
     *    timestamp arithmetic.
     * The NTZ→timestamp cast is value-preserving ONLY because the session
-    * time zone is pinned to UTC ([[graft.Sessions]]); if that pin ever
-    * moves, this cast would silently shift wall-clock values.
+    * time zone is pinned to UTC ([[graft.Sessions]]); the reader REQUIRES
+    * that pin and fails fast under any other session zone rather than
+    * silently shifting wall-clock values.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -44,6 +45,14 @@ object Tables {
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case _ => // TIMESTAMP_NTZ / TIMESTAMP (micros)
+        // The NTZ→timestamp cast below is value-preserving ONLY under a
+        // UTC session zone; fail fast rather than silently shift every
+        // wall-clock value if the pin ever moves (r7 verdict #4).
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events requires spark.sql.session.timeZone=UTC (got '$tz'): " +
+            "the TIMESTAMP_NTZ ts column is cast to session-TZ timestamp and any " +
+            "other zone silently shifts wall-clock values")
         raw
           .withColumn("ts_ns", unix_micros(col("ts").cast("timestamp")) * lit(1000L))
           .withColumn("ts", col("ts").cast("timestamp"))

@@ -457,8 +457,11 @@ object Streams {
     * seen) — O(1) forever; the downstream consumer aggregates steps into
     * the matrix with an ordinary streaming groupBy count, so matrix
     * maintenance never replays history. Per-batch rows fold in
-    * event-time order like every mirror here; under event-time-ordered
-    * arrival the emitted step multiset equals the batch lead-pair set. */
+    * event-time order like every mirror here; for STRICTLY-INCREASING
+    * per-user timestamps the emitted step multiset equals the batch
+    * lead-pair set (the batch operator tie-breaks equal timestamps on
+    * event_id, which [[Event]] does not carry — equal-ts events per user
+    * may order differently here). */
   def transitionsStream(events: Dataset[Event])
                        (implicit spark: SparkSession): Dataset[TransStep] = {
     import spark.implicits._
@@ -488,10 +491,11 @@ object Streams {
     * seen STRICTLY BEFORE it. State per user is one (ts, type) pair —
     * O(1) forever, no event log retained (the windowed-join alternative
     * holds `watermark`-worth of both streams). Each batch folds its
-    * group's rows in event-time order, so under event-time-ordered
-    * arrival the emitted rows equal the batch window query row-for-row;
-    * purchases before any touch emit NULL attribution exactly like the
-    * batch frame does. */
+    * group's rows in event-time order, so for STRICTLY-INCREASING
+    * per-user timestamps the emitted rows equal the batch window query
+    * row-for-row (equal-ts ties order by event_id in the batch operator
+    * but are unordered here — [[Event]] carries no id); purchases before
+    * any touch emit NULL attribution exactly like the batch frame does. */
   def lastTouchStream(events: Dataset[Event])
                      (implicit spark: SparkSession): Dataset[TouchOut] = {
     import spark.implicits._

@@ -84,6 +84,32 @@ class DedupGroupsSpec extends AnyFunSuite {
     assert(g1 == g2)
   }
 
+  test("star pairs from bands yield the exact same components as the all-pairs clique") {
+    // the scale fix for r7 verdict #5: group pipelines link each LSH
+    // bucket as a star to its min doc_id — (n−1) edges instead of
+    // C(n,2) — which must leave the transitive closure untouched. Random
+    // band tables with wide buckets are exactly the adversarial case.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 10) {
+      val nDocs = 5 + rnd.nextInt(40)
+      val rows = for {
+        d <- 0L until nDocs.toLong
+        band <- 0 to 1
+      } yield (d, band, rnd.nextInt(4).toLong) // few buckets → wide buckets
+      val bands = rows.toDF("doc_id", "band", "bucket")
+      val nodes = (0L until nDocs.toLong).toDF("node")
+      val viaClique = Dedup.connectedComponents(nodes, Dedup.lshPairsFromBands(bands))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaStar = Dedup.connectedComponents(nodes, Dedup.lshStarPairsFromBands(bands))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaStar == viaClique, s"trial $trial: star and clique components differ")
+      // and the star edge count is linear in bucket widths
+      val starEdges = Dedup.lshStarPairsFromBands(bands).count()
+      val widths = rows.groupBy(r => (r._2, r._3)).values.map(_.size)
+      assert(starEdges <= widths.map(w => math.max(0, w - 1)).sum)
+    }
+  }
+
   test("random graphs: components match a reference union-find (20 trials)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 20) {

@@ -118,6 +118,23 @@ class MaintenanceSpec extends AnyFunSuite {
       (1000077L, "I", None, Some(50.0), None, Some("ONBOARDED"))))
   }
 
+  test("cdc diff is null-safe: a NULL→value attribute change on a present key emits U") {
+    // regression for ADVICE r7: plain =!= makes the change predicate NULL
+    // for NULL-valued attributes and the row silently vanishes from the
+    // feed. Key 14 (%7) has NULL segment → 'MIGRATED' and NULL acctbal →
+    // NULL+100 = NULL: only a null-safe comparison keeps it in the feed.
+    val rows = Seq(
+      (14L, null.asInstanceOf[java.lang.Double], null.asInstanceOf[String]),
+      (2L, java.lang.Double.valueOf(5.0), "BUILDING")) // untouched
+      .toDF("c_custkey", "c_acctbal", "c_mktsegment")
+      .withColumn("c_name", concat(lit("Customer#"), col("c_custkey")))
+      .withColumn("c_nationkey", lit(1))
+    val got = Maintenance.cdcDiffOf(rows).collect()
+      .map(r => (r.getLong(0), r.getString(1), Option(r.getString(5))))
+    assert(got.toSeq == Seq((14L, "U", Some("MIGRATED"))),
+      s"NULL-attribute update must survive the change filter; got ${got.mkString(";")}")
+  }
+
   test("cdc round-trip: applying the feed to the old snapshot rebuilds the " +
     "new snapshot exactly (real table)") {
     val cust = graft.sources.Tables.customer(spark, "/root/testdata/sf0.01")

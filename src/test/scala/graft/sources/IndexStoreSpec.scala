@@ -52,6 +52,38 @@ class IndexStoreSpec extends AnyFunSuite {
       s"bucketed scan should satisfy the groupBy distribution; plan:\n${agg.queryExecution.executedPlan}")
   }
 
+  test("build-once holds on a file:-scheme Hadoop URI index root (object-store path shape)") {
+    // The 100 TB deployment stores indexes on HDFS/S3 — addressed by a
+    // Hadoop URI, not a local path. file:// exercises the same Hadoop
+    // FileSystem resolution, sidecar probe, and sidecar write code path
+    // that hdfs:// / s3a:// would take (r7 verdict #3).
+    val name = freshName()
+    val root = s"file://${new java.io.File("target/index_fsspec").getAbsolutePath}"
+    val first = IndexStore.orBuild(spark, name, 4, Seq("k"), root)(buildDf)
+    val firstRows = first.orderBy("id").collect().toSeq
+    spark.sql(s"DROP TABLE `$name`")
+    var rebuilt = false
+    val second = IndexStore.orBuild(spark, name, 4, Seq("k"), root) {
+      rebuilt = true; buildDf
+    }
+    assert(!rebuilt, "file:-scheme sidecar probe must re-register, not rebuild")
+    assert(second.orderBy("id").collect().toSeq == firstRows)
+  }
+
+  test("keyOf is inventory-sensitive through the Hadoop FileSystem on file:-scheme dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("idx_keyof").toFile
+    java.nio.file.Files.writeString(dir.toPath.resolve("a.parquet"), "x")
+    val uri = s"file://${dir.getAbsolutePath}"
+    val k1 = IndexStore.keyOf(uri)
+    java.nio.file.Files.writeString(dir.toPath.resolve("b.parquet"), "y")
+    val k2 = IndexStore.keyOf(uri)
+    assert(k1 != k2,
+      "an in-place corpus regeneration must change the key (stale-index guard), " +
+        "including when the corpus is addressed by a Hadoop URI")
+    // and the same dir addressed with vs without scheme sees the same inventory
+    assert(IndexStore.keyOf(dir.getAbsolutePath) != k1, "path string participates in the key")
+  }
+
   test("geometry drift (bucket count or keys) falls back to rebuild, not wrong metadata") {
     val name = freshName()
     IndexStore.orBuild(spark, name, 4, Seq("k"))(buildDf)

@@ -97,4 +97,22 @@ class SchemaCanarySpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq, s"legacy=${a.mkString(";")} ntz=${b.mkString(";")}")
     assert(a.map(_.getLong(2)).toSeq == micros.map(_ * 1000L))
   }
+
+  test("Tables.events fails fast when the session time zone is not UTC") {
+    // The NTZ→timestamp cast in Tables.events is value-preserving only
+    // under the UTC session pin; a moved pin must be a loud failure, not
+    // a silent wall-clock shift of every event (r7 verdict #4).
+    val before = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      val e = intercept[IllegalArgumentException] {
+        Tables.events(spark, "/root/testdata/sf0.001")
+      }
+      assert(e.getMessage.contains("timeZone"))
+    } finally spark.conf.set("spark.sql.session.timeZone", before)
+  }
+
+  test("session time zone is pinned to UTC") {
+    assert(spark.conf.get("spark.sql.session.timeZone") == "UTC")
+  }
 }
