@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.functions.{CorpusOps, TextAnalysis, TextFunctions}
+import graft.functions.{CorpusOps, TextAnalysis, TextFunctions, WebOps}
 import graft.operators.{Aggregations, Dedup, Graph, Maintenance, Multimodal, Relational, Sampling, Similarity, Skew, Windows}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -21,7 +21,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ Graph.queries ++ Maintenance.queries ++ Aggregations.queries ++ Windows.queries ++
-      TextFunctions.queries ++ TextAnalysis.queries ++ CorpusOps.queries ++
+      TextFunctions.queries ++ TextAnalysis.queries ++ CorpusOps.queries ++ WebOps.queries ++
       Dedup.queries ++ Similarity.queries ++ Multimodal.queries ++ Skew.queries ++ Sampling.queries ++
       graft.ig.SynthIg.queries
 
@@ -29,7 +29,7 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ Graph.oracles ++ Maintenance.oracles ++ Aggregations.oracles ++ Windows.oracles ++
-      TextFunctions.oracles ++ TextAnalysis.oracles ++ CorpusOps.oracles ++
+      TextFunctions.oracles ++ TextAnalysis.oracles ++ CorpusOps.oracles ++ WebOps.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ Multimodal.oracles ++ Skew.oracles ++ Sampling.oracles ++
       graft.ig.SynthIg.oracles
 }

@@ -78,6 +78,127 @@ object Graph {
         col("r").as("rank_micro"))
       .orderBy("s_suppkey")
 
+  /** CONVERGENCE-STOPPED integer PageRank — iterate until the integer
+    * dynamics stop changing instead of a fixed unrolled count (the
+    * variant [[pageRankOf]]'s doc sketches). Truncating integer
+    * dynamics settle into a fixed point OR a period-2 limit cycle
+    * (measured on this corpus: always the 2-cycle), so the stop rule is
+    * the lag-2 fixpoint `r_k == r_{k-2}` — well-defined on integers, no
+    * epsilon — and the emitted state is the elementwise
+    * `least(A, B)` of the two cycle states: invariant to which phase
+    * detection lands on, and equal to the fixpoint when one exists.
+    *
+    * Damping is 50/100 (teleport base 500000 keeps total mass at the
+    * same 1e6 micro-units): the stronger teleport term contracts the
+    * dynamics ~2× faster per step, entering the cycle in ~26 steps on
+    * this graph vs ~100 at 85/100 — the convergence machinery is the
+    * point of this operator; [[pageRankSuppliers]] keeps the standard
+    * 0.85 constant.
+    *
+    * Scale/lineage: each round advances TWO lazily-chained steps and
+    * `localCheckpoint`s the pair — lineage is bounded at two join-agg
+    * layers no matter how many rounds run (a convergence loop without
+    * the cadence re-derives the whole history each action), and the
+    * convergence probe is one join over two checkpointed rank tables.
+    * `maxIters` caps pathological graphs; the output stays the same
+    * deterministic least-of-last-two either way. */
+  def pageRankConvergedOf(edgesIn: DataFrame, maxIters: Int = 128): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg")).localCheckpoint()
+    def step(r: DataFrame): DataFrame =
+      edges.join(r, edges("src") === r("node"))
+        .join(deg, "src")
+        .select(col("dst"), expr("r div deg").as("contrib"))
+        .groupBy("dst")
+        .agg(expr("CAST(500000 + (50 * sum(contrib)) div 100 AS BIGINT)").as("r"))
+        .select(col("dst").as("node"), col("r"))
+    var cur = deg.select(col("src").as("node"), lit(1000000L).as("r")).localCheckpoint()
+    var nxt = step(cur).localCheckpoint()
+    var iters = 1
+    var converged = false
+    while (!converged && iters < maxIters) {
+      val nxt2 = step(nxt).localCheckpoint() // r_{k} with cur = r_{k-2}
+      // once inside the cycle the lag-2 equality holds at EVERY k, so
+      // checking on this cadence overshoots entry by at most one step
+      converged = nxt2.join(cur.withColumnRenamed("r", "r0"), "node")
+        .filter(col("r") =!= col("r0")).isEmpty
+      if (!converged) { cur = nxt; nxt = nxt2; iters += 1 }
+    }
+    cur.join(nxt.withColumnRenamed("r", "r1"), "node")
+      .select(col("node"), least(col("r"), col("r1")).as("r"))
+  }
+
+  /** [[pageRankConvergedOf]] over the trade graph, per-supplier ranks. */
+  def pageRankConvergedSuppliers(spark: SparkSession, dir: String): DataFrame =
+    pageRankConvergedOf(tradeEdges(spark, dir))
+      .filter(col("node") % 2 === 1)
+      .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
+        col("r").as("rank_micro"))
+      .orderBy("s_suppkey")
+
+  /** MULTI-SOURCE K-HOP REACHABILITY — frontier-expansion BFS from a
+    * bounded seed set (the "blast radius" primitive: how much of the
+    * trade network is within k hops of these suppliers). Seeds are the
+    * first `seeds` supplier nodes; per hop 1..`hops` emits how many NEW
+    * nodes each seed reached (classic BFS levels, so a node counts only
+    * at its first hop).
+    *
+    * Scale: each hop is ONE equi-join of the (seed, node) frontier
+    * against the checkpointed edge list on the node key, a distinct, and
+    * an anti-join against the visited set — all hash-partitioned on the
+    * same key. State is bounded by seeds × |V| (seeds is a small
+    * constant), and hop count is fixed, so lineage and shuffle count are
+    * both constants; localCheckpoint per hop keeps the plan flat exactly
+    * as [[pageRankOf]] does. A seed that reaches nothing new at hop h
+    * simply emits no row for that hop (identical on the oracle side —
+    * empty groups are absent, not zero). */
+  def khopReach(spark: SparkSession, dir: String, seeds: Int = 8, hops: Int = 3): DataFrame = {
+    val edges = tradeEdges(spark, dir).localCheckpoint()
+    val seed0 = spark.range(seeds.toLong)
+      .select((col("id") * 2 + 1).as("seed"))
+    var frontier = seed0.select(col("seed"), col("seed").as("node")).localCheckpoint()
+    var visited = frontier
+    val levels = (1 to hops).map { h =>
+      val next = frontier.join(edges, frontier("node") === edges("src"))
+        .select(col("seed"), col("dst").as("node"))
+        .distinct()
+        .join(visited, Seq("seed", "node"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
+      frontier = next
+      next.groupBy("seed").agg(count(lit(1)).as("n_new")).withColumn("hop", lit(h))
+    }
+    levels.reduce(_ unionAll _)
+      .select(expr("(seed - 1) div 2").cast("long").as("s_suppkey"),
+        col("hop"), col("n_new"))
+      .orderBy("s_suppkey", "hop")
+  }
+
+  /** CONNECTED COMPONENTS as a first-class graph operator — over the
+    * support-≥2 co-purchase graph (the ≥2 floor drops the long tail of
+    * one-off co-occurrences, leaving genuinely-associated parts; the raw
+    * graph at any scale is near-one-component and says nothing). Reuses
+    * the pointer-jumping label propagation the dedup families run
+    * ([[Dedup.connectedComponents]] — O(log n) rounds, two shuffles per
+    * round over the pair graph only), then collapses labels to the
+    * component inventory: (component_id = min part key, n_parts).
+    *
+    * The DuckDB oracle derives the same partition from first principles
+    * — a recursive-CTE transitive closure and min-reachable-id per node
+    * — so the gate proves the iterated pointer-jumping equivalent to the
+    * closure semantics it approximates in O(log n) rounds. */
+  def copurchaseComponents(spark: SparkSession, dir: String, minSupport: Int = 2): DataFrame = {
+    val pairs = copurchaseCounts(spark, dir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a").as("doc_a"), col("part_b").as("doc_b"))
+    val nodes = pairs.select(col("doc_a").as("node"))
+      .unionAll(pairs.select(col("doc_b").as("node"))).distinct()
+    Dedup.connectedComponents(nodes, pairs)
+      .groupBy(col("group_id").as("component_id"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("component_id")
+  }
+
   /** Market-basket pair counts: for every unordered part pair (a < b),
     * in how many distinct orders do both appear. The naive encoding is a
     * basket self-join (baskets ⋈ baskets on orderkey) — TWO shuffled
@@ -165,9 +286,43 @@ object Graph {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pagerank" -> ((s: SparkSession, d: String) => pageRankSuppliers(s, d)),
+    "rel_pagerank_converged" -> ((s: SparkSession, d: String) => pageRankConvergedSuppliers(s, d)),
     "rel_copurchase_topk" -> ((s: SparkSession, d: String) => copurchaseTopK(s, d)),
     "rel_triangle_count" -> ((s: SparkSession, d: String) => triangleCounts(s, d)),
+    "rel_khop_reach" -> ((s: SparkSession, d: String) => khopReach(s, d)),
+    "rel_connected_components" -> ((s: SparkSession, d: String) => copurchaseComponents(s, d)),
   )
+
+  /** Oracle for the converged variant: the identical integer iteration
+    * unrolled far PAST the measured cycle entry (~26 steps on this
+    * corpus; 60 gives >2× margin), emitting `least` of the last two
+    * states — once inside the period-≤2 cycle, (i60, i61) are exactly
+    * the two cycle states whatever the entry parity, so this equals the
+    * engine's convergence-stopped output without the oracle needing to
+    * know the entry iteration. Each step is `AS MATERIALIZED`: DuckDB
+    * inlines single-reference CTEs, and 61 chained inlines blow up its
+    * planner (>10 min vs 2 s materialized, measured at sf0.01). */
+  private def pagerankConvergedOracle: String = {
+    val steps = (1 to 61).map { i =>
+      val prev = if (i == 1) "r0" else s"i${i - 1}"
+      s"""i$i AS MATERIALIZED (SELECT e.dst AS node,
+            CAST(500000 + (50 * sum(r.r // d.deg)) // 100 AS BIGINT) AS r
+          FROM edges e JOIN $prev r ON e.src = r.node
+                       JOIN deg d ON e.src = d.src GROUP BY 1)"""
+    }.mkString(",\n         ")
+    s"""WITH be AS (
+          SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+          FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        edges AS (SELECT c AS src, s AS dst FROM be
+                  UNION ALL SELECT s, c FROM be),
+        deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+        r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
+        $steps
+        SELECT CAST((a.node - 1) // 2 AS BIGINT) AS s_suppkey,
+               least(a.r, b.r) AS rank_micro
+        FROM i60 a JOIN i61 b ON a.node = b.node
+        WHERE a.node % 2 = 1 ORDER BY s_suppkey"""
+  }
 
   val oracles: Map[String, String] = Map(
     // the identical integer power iteration, unrolled as three CTEs
@@ -193,6 +348,7 @@ object Graph {
                              JOIN deg d ON e.src = d.src GROUP BY 1)
          SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, r AS rank_micro
          FROM i3 WHERE node % 2 = 1 ORDER BY s_suppkey""",
+    "rel_pagerank_converged" -> pagerankConvergedOracle,
     // the oracle derives pair counts from the raw quadratic self-join —
     // proving the basket-explode encoding equivalent
     "rel_copurchase_topk" ->
@@ -219,6 +375,51 @@ object Graph {
                            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
          SELECT node AS p_partkey, count(*) AS n_triangles
          FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+         GROUP BY 1 ORDER BY 1""",
+    // BFS levels unrolled: per hop, EXCEPT against the union of all
+    // earlier levels (EXCEPT also dedups = the engine's distinct)
+    "rel_khop_reach" ->
+      """WITH be AS MATERIALIZED (
+           SELECT DISTINCT o.o_custkey * 2 AS c, l.l_suppkey * 2 + 1 AS s
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         edges AS MATERIALIZED (SELECT c AS src, s AS dst FROM be
+                                UNION ALL SELECT s, c FROM be),
+         f0 AS (SELECT (i * 2 + 1) AS seed, (i * 2 + 1) AS node
+                FROM range(8) AS t(i)),
+         f1 AS MATERIALIZED (
+           SELECT f.seed, e.dst AS node FROM f0 f JOIN edges e ON f.node = e.src
+           EXCEPT SELECT seed, node FROM f0),
+         f2 AS MATERIALIZED (
+           SELECT f.seed, e.dst AS node FROM f1 f JOIN edges e ON f.node = e.src
+           EXCEPT (SELECT seed, node FROM f0 UNION ALL SELECT seed, node FROM f1)),
+         f3 AS MATERIALIZED (
+           SELECT f.seed, e.dst AS node FROM f2 f JOIN edges e ON f.node = e.src
+           EXCEPT (SELECT seed, node FROM f0 UNION ALL SELECT seed, node FROM f1
+                   UNION ALL SELECT seed, node FROM f2))
+         SELECT CAST((seed - 1) // 2 AS BIGINT) AS s_suppkey, hop,
+                CAST(n_new AS BIGINT) AS n_new
+         FROM (SELECT seed, 1 AS hop, count(*) AS n_new FROM f1 GROUP BY 1
+               UNION ALL SELECT seed, 2, count(*) FROM f2 GROUP BY 1
+               UNION ALL SELECT seed, 3, count(*) FROM f3 GROUP BY 1)
+         ORDER BY s_suppkey, hop""",
+    // transitive closure from first principles (recursive CTE), then
+    // component id = min reachable node — proves the O(log n)
+    // pointer-jumping loop computes the same partition
+    "rel_connected_components" ->
+      """WITH RECURSIVE b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pc AS MATERIALIZED (
+           SELECT x.p AS part_a, y.p AS part_b
+           FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         edges AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pc
+                                UNION ALL SELECT part_b, part_a FROM pc),
+         nodes AS (SELECT DISTINCT src AS id FROM edges),
+         reach(a, b) AS (SELECT id, id FROM nodes
+                         UNION
+                         SELECT r.a, e.dst FROM reach r JOIN edges e ON r.b = e.src)
+         SELECT component_id, count(*) AS n_parts
+         FROM (SELECT a, min(b) AS component_id FROM reach GROUP BY a)
          GROUP BY 1 ORDER BY 1""",
   )
 }

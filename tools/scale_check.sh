@@ -34,6 +34,12 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-7 third-session additions: graph mining (k-NN-sparsified
   # triangles) and the corpus bigram LM — the session's two heaviest
   HEADLINE="$HEADLINE,rel_triangle_count,ta_bigram_lm_score"
+  # round-8 additions (VERDICT r7 ask #6): the round-7 flagships —
+  # skyline, PQ/ADC serving off the persisted code table, FK discovery
+  # over value dictionaries, blocked fuzzy ER, Benford audit — plus the
+  # round-8 raw-web front (per-domain URL accounting)
+  HEADLINE="$HEADLINE,rel_skyline_pareto,sim_pq_persisted,rel_fk_discovery"
+  HEADLINE="$HEADLINE,rel_fuzzy_blocking_join,agg_benford_prices,ta_url_filter"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
