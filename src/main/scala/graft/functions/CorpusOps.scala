@@ -424,9 +424,46 @@ object CorpusOps {
       .orderBy("threshold_ppm")
   }
 
+  /** CCNET PERPLEXITY BUCKETS — the canonical LM-quality partition:
+    * within each language, rank documents by how typical their word
+    * transitions are under the corpus-fit bigram model
+    * ([[bigramLmScoreOf]], integer ppm so the ranking is bit-stable)
+    * and split the ranking into equal thirds — head (most typical),
+    * middle, tail. CCNet trains on head+middle and drops or re-weights
+    * the tail; this emits the audit summary per (lang, bucket): doc
+    * count and the mean/min/max model score, the table the mix designer
+    * reads before choosing cut-offs.
+    *
+    * The rank order is (lm_ppm DESC, doc_id) — fully deterministic — and
+    * the split is ntile(3) over it, whose uneven-remainder placement
+    * (earlier buckets get the extra row) is the same in Spark and
+    * DuckDB. Scale: the LM scoring is the linear corpus pass the bigram
+    * operator already makes; the bucketing adds one per-lang window over
+    * doc-count-sized rows and a dimension-sized final aggregate. */
+  def pplBuckets(spark: SparkSession, dir: String): DataFrame =
+    pplBucketsOf(Tables.documents(spark, dir))
+
+  /** [[pplBuckets]] over any documents-shaped corpus (spec entry). */
+  def pplBucketsOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScoreOf(docs)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    val byTypicality = Window.partitionBy("lang")
+      .orderBy(col("lm_ppm").desc, col("doc_id").asc)
+    scored
+      .withColumn("bucket", ntile(3).over(byTypicality))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(lm_ppm) div count(1) AS BIGINT)").as("avg_ppm"),
+        min("lm_ppm").as("min_ppm"),
+        max("lm_ppm").as("max_ppm"))
+      .orderBy("lang", "bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_vocab_coverage"   -> vocabCoverage _,
     "ta_bigram_lm_score"  -> bigramLmScore _,
+    "ta_ppl_buckets"      -> pplBuckets _,
     "ta_decontaminate"    -> decontaminate _,
     "ta_dsir_weights"     -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "ta_repetition_stats" -> repetitionStats _,
@@ -490,6 +527,37 @@ object CorpusOps {
          FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
                  JOIN c1 ON bg.w1 = c1.w1
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    // the bigram scoring CTEs verbatim, then the same deterministic
+    // (lm_ppm DESC, doc_id) ntile(3) per language — Spark and DuckDB
+    // share the earlier-buckets-get-the-remainder ntile rule
+    "ta_ppl_buckets" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         uni AS (SELECT unnest(t) AS w1 FROM p),
+         c1 AS (SELECT w1, count(*) AS c1 FROM uni GROUP BY 1),
+         bg AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)), i -> t[i])) AS w1,
+                       unnest(list_transform(range(1, len(t)), i -> t[i + 1])) AS w2
+                FROM p WHERE len(t) >= 2),
+         c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         score AS (
+           SELECT bg.doc_id,
+                  CAST(sum(c2.c2 * 1000000 // c1.c1) // count(*) AS BIGINT) AS lm_ppm
+           FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+                   JOIN c1 ON bg.w1 = c1.w1
+           GROUP BY bg.doc_id),
+         ranked AS (
+           SELECT d.lang, s.lm_ppm,
+                  ntile(3) OVER (PARTITION BY d.lang
+                                 ORDER BY s.lm_ppm DESC, s.doc_id ASC) AS bucket
+           FROM score s JOIN documents d ON s.doc_id = d.doc_id)
+         SELECT lang, bucket, count(*) AS n_docs,
+                CAST(sum(lm_ppm) // count(*) AS BIGINT) AS avg_ppm,
+                min(lm_ppm) AS min_ppm, max(lm_ppm) AS max_ppm
+         FROM ranked GROUP BY 1, 2 ORDER BY lang, bucket""",
     // DSIR: same plant, same uni+bi feature space and md5-hex bucket as
     // the classifier oracle; the target model is re-derived IN SQL from
     // the same bench VALUES the Scala literal map derives from

@@ -152,11 +152,19 @@ object Graph {
     * as [[pageRankOf]] does. A seed that reaches nothing new at hop h
     * simply emits no row for that hop (identical on the oracle side —
     * empty groups are absent, not zero). */
-  def khopReach(spark: SparkSession, dir: String, seeds: Int = 8, hops: Int = 3): DataFrame = {
-    val edges = tradeEdges(spark, dir).localCheckpoint()
-    val seed0 = spark.range(seeds.toLong)
-      .select((col("id") * 2 + 1).as("seed"))
-    var frontier = seed0.select(col("seed"), col("seed").as("node")).localCheckpoint()
+  def khopReach(spark: SparkSession, dir: String, seeds: Int = 8, hops: Int = 3): DataFrame =
+    khopReachOf(tradeEdges(spark, dir),
+      spark.range(seeds.toLong).select((col("id") * 2 + 1).as("seed")), hops)
+      .select(expr("(seed - 1) div 2").cast("long").as("s_suppkey"),
+        col("hop"), col("n_new"))
+      .orderBy("s_suppkey", "hop")
+
+  /** [[khopReach]] core over any (src, dst) edge list and one-column
+    * `seed` node set (spec entry): (seed, hop, n_new), unordered. */
+  private[operators] def khopReachOf(edgesIn: DataFrame, seedsDf: DataFrame,
+                                     hops: Int): DataFrame = {
+    val edges = edgesIn.localCheckpoint()
+    var frontier = seedsDf.select(col("seed"), col("seed").as("node")).localCheckpoint()
     var visited = frontier
     val levels = (1 to hops).map { h =>
       val next = frontier.join(edges, frontier("node") === edges("src"))
@@ -169,9 +177,6 @@ object Graph {
       next.groupBy("seed").agg(count(lit(1)).as("n_new")).withColumn("hop", lit(h))
     }
     levels.reduce(_ unionAll _)
-      .select(expr("(seed - 1) div 2").cast("long").as("s_suppkey"),
-        col("hop"), col("n_new"))
-      .orderBy("s_suppkey", "hop")
   }
 
   /** CONNECTED COMPONENTS as a first-class graph operator — over the

@@ -273,7 +273,49 @@ object Maintenance {
       .orderBy("table_name")
   }
 
+  /** SMALL-FILE COMPACTION PLANNER — the OPTIMIZE/bin-packing step every
+    * parquet lake runs: given the table's file inventory, assign files
+    * to target-sized compaction groups and report what each rewrite
+    * touches. The inventory is modeled deterministically from the data
+    * (one "file" per ship-day, size = rows × 256 B fixed-width proxy —
+    * the per-day ingest layout an append pipeline produces); assignment
+    * is by cumulative byte offset in day order, `bin = cum_prev div
+    * target` — the same offset-range packing Spark's own file-scan
+    * coalescing uses, deterministic with no iteration.
+    *
+    * Scale: the corpus collapses to a dimension-sized file inventory in
+    * one partial-agg shuffle (|days| rows); the cumulative window runs
+    * over that inventory, not the data — the single-partition sort is
+    * bounded by days, exactly like [[graft.functions.CorpusOps
+    * .vocabCoverage]]'s frequency curve. Emits per bin: file count,
+    * total bytes, and the day range the rewrite covers. */
+  def compactionPlan(spark: SparkSession, dir: String,
+                     targetBytes: Long = 512L * 1024): DataFrame =
+    planFiles(
+      Tables.lineitem(spark, dir)
+        .groupBy(to_date(col("l_shipdate")).as("day"))
+        .agg((count(lit(1)) * 256L).as("bytes")),
+      targetBytes)
+
+  /** [[compactionPlan]] packing core over any (day, bytes) file
+    * inventory (spec entry). */
+  private[operators] def planFiles(files: DataFrame, targetBytes: Long): DataFrame = {
+    val byDay = Window.orderBy("day")
+    files
+      .withColumn("cum_prev", coalesce(
+        sum(col("bytes")).over(byDay.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("bin_id", expr(s"cum_prev div ${targetBytes}L"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("bytes")).as("total_bytes"),
+        min(col("day")).as("first_day"),
+        max(col("day")).as("last_day"))
+      .orderBy("bin_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_compaction_plan" -> ((s: SparkSession, d: String) => compactionPlan(s, d)),
     "rel_purge_cascade" -> purgeCascade _,
     "rel_upsert_merge" -> upsertOrders _,
     "rel_scd2_history" -> scd2Customers _,
@@ -283,6 +325,24 @@ object Maintenance {
   )
 
   val oracles: Map[String, String] = Map(
+    // same day-grain inventory, same offset-range packing; every
+    // windowed/plain BIGINT sum CAST back down (DuckDB sums to HUGEINT)
+    "rel_compaction_plan" ->
+      """WITH f AS (
+           SELECT CAST(l_shipdate AS DATE) AS day,
+                  count(*) * 256 AS bytes
+           FROM lineitem GROUP BY 1),
+         c AS (
+           SELECT day, bytes,
+                  CAST(coalesce(sum(bytes) OVER
+                    (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum_prev
+           FROM f)
+         SELECT CAST(cum_prev // 524288 AS BIGINT) AS bin_id,
+                count(*) AS n_files,
+                CAST(sum(bytes) AS BIGINT) AS total_bytes,
+                min(day) AS first_day, max(day) AS last_day
+         FROM c GROUP BY 1 ORDER BY 1""",
     // the oracle re-walks the FK chain with plain IN-subqueries
     "rel_purge_cascade" ->
       """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),

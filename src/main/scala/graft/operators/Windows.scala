@@ -333,6 +333,44 @@ object Windows {
       .orderBy("user_id", "t", "event_id")
   }
 
+  /** EWMA-RESIDUAL SPIKE DETECTION — the streaming-monitoring anomaly
+    * primitive: flag events whose value deviates more than 50% from the
+    * exponentially-weighted mean of that user's PREVIOUS values (taps
+    * 1..8 of the same halving integer ladder [[ewmaPerUser]] uses —
+    * current value excluded, so a spike can't mask itself). The
+    * comparison is cross-multiplied integer arithmetic
+    * (|c·den − num|·100 > num·50) — no division, no floats, bit-stable
+    * — and the reported deviation is integer percent. Rows with no
+    * positive history (first event, or an all-zero window) can't be
+    * judged and are not emitted.
+    *
+    * Scale: one window pass per user partition (same single shuffle as
+    * every other per-user window here) and a codegen'd filter — the
+    * flagged subset is tiny, so the operator is scan-bound. */
+  def anomalySpikes(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+    val taps = (1 to 8).map(j => lag(col("c"), j).over(w).as(s"c$j"))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("t"),
+        round(col("value") * 100).cast("long").as("c"))
+      .select(col("user_id") +: col("event_id") +: col("t") +: col("c") +: taps: _*)
+    val weights = (0 until 8).map(j => 128L >> j) // 128, 64, ..., 1
+    val num = weights.zipWithIndex.map { case (wt, j) =>
+      coalesce(col(s"c${j + 1}") * lit(wt), lit(0L))
+    }.reduce(_ + _)
+    val den = weights.zipWithIndex.map { case (wt, j) =>
+      when(col(s"c${j + 1}").isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    ev.withColumn("num", num).withColumn("den", den)
+      .filter(col("num") > 0)
+      .filter(abs(col("c") * col("den") - col("num")) * 100 > col("num") * 50)
+      .select(col("user_id"), col("event_id"), col("t"),
+        (col("c").cast("double") / 100.0).as("v"),
+        expr("abs(c * den - num) * 100 div num").as("dev_pct"))
+      .orderBy("user_id", "t", "event_id")
+  }
+
   /** OHLC DOWNSAMPLING — the time-series retention primitive: collapse
     * the raw event stream to per-(user, hour) open/high/low/close/volume
     * bars, the shape monitoring and feature stores keep after the raw
@@ -549,6 +587,7 @@ object Windows {
     "win_active_streaks"     -> activeStreaks _,
     "win_ohlc_downsample"    -> ohlcDownsample _,
     "win_ewma"               -> ewmaPerUser _,
+    "win_anomaly_spikes"     -> anomalySpikes _,
     "win_funnel_stages"      -> funnelStages _,
     "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
@@ -706,6 +745,36 @@ object Windows {
          FROM r GROUP BY user_id, h ORDER BY user_id, h""",
     // identical integer-ladder EWMA: eight lag taps, integer
     // numerator/denominator, one final double division — bit-stable
+    // the same taps-1..8 integer ladder, history-only, with the
+    // cross-multiplied spike predicate and integer-percent deviation
+    "win_anomaly_spikes" -> {
+      val lags = (1 to 8).map(j => s"lag(c,$j) OVER w AS c$j").mkString(", ")
+      val num = (1 to 8).map { j =>
+        val wt = 128L >> (j - 1)
+        s"coalesce(c$j*$wt,0)"
+      }.mkString(" + ")
+      val den = (1 to 8).map { j =>
+        val wt = 128L >> (j - 1)
+        s"CASE WHEN c$j IS NOT NULL THEN $wt ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         l AS (
+           SELECT user_id, event_id, t, c, $lags
+           FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t ASC, event_id ASC)),
+         j AS (
+           SELECT user_id, event_id, t, c,
+                  CAST($num AS BIGINT) AS num, CAST($den AS BIGINT) AS den
+           FROM l)
+         SELECT user_id, event_id, t,
+                CAST(c AS DOUBLE) / 100 AS v,
+                CAST(abs(c * den - num) * 100 // num AS BIGINT) AS dev_pct
+         FROM j
+         WHERE num > 0 AND abs(c * den - num) * 100 > num * 50
+         ORDER BY user_id, t, event_id"""
+    },
     "win_ewma" -> {
       val lags = (1 to 7).map(j => s"lag(c,$j) OVER w AS c$j").mkString(", ")
       val num = (0 to 7).map { j =>

@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-built cases for the round-8 operator additions: k-hop BFS
+  * levels, co-purchase connected components, the compaction planner's
+  * offset-range packing, and CCNet perplexity bucketing. The DuckDB
+  * oracle gate proves each on the synthetic corpus; these pin the core
+  * rules on graphs/inventories small enough to check by hand. */
+class Round8OpsSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-round8-test")
+
+  test("khopReachOf: BFS levels on a path graph count each node at its first hop") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (undirected); seed at node 1
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("seed")
+    val got = Graph.khopReachOf(edges, seeds, 4)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getLong(1))).toSet
+    // hop 1 reaches {2}, hop 2 {3}, hop 3 {4}, hop 4 {5} — one new node each
+    assert(got === Set((1L, 1, 1L), (1L, 2, 1L), (1L, 3, 1L), (1L, 4, 1L)))
+  }
+
+  test("khopReachOf: a hop that reaches nothing new emits no row") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.khopReachOf(edges, Seq(1L).toDF("seed"), 3)
+      .collect().map(r => r.getInt(2)).toSet
+    assert(got === Set(1, 2)) // graph exhausted after hop 2; no hop-3 row
+  }
+
+  test("khopReachOf: overlapping frontiers from two seeds stay per-seed") {
+    import spark.implicits._
+    // star: center 10, leaves 1..4; seeds at leaves 1 and 2
+    val und = (1L to 4L).map(i => (i, 10L))
+    val edges = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val got = Graph.khopReachOf(edges, Seq(1L, 2L).toDF("seed"), 2)
+      .collect().map(r => ((r.getLong(0), r.getInt(2)), r.getLong(1))).toMap
+    // hop 1: just the center; hop 2: the other three leaves (not the seed itself)
+    assert(got === Map((1L, 1) -> 1L, (1L, 2) -> 3L, (2L, 1) -> 1L, (2L, 2) -> 3L))
+  }
+
+  test("copurchaseComponents on testdata: sizes partition the pair-graph node set") {
+    val comps = Graph.copurchaseComponents(spark, "/root/testdata/sf0.001").collect()
+    assert(comps.nonEmpty)
+    // component ids are distinct minima; every component has >= 2 nodes
+    // (singletons can't arise from a pair graph)
+    val ids = comps.map(_.getLong(0))
+    assert(ids.distinct.length === ids.length)
+    comps.foreach(r => assert(r.getLong(1) >= 2L, s"undersized component: $r"))
+  }
+
+  test("planFiles: offset-range packing is contiguous and bins sum to the inventory") {
+    import spark.implicits._
+    // 6 files of 300 bytes, target 500: offsets 0,300,...,1500 -> bins 0,0,1,1,2,3
+    val files = (1 to 6).map(i => (java.sql.Date.valueOf(f"2024-01-$i%02d"), 300L))
+      .toDF("day", "bytes")
+    val got = Maintenance.planFiles(files, 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((0L, 2L, 600L), (1L, 2L, 600L), (2L, 1L, 300L), (3L, 1L, 300L)))
+  }
+
+  test("planFiles: an oversized file gets its own bin and shifts the next boundary") {
+    import spark.implicits._
+    val files = Seq(
+      (java.sql.Date.valueOf("2024-01-01"), 1200L), // bin 0 alone (overshoots target)
+      (java.sql.Date.valueOf("2024-01-02"), 100L),  // cum_prev 1200 -> bin 2
+      (java.sql.Date.valueOf("2024-01-03"), 100L)   // cum_prev 1300 -> bin 2
+    ).toDF("day", "bytes")
+    val got = Maintenance.planFiles(files, 500L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got === Seq((0L, 1L, 1200L), (2L, 2L, 200L)))
+  }
+
+  test("pplBucketsOf: per-lang thirds with the typical docs in the head bucket") {
+    import spark.implicits._
+    // one language, six docs. Docs 4-6: every bigram is its first
+    // word's ONLY continuation -> MLE ppm 10^6, maximally typical =
+    // head. Docs 1-3 share structure but their (beta, alpha) back-
+    // transition is the rarer of beta's two continuations -> lower
+    // mean ppm = tail.
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "s", 0L),
+      (2L, "alpha beta alpha beta", "en", "s", 0L),
+      (3L, "alpha beta alpha beta", "en", "s", 0L),
+      (4L, "gamma delta epsilon zeta", "en", "s", 0L),
+      (5L, "eta theta iota kappa", "en", "s", 0L),
+      (6L, "lam mu nu xi", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.functions.CorpusOps.pplBucketsOf(docs)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(got === Map(1 -> 2L, 2 -> 2L, 3 -> 2L)) // ntile(3) of 6 docs: 2/2/2
+    val buckets = graft.functions.CorpusOps.pplBucketsOf(docs)
+      .collect().map(r => (r.getInt(1), r.getLong(5))).toMap // bucket -> max_ppm
+    // head bucket's scores dominate the tail bucket's
+    assert(buckets(1) > buckets(3))
+  }
+}
