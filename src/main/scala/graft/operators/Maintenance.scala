@@ -314,8 +314,51 @@ object Maintenance {
       .orderBy("bin_id")
   }
 
+  /** ZONE-MAP PRUNING AUDIT — the data-skipping story told end-to-end:
+    * model the SAME fact table under two file layouts, build each
+    * file's zone map (min/max ship-day), evaluate a 31-day predicate
+    * against the maps, and report what each layout lets the scanner
+    * skip. Layouts:
+    *   - `append`: files by arrival order (l_orderkey div 2048) — ship
+    *     dates are uncorrelated with order keys, so every zone map
+    *     spans the predicate and nothing prunes;
+    *   - `time_sorted`: files range-partitioned by ship month (the
+    *     layout [[compactionPlan]] + a sort writer produce) — the
+    *     predicate hits exactly one file.
+    * `rows_matched` is identical for both (pruning is sound: skipped
+    * files are PROVEN empty of matches by their maps); `rows_scanned`
+    * is the cost difference — the number the layout decision is made
+    * on. Scale: one partial-agg groupBy per layout builds the zone
+    * maps (file-count-sized), the audit runs over maps, never rows. */
+  def zoneMapPrune(spark: SparkSession, dir: String): DataFrame = {
+    val lo = to_date(lit("1996-03-01")); val hi = to_date(lit("1996-04-01"))
+    val l = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), to_date(col("l_shipdate")).as("d"))
+    def audit(layout: String, fileId: org.apache.spark.sql.Column): DataFrame =
+      l.select(fileId.as("file_id"), col("d"))
+        .groupBy("file_id")
+        .agg(min(col("d")).as("dmin"), max(col("d")).as("dmax"),
+          count(lit(1)).as("rows"),
+          sum(when(col("d") >= lo && col("d") < hi, 1L).otherwise(0L)).as("hits"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("dmax") >= lo && col("dmin") < hi, 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(col("rows")).as("rows_total"),
+          sum(when(col("dmax") >= lo && col("dmin") < hi, col("rows"))
+            .otherwise(0L)).as("rows_scanned"),
+          sum(col("hits")).as("rows_matched"))
+        .select(lit(layout).as("layout"), col("n_files"), col("n_kept"),
+          col("rows_total"), col("rows_scanned"), col("rows_matched"),
+          expr("rows_scanned * 1000000 div rows_total").as("scan_ppm"))
+    audit("append", expr("l_orderkey div 2048"))
+      .unionAll(audit("time_sorted", date_trunc("month", col("d")).cast("date")
+        .cast("string")))
+      .orderBy("layout")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_compaction_plan" -> ((s: SparkSession, d: String) => compactionPlan(s, d)),
+    "rel_zone_map_prune" -> zoneMapPrune _,
     "rel_purge_cascade" -> purgeCascade _,
     "rel_upsert_merge" -> upsertOrders _,
     "rel_scd2_history" -> scd2Customers _,
@@ -325,6 +368,40 @@ object Maintenance {
   )
 
   val oracles: Map[String, String] = Map(
+    // same two file layouts, same min/max zone maps and keep predicate
+    "rel_zone_map_prune" ->
+      """WITH l AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d FROM lineitem),
+         am AS (SELECT l_orderkey // 2048 AS file_id,
+                       min(d) AS dmin, max(d) AS dmax, count(*) AS rows_,
+                       sum(CASE WHEN d >= DATE '1996-03-01' AND d < DATE '1996-04-01'
+                                THEN 1 ELSE 0 END) AS hits
+                FROM l GROUP BY 1),
+         tm AS (SELECT date_trunc('month', d) AS file_id,
+                       min(d) AS dmin, max(d) AS dmax, count(*) AS rows_,
+                       sum(CASE WHEN d >= DATE '1996-03-01' AND d < DATE '1996-04-01'
+                                THEN 1 ELSE 0 END) AS hits
+                FROM l GROUP BY 1),
+         u AS (
+           SELECT 'append' AS layout, count(*) AS n_files,
+                  CAST(sum(CASE WHEN dmax >= DATE '1996-03-01' AND dmin < DATE '1996-04-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                  CAST(sum(rows_) AS BIGINT) AS rows_total,
+                  CAST(sum(CASE WHEN dmax >= DATE '1996-03-01' AND dmin < DATE '1996-04-01'
+                           THEN rows_ ELSE 0 END) AS BIGINT) AS rows_scanned,
+                  CAST(sum(hits) AS BIGINT) AS rows_matched
+           FROM am
+           UNION ALL
+           SELECT 'time_sorted', count(*),
+                  CAST(sum(CASE WHEN dmax >= DATE '1996-03-01' AND dmin < DATE '1996-04-01'
+                           THEN 1 ELSE 0 END) AS BIGINT),
+                  CAST(sum(rows_) AS BIGINT),
+                  CAST(sum(CASE WHEN dmax >= DATE '1996-03-01' AND dmin < DATE '1996-04-01'
+                           THEN rows_ ELSE 0 END) AS BIGINT),
+                  CAST(sum(hits) AS BIGINT)
+           FROM tm)
+         SELECT layout, n_files, n_kept, rows_total, rows_scanned, rows_matched,
+                rows_scanned * 1000000 // rows_total AS scan_ppm
+         FROM u ORDER BY layout""",
     // same day-grain inventory, same offset-range packing; every
     // windowed/plain BIGINT sum CAST back down (DuckDB sums to HUGEINT)
     "rel_compaction_plan" ->

@@ -388,6 +388,59 @@ object Relational {
       .orderBy("candidate")
   }
 
+  /** JOIN-CARDINALITY ESTIMATION — the optimizer-statistics primitive
+    * (ANALYZE TABLE's TopN histogram, Spark CBO's `joinCardinality`):
+    * predict |A ⋈ B| on the many-to-many orders.o_custkey ⋈
+    * events.user_id join from per-side statistics, and score each
+    * estimator against the exact count. Two estimators:
+    *   - `uniform_system_r`: nA·nB div max(dA, dB) — the System R
+    *     uniformity+containment assumption, distinct counts only;
+    *   - `topn_histogram`: exact Σ cA·cB over the top-`topN` A-keys
+    *     (count desc, key asc — deterministic), uniform tail for the
+    *     rest — the skew-aware upgrade every real optimizer ships.
+    * The exact count is itself computed the scale-safe way: join the
+    * two per-key COUNT tables and sum cA·cB — key-cardinality-sized,
+    * the fact rows never multiply.
+    *
+    * Scale: two partial-agg groupBys (dictionary-sized outputs), a
+    * bounded top-k, one count-table join; every downstream scalar rides
+    * single-row aggregates. Integer arithmetic throughout, err in ppm. */
+  def joinCardEst(spark: SparkSession, dir: String, topN: Int = 50): DataFrame = {
+    val a = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("ca"))
+      .localCheckpoint()
+    val b = Tables.events(spark, dir)
+      .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cb"))
+      .localCheckpoint()
+    val statsA = a.agg(sum(col("ca")).as("na"), count(lit(1)).as("da"))
+    val statsB = b.agg(sum(col("cb")).as("nb"), count(lit(1)).as("db"))
+    val exact = a.join(b, "k")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("exact_rows"))
+    val topA = a.orderBy(col("ca").desc, col("k").asc).limit(topN)
+    val head = topA.join(b, Seq("k"), "left")
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("head_sum"),
+        coalesce(sum(col("ca")), lit(0L)).as("a_head_n"),
+        count(lit(1)).as("a_head_d"),
+        coalesce(sum(col("cb")), lit(0L)).as("b_head_n"),
+        count(col("cb")).as("b_head_d"))
+    val scalars = statsA.crossJoin(statsB).crossJoin(exact).crossJoin(head)
+      .withColumn("est_uniform", expr("na * nb div greatest(da, db)"))
+      .withColumn("est_topn", expr(
+        """head_sum + CASE WHEN greatest(da - a_head_d, db - b_head_d) > 0
+          |  THEN (na - a_head_n) * (nb - b_head_n)
+          |       div greatest(da - a_head_d, db - b_head_d)
+          |  ELSE 0 END""".stripMargin))
+    scalars.select(explode(array(
+        struct(lit("uniform_system_r").as("estimator"), col("est_uniform").as("est_rows")),
+        struct(lit("topn_histogram").as("estimator"), col("est_topn").as("est_rows")))).as("e"),
+        col("exact_rows"))
+      .select(col("e.estimator").as("estimator"), col("e.est_rows").as("est_rows"),
+        col("exact_rows"),
+        expr("abs(e.est_rows - exact_rows) * 1000000 div greatest(exact_rows, 1)")
+          .as("err_ppm"))
+      .orderBy("estimator")
+  }
+
   /** SKYLINE (Pareto frontier) — customers not dominated on (order
     * count, total spend): no other customer is ≥ on both dimensions and
     * > on one. The textbook operator costs a quadratic NOT EXISTS —
@@ -544,6 +597,7 @@ object Relational {
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
     "rel_fk_discovery"        -> fkDiscovery _,
+    "rel_join_card_est"       -> ((s: SparkSession, d: String) => joinCardEst(s, d)),
     "rel_skyline_pareto"      -> skylineCustomers _,
     "rel_asof_join"           -> asOfJoinEventsOrders _,
     "rel_asof_join_native"    -> asOfJoinNative _,
@@ -847,6 +901,37 @@ object Relational {
                 CAST(m * 1000000 // n AS BIGINT) AS containment_ppm,
                 m * 1000 >= n * 999 AS inferred_fk
          FROM u ORDER BY candidate""",
+    // same count-table exact join size, same top-50 head + uniform-tail
+    // estimators; all sums CAST back down from DuckDB's HUGEINT
+    "rel_join_card_est" ->
+      """WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+         b AS (SELECT user_id AS k, count(*) AS cb FROM events GROUP BY 1),
+         sa AS (SELECT CAST(sum(ca) AS BIGINT) AS na, count(*) AS da FROM a),
+         sb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb, count(*) AS db FROM b),
+         ex AS (SELECT CAST(coalesce(sum(a.ca * b.cb), 0) AS BIGINT) AS exact_rows
+                FROM a JOIN b ON a.k = b.k),
+         ta AS (SELECT * FROM a ORDER BY ca DESC, k ASC LIMIT 50),
+         hd AS (SELECT CAST(coalesce(sum(ta.ca * b.cb), 0) AS BIGINT) AS head_sum,
+                       CAST(coalesce(sum(ta.ca), 0) AS BIGINT) AS a_head_n,
+                       count(*) AS a_head_d,
+                       CAST(coalesce(sum(b.cb), 0) AS BIGINT) AS b_head_n,
+                       count(b.cb) AS b_head_d
+                FROM ta LEFT JOIN b ON ta.k = b.k),
+         sc AS (SELECT *,
+                  na * nb // greatest(da, db) AS est_uniform,
+                  head_sum + CASE WHEN greatest(da - a_head_d, db - b_head_d) > 0
+                    THEN (na - a_head_n) * (nb - b_head_n)
+                         // greatest(da - a_head_d, db - b_head_d)
+                    ELSE 0 END AS est_topn
+                FROM sa, sb, ex, hd)
+         SELECT estimator, CAST(est_rows AS BIGINT) AS est_rows, exact_rows,
+                CAST(abs(est_rows - exact_rows) * 1000000 // greatest(exact_rows, 1)
+                     AS BIGINT) AS err_ppm
+         FROM (SELECT 'uniform_system_r' AS estimator, est_uniform AS est_rows,
+                      exact_rows FROM sc
+               UNION ALL
+               SELECT 'topn_histogram', est_topn, exact_rows FROM sc)
+         ORDER BY estimator""",
     // the oracle digests the ORIGINAL parquet text: a match proves the
     // CSV quoting round-trip byte-exact per document
     "rel_csv_roundtrip" ->

@@ -347,13 +347,18 @@ object Windows {
     * Scale: one window pass per user partition (same single shuffle as
     * every other per-user window here) and a codegen'd filter — the
     * flagged subset is tiny, so the operator is scan-bound. */
-  def anomalySpikes(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
-    val taps = (1 to 8).map(j => lag(col("c"), j).over(w).as(s"c$j"))
-    val ev = Tables.events(spark, dir)
+  def anomalySpikes(spark: SparkSession, dir: String): DataFrame =
+    anomalySpikesOf(Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"),
         expr("ts_ns div 1000").as("t"),
-        round(col("value") * 100).cast("long").as("c"))
+        round(col("value") * 100).cast("long").as("c")))
+
+  /** [[anomalySpikes]] core over any (user_id, event_id, t, c) frame
+    * (spec + streaming-differential entry). */
+  private[graft] def anomalySpikesOf(ev4: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("t").asc, col("event_id").asc)
+    val taps = (1 to 8).map(j => lag(col("c"), j).over(w).as(s"c$j"))
+    val ev = ev4
       .select(col("user_id") +: col("event_id") +: col("t") +: col("c") +: taps: _*)
     val weights = (0 until 8).map(j => 128L >> j) // 128, 64, ..., 1
     val num = weights.zipWithIndex.map { case (wt, j) =>

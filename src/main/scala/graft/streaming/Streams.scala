@@ -521,6 +521,45 @@ object Streams {
       }
   }
 
+  case class SpikeState(cents: Seq[Long]) // most recent first, <= 8 taps
+  case class SpikeOut(user_id: Long, t: Long, v: Double, dev_pct: Long)
+
+  /** Streaming SPIKE DETECTION — the incremental mirror of the batch
+    * [[graft.operators.Windows.anomalySpikes]]: flag a value deviating
+    * more than 50% from the EWMA of the user's PREVIOUS values. State
+    * per user is the same ≤8-value integer-cents ring [[ewmaStream]]
+    * keeps — O(1) forever — and the predicate is the identical
+    * cross-multiplied integer comparison, evaluated against the ring
+    * BEFORE the new value enters it. Each batch folds its rows in
+    * event-time order, so for STRICTLY-INCREASING per-user timestamps
+    * the flagged set equals the batch operator's (equal-ts ties order
+    * by event_id in the batch query but are unordered here — [[Event]]
+    * carries no id). `t` is epoch micros, matching the batch output. */
+  def anomalyStream(events: Dataset[Event])
+                   (implicit spark: SparkSession): Dataset[SpikeOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpikeState, SpikeOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[SpikeState]) =>
+          var buf = state.getOption.map(_.cents).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[SpikeOut]
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val c = math.round(e.value * 100.0)
+            val weights = buf.indices.map(j => 128L >> j)
+            val num = buf.zip(weights).map { case (x, w) => x * w }.sum
+            val den = weights.sum
+            if (num > 0 && math.abs(c * den - num) * 100 > num * 50)
+              out += SpikeOut(uid, e.ts.getTime * 1000L,
+                c.toDouble / 100.0, math.abs(c * den - num) * 100 / num)
+            buf = (c +: buf).take(8)
+          }
+          state.update(SpikeState(buf))
+          out.result().iterator
+      }
+  }
+
   /** File-source stream over the driver's `events.parquet` (TESTDATA).
     * File streams must declare a schema up front; we take it from the
     * BATCH reader's parquet footer scan and then apply the same

@@ -163,4 +163,42 @@ class FunnelStreamSpec extends AnyFunSuite {
       assert(math.abs(got(u) - expect) < 1e-12, s"user $u")
     }
   }
+
+  test("anomalyStream equals the batch spike detector across batch boundaries " +
+    "(the state ring carries history over)") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: steady 1.00s, then a 3x spike, then back to normal-ish
+      Streams.Event(1L, ts(1000), "view", 1.00),
+      Streams.Event(1L, ts(2000), "view", 1.00),
+      Streams.Event(1L, ts(3000), "view", 3.00),  // spike vs EWMA(1.00)
+      Streams.Event(1L, ts(4000), "view", 1.00),  // 1.00 vs EWMA incl 3.00 — borderline
+      // user 2: first event has no history — never flagged
+      Streams.Event(2L, ts(500), "view", 99.0),
+      Streams.Event(2L, ts(1500), "view", 99.0),
+      // user 3: drop-to-near-zero spike (deviation is two-sided)
+      Streams.Event(3L, ts(100), "view", 10.0),
+      Streams.Event(3L, ts(200), "view", 10.0),
+      Streams.Event(3L, ts(300), "view", 0.10))
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(4)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.anomalyStream(in.toDS()).writeStream
+      .format("memory").queryName("spike_out").outputMode(OutputMode.Append()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val got = spark.sql("SELECT user_id, t, v, dev_pct FROM spike_out")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    q.stop()
+    // batch reference: the window operator over the same rows, with the
+    // streaming t encoding (epoch micros) and a synthetic ordinal id
+    val ev4 = events.sortBy(e => (e.user_id, e.ts.getTime)).zipWithIndex
+      .map { case (e, i) =>
+        (e.user_id, i.toLong, e.ts.getTime * 1000L, math.round(e.value * 100.0)) }
+      .toDF("user_id", "event_id", "t", "c")
+    val expect = graft.operators.Windows.anomalySpikesOf(ev4)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3), r.getLong(4))).toSet
+    assert(got === expect)
+    assert(got.exists(_._1 == 1L) && got.exists(_._1 == 3L)) // both spikes caught
+    assert(!got.exists(_._1 == 2L))                          // no-history user silent
+  }
 }
