@@ -460,10 +460,47 @@ object CorpusOps {
       .orderBy("lang", "bucket")
   }
 
+  /** CORPUS NOVELTY CURVE — the freshness/memorization statistic
+    * dataset analyses report: as the corpus is consumed in doc-id
+    * order, what fraction of each slice's 8-token shingles has never
+    * appeared in any earlier document? A healthy growing corpus decays
+    * slowly; a curve that crashes toward zero says later data is
+    * recombination of earlier data (and a dedup pass upstream is
+    * overdue). Emits per 50-doc bucket: distinct-gram count, first-ever
+    * grams, novelty in integer ppm.
+    *
+    * Scale: the gram stream crosses the wire twice (first-occurrence
+    * groupBy on the gram key; join back on the same key — AQE reuses
+    * the partitioning), linear in corpus tokens like the span-dedup
+    * family's gram pass. */
+  def noveltyCurve(spark: SparkSession, dir: String): DataFrame =
+    noveltyCurveOf(Tables.documents(spark, dir))
+
+  /** [[noveltyCurve]] over any documents-shaped corpus (spec entry). */
+  def noveltyCurveOf(docs: DataFrame, bucketSize: Int = 50): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"),
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("t"))
+      .filter(size(col("t")) >= 8)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(t) - 8), i -> array_join(slice(t, i + 1, 8), ' '))"))
+        .as("g"))
+      .distinct()
+    val first = grams.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    grams.join(first, "g")
+      .select(expr(s"doc_id div $bucketSize").as("bucket"),
+        (col("first_doc") === col("doc_id")).cast("long").as("novel"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_grams"), sum(col("novel")).as("n_novel"))
+      .withColumn("novelty_ppm", expr("n_novel * 1000000 div n_grams"))
+      .orderBy("bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_vocab_coverage"   -> vocabCoverage _,
     "ta_bigram_lm_score"  -> bigramLmScore _,
     "ta_ppl_buckets"      -> pplBuckets _,
+    "ta_novelty_curve"    -> noveltyCurve _,
     "ta_decontaminate"    -> decontaminate _,
     "ta_dsir_weights"     -> ((s: SparkSession, d: String) => dsirWeights(s, d)),
     "ta_repetition_stats" -> repetitionStats _,
@@ -527,6 +564,28 @@ object CorpusOps {
          FROM bg JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
                  JOIN c1 ON bg.w1 = c1.w1
          GROUP BY bg.doc_id ORDER BY bg.doc_id""",
+    // same 8-token shingles (DuckDB inclusive slices t[i:i+7]), same
+    // per-doc distinct, first-occurrence min, 50-doc buckets
+    "ta_novelty_curve" ->
+      """WITH p AS (
+           SELECT doc_id,
+                  list_filter(string_split(lower(text), ' '),
+                              x -> len(x) > 0) AS t
+           FROM documents),
+         g0 AS (SELECT doc_id,
+                       unnest(list_transform(range(1, len(t) - 6),
+                                             i -> array_to_string(t[i:i+7], ' '))) AS g
+                FROM p WHERE len(t) >= 8),
+         g AS (SELECT DISTINCT doc_id, g FROM g0),
+         f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1)
+         SELECT g.doc_id // 50 AS bucket,
+                count(*) AS n_grams,
+                CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     AS BIGINT) AS n_novel,
+                CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END)
+                     * 1000000 // count(*) AS BIGINT) AS novelty_ppm
+         FROM g JOIN f USING (g)
+         GROUP BY 1 ORDER BY bucket""",
     // the bigram scoring CTEs verbatim, then the same deterministic
     // (lm_ppm DESC, doc_id) ntile(3) per language — Spark and DuckDB
     // share the earlier-buckets-get-the-remainder ntile rule

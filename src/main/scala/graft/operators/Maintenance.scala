@@ -356,9 +356,36 @@ object Maintenance {
       .orderBy("layout")
   }
 
+  /** VACUUM / RETENTION PLANNER — the history-table housekeeping step:
+    * against the SCD2 dimension ([[scd2Core]]) and a retention
+    * watermark, classify every version row as `purgeable` (closed
+    * before the watermark — safe to physically delete, no
+    * point-in-time query inside retention can need it), `retained_closed`
+    * (closed but still inside retention) or `current` (open — never
+    * purgeable), and report version + entity counts per class: the
+    * audit a VACUUM job logs before touching files.
+    *
+    * Scale: one pass over the history table (entity-change-count-sized,
+    * ≪ facts) — the classify is a projection, the rollup a 3-row
+    * aggregate; countDistinct shuffles history keys once. */
+  def vacuumPlan(spark: SparkSession, dir: String,
+                 watermark: String = "1999-01-01"): DataFrame = {
+    val w = lit(watermark).cast("timestamp")
+    scd2Core(Tables.orders(spark, dir))
+      .select(col("o_custkey"),
+        when(col("valid_to").isNotNull && col("valid_to") < w, "purgeable")
+          .when(col("valid_to").isNotNull, "retained_closed")
+          .otherwise("current").as("status"))
+      .groupBy("status")
+      .agg(count(lit(1)).as("n_versions"),
+        countDistinct(col("o_custkey")).as("n_entities"))
+      .orderBy("status")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_compaction_plan" -> ((s: SparkSession, d: String) => compactionPlan(s, d)),
     "rel_zone_map_prune" -> zoneMapPrune _,
+    "rel_vacuum_plan" -> ((s: SparkSession, d: String) => vacuumPlan(s, d)),
     "rel_purge_cascade" -> purgeCascade _,
     "rel_upsert_merge" -> upsertOrders _,
     "rel_scd2_history" -> scd2Customers _,
@@ -368,6 +395,29 @@ object Maintenance {
   )
 
   val oracles: Map[String, String] = Map(
+    // the scd2 history CTE verbatim, then the same watermark classify
+    "rel_vacuum_plan" ->
+      """WITH lg AS (
+           SELECT o_custkey, o_orderdate, o_orderkey,
+                  o_orderpriority AS priority,
+                  lag(o_orderpriority) OVER w AS prev
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+         b AS (
+           SELECT o_custkey, o_orderdate, o_orderkey, priority
+           FROM lg WHERE prev IS NULL OR prev <> priority),
+         h AS (
+           SELECT o_custkey,
+                  lead(o_orderdate) OVER w AS valid_to
+           FROM b
+           WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+         SELECT CASE WHEN valid_to IS NOT NULL AND valid_to < TIMESTAMP '1999-01-01'
+                     THEN 'purgeable'
+                     WHEN valid_to IS NOT NULL THEN 'retained_closed'
+                     ELSE 'current' END AS status,
+                count(*) AS n_versions,
+                CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_entities
+         FROM h GROUP BY 1 ORDER BY status""",
     // same two file layouts, same min/max zone maps and keep predicate
     "rel_zone_map_prune" ->
       """WITH l AS (SELECT l_orderkey, CAST(l_shipdate AS DATE) AS d FROM lineitem),

@@ -376,6 +376,46 @@ object Windows {
       .orderBy("user_id", "t", "event_id")
   }
 
+  /** CUSUM CHANGE-POINT DETECTION — the classic "when did this user's
+    * behavior shift" statistic: per user, the cumulative sum of
+    * deviations from the user's overall mean peaks (in absolute value)
+    * at the most likely change point. Everything stays integer by
+    * scaling through the event count: the running statistic is
+    * Σ (c·n − S) where S = user's total cents and n = user's event
+    * count — argmax is invariant to the scaling, and the reported
+    * magnitude divides back down to cents. Tie-break (|cusum| desc, t
+    * asc, event_id asc) makes the winner unique.
+    *
+    * Scale: both window passes (the per-user constants and the running
+    * sum) and the final rank share ONE hash partitioning on user_id —
+    * a single shuffle; output is entity-sized. */
+  def cusumChangepoint(spark: SparkSession, dir: String): DataFrame =
+    cusumChangepointOf(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("ts_ns div 1000").as("t"),
+        round(col("value") * 100).cast("long").as("c")))
+
+  /** [[cusumChangepoint]] core over any (user_id, event_id, t, c) frame
+    * (spec entry). */
+  private[graft] def cusumChangepointOf(ev4: DataFrame): DataFrame = {
+    val p = Window.partitionBy("user_id")
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("t").asc, col("event_id").asc)
+    val byMag = Window.partitionBy("user_id")
+      .orderBy(abs(col("cusum")).desc, col("t").asc, col("event_id").asc)
+    ev4
+      .withColumn("sum_all", sum(col("c")).over(p))
+      .withColumn("n_all", count(lit(1)).over(p))
+      .withColumn("cusum", sum(col("c") * col("n_all") - col("sum_all"))
+        .over(byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("rn", row_number().over(byMag))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("t").as("t_change"),
+        expr("abs(cusum) div n_all").as("mag_cents"),
+        col("n_all").as("n_events"))
+      .orderBy("user_id")
+  }
+
   /** OHLC DOWNSAMPLING — the time-series retention primitive: collapse
     * the raw event stream to per-(user, hour) open/high/low/close/volume
     * bars, the shape monitoring and feature stores keep after the raw
@@ -593,6 +633,7 @@ object Windows {
     "win_ohlc_downsample"    -> ohlcDownsample _,
     "win_ewma"               -> ewmaPerUser _,
     "win_anomaly_spikes"     -> anomalySpikes _,
+    "win_cusum_changepoint"  -> cusumChangepoint _,
     "win_funnel_stages"      -> funnelStages _,
     "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
@@ -750,6 +791,31 @@ object Windows {
          FROM r GROUP BY user_id, h ORDER BY user_id, h""",
     // identical integer-ladder EWMA: eight lag taps, integer
     // numerator/denominator, one final double division — bit-stable
+    // same n-scaled integer CUSUM, same unique-winner tie-break; all
+    // windowed sums CAST down from DuckDB's HUGEINT
+    "win_cusum_changepoint" ->
+      """WITH ev AS (
+           SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t,
+                  CAST(round(value * 100) AS BIGINT) AS c
+           FROM events),
+         w1 AS (
+           SELECT user_id, event_id, t, c,
+                  CAST(sum(c) OVER p AS BIGINT) AS sum_all,
+                  count(*) OVER p AS n_all
+           FROM ev WINDOW p AS (PARTITION BY user_id)),
+         w2 AS (
+           SELECT *, CAST(sum(c * n_all - sum_all) OVER
+                    (PARTITION BY user_id ORDER BY t, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cusum
+           FROM w1),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY user_id ORDER BY abs(cusum) DESC, t ASC, event_id ASC) AS rn
+           FROM w2)
+         SELECT user_id, t AS t_change,
+                CAST(abs(cusum) // n_all AS BIGINT) AS mag_cents,
+                CAST(n_all AS BIGINT) AS n_events
+         FROM r WHERE rn = 1 ORDER BY user_id""",
     // the same taps-1..8 integer ladder, history-only, with the
     // cross-multiplied spike predicate and integer-percent deviation
     "win_anomaly_spikes" -> {

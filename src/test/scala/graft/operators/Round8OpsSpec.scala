@@ -75,6 +75,36 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(got === Seq((0L, 1L, 1200L), (2L, 2L, 200L)))
   }
 
+  test("cusumChangepointOf: finds the level-shift boundary on a step signal") {
+    import spark.implicits._
+    // user 1: five 1.00s then five 5.00s — CUSUM |peak| at the last
+    // low-level event (t=5); user 2: constant signal — magnitude 0
+    val ev = ((1 to 5).map(i => (1L, i.toLong, i.toLong, 100L)) ++
+      (6 to 10).map(i => (1L, i.toLong, i.toLong, 500L)) ++
+      (1 to 4).map(i => (2L, (10 + i).toLong, i.toLong, 250L)))
+      .toDF("user_id", "event_id", "t", "c")
+    val got = Windows.cusumChangepointOf(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    // user 1: n=10, S=3000; cusum_k = sum(10*c - 3000): at k=5 it is
+    // 5*(1000-3000) = -10000 (the extreme); mag = 10000/10 = 1000
+    assert(got === List((1L, 5L, 1000L, 10L), (2L, 1L, 0L, 4L)))
+  }
+
+  test("noveltyCurveOf: verbatim repeats contribute zero novelty to later buckets") {
+    import spark.implicits._
+    val text8 = "a b c d e f g h"          // exactly one 8-gram
+    val other8 = "p q r s t u v w"
+    val docs = Seq(
+      (0L, text8, "en", "s", 0L),          // bucket 0 (size 2): both novel
+      (1L, other8, "en", "s", 0L),
+      (2L, text8, "en", "s", 0L),          // bucket 1: a repeat and a novel
+      (3L, "x y z w v u t s", "en", "s", 0L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val got = graft.functions.CorpusOps.noveltyCurveOf(docs, bucketSize = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    assert(got === List((0L, 2L, 2L, 1000000L), (1L, 2L, 1L, 500000L)))
+  }
+
   test("pplBucketsOf: per-lang thirds with the typical docs in the head bucket") {
     import spark.implicits._
     // one language, six docs. Docs 4-6: every bigram is its first
