@@ -841,14 +841,19 @@ object Similarity {
   /** SERVE: integer ADC scoring of a codes table (inline or persisted)
     * against the probe queries — the corpus embeddings are only read
     * for the probes' own subvectors. */
-  private def pqAdcServe(spark: SparkSession, dir: String, codes: DataFrame,
-                         probeBound: Long, k: Int): DataFrame = {
-    val adc = pqSubs(spark, dir).filter(col("vec_id") < probeBound)
+  /** The |queries|·64-row ADC lookup table (query×codeword partial dot
+    * products) — shared by inline, persisted, and IVF-PQ serving. */
+  private def pqAdcTable(spark: SparkSession, dir: String, probeBound: Long): DataFrame =
+    pqSubs(spark, dir).filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("m").as("qm"), col("sv").as("qv"))
       .join(broadcast(pqCodebook(spark, dir)), col("qm") === col("m"))
       .withColumn("pdot", expr(
         "aggregate(zip_with(qv, cw, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
       .select(col("q_id"), col("m"), col("cent_id"), col("pdot"))
+
+  private def pqAdcServe(spark: SparkSession, dir: String, codes: DataFrame,
+                         probeBound: Long, k: Int): DataFrame = {
+    val adc = pqAdcTable(spark, dir, probeBound)
     val byScore = Window.partitionBy("q_id")
       .orderBy(col("score_adc").desc, col("vec_id").asc)
     codes.join(broadcast(adc), Seq("m", "cent_id"))
@@ -875,6 +880,44 @@ object Similarity {
     pqAdcServe(spark, dir, codes, probeBound, k)
   }
 
+  /** IVF-PQ — the standard two-level ANN index (FAISS's IndexIVFPQ
+    * shape, arXiv:1702.08734 lineage): the IVF coarse quantizer prunes
+    * candidates to the query's cell, PQ's ADC scores only what
+    * survives. Composition of two existing verified pieces — the
+    * fitted-centroid cell assignment ([[assignCells]]) and the PQ code
+    * table + ADC lookup ([[pqCodesOf]]/[[pqAdcTable]]) — into the index
+    * every production vector store actually ships: candidate count
+    * drops by ~|cells| while the scored bytes stay the 4-int codes.
+    *
+    * Scale: assignment and encoding are the same single corpus passes
+    * as their parents (at build time, cell and code land in ONE stored
+    * table — the inline join on vec_id models that); the ADC table and
+    * the (query, cell) probe list both broadcast, so serving is one
+    * filtered scan of the codes table + a partial-agg sum, zero
+    * corpus-side shuffles before the bounded top-k. */
+  def ivfPqTopK(spark: SparkSession, dir: String,
+                probeBound: Long = 8L, k: Int = 5): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val assigned = assignCells(Tables.embeddings(spark, dir), centsLit)
+      .select(col("vec_id"), col("cell"))
+    val codes = pqCodesOf(spark, dir).join(assigned, "vec_id")
+    val qcells = assigned.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("qq"), col("cell").as("qcell"))
+    val adc = pqAdcTable(spark, dir, probeBound)
+    val byScore = Window.partitionBy("q_id")
+      .orderBy(col("score_adc").desc, col("vec_id").asc)
+    codes.join(broadcast(adc), Seq("m", "cent_id"))
+      .join(broadcast(qcells),
+        col("q_id") === col("qq") && col("cell") === col("qcell"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .groupBy("q_id", "vec_id")
+      .agg(expr("CAST(sum(pdot) AS BIGINT)").as("score_adc"))
+      .withColumn("rnk", row_number().over(byScore).cast("long"))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "score_adc")
+      .orderBy("q_id", "rnk")
+  }
+
   /** PQ RECALL CONTRACT — recall@k of the 32×-compressed ADC search
     * against the exact brute-force answer over the same probes: the
     * number that decides whether the compression is usable, gated like
@@ -897,6 +940,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_pq_topk"        -> ((s: SparkSession, d: String) => pqTopK(s, d)),
+    "sim_ivfpq_topk"     -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_pq_persisted"   -> ((s: SparkSession, d: String) => pqPersisted(s, d)),
     "sim_pq_recall"      -> ((s: SparkSession, d: String) => pqRecall(s, d)),
     "sim_knn_classify"   -> ((s: SparkSession, d: String) => knnClassify(s, d)),
@@ -1179,10 +1223,11 @@ object Similarity {
     s"""WITH ${annMultiVecCtes(20)}
          SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
-  /** Closed-form PQ index replay (sampled codebooks, integer L2 codes,
-    * integer ADC) — shared by the top-k oracle and the recall gate. */
-  private lazy val pqCoreSql: String =
-    """WITH mv AS (
+  /** Closed-form PQ index CTEs (sampled codebooks, integer L2 codes,
+    * ADC lookup) without the final scoring — shared by the PQ oracles
+    * and, composed with [[ivfFitCtes]], by the IVF-PQ oracle. */
+  private lazy val pqCtes: String =
+    """mv AS (
            SELECT vec_id, list_transform(embedding,
              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS mv
            FROM embeddings),
@@ -1203,7 +1248,11 @@ object Similarity {
          adc AS (SELECT s.vec_id AS q_id, s.m, c.cent_id,
                    list_sum(list_transform(range(1, len(s.sv) + 1),
                      i -> s.sv[i] * c.cw[i])) AS pdot
-                 FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 8),
+                 FROM sub s JOIN cb c ON s.m = c.m WHERE s.vec_id < 8)"""
+
+  /** Full PQ replay: the shared CTEs + unrestricted ADC scoring. */
+  private lazy val pqCoreSql: String =
+    s"""WITH $pqCtes,
          sc AS (SELECT a.q_id, co.vec_id, CAST(sum(a.pdot) AS BIGINT) AS score_adc
                 FROM codes co JOIN adc a ON co.m = a.m AND co.cent_id = a.cent_id
                 WHERE co.vec_id <> a.q_id
@@ -1286,6 +1335,26 @@ object Similarity {
     "sim_pq_topk" -> s"$pqCoreSql ORDER BY q_id, rnk",
     // the persisted path serves the SAME codes — shared oracle
     "sim_pq_persisted" -> s"$pqCoreSql ORDER BY q_id, rnk",
+    // IVF fit-replay CTEs + PQ CTEs composed: candidates restricted to
+    // the query's fitted cell, then the identical integer ADC scoring
+    "sim_ivfpq_topk" ->
+      s"""${ivfFitCtes()}
+         $pqCtes,
+         qc AS (SELECT vec_id AS pq_q, cell AS qcell FROM assigned
+                WHERE vec_id < 8),
+         cc AS (SELECT co.vec_id, co.m, co.cent_id, a.cell
+                FROM codes co JOIN assigned a ON co.vec_id = a.vec_id),
+         sc AS (SELECT a.q_id, cc.vec_id, CAST(sum(a.pdot) AS BIGINT) AS score_adc
+                FROM cc JOIN adc a ON cc.m = a.m AND cc.cent_id = a.cent_id
+                        JOIN qc ON qc.pq_q = a.q_id AND cc.cell = qc.qcell
+                WHERE cc.vec_id <> a.q_id
+                GROUP BY 1, 2),
+         r2 AS (SELECT q_id, vec_id, score_adc,
+                  CAST(row_number() OVER (PARTITION BY q_id
+                    ORDER BY score_adc DESC, vec_id ASC) AS BIGINT) AS rnk
+                FROM sc)
+         SELECT q_id, rnk, vec_id, score_adc FROM r2 WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
     // PQ vs the independent brute-force CTEs at the same probe bound
     "sim_pq_recall" ->
       s"""WITH brute AS (
