@@ -496,7 +496,64 @@ object CorpusOps {
       .orderBy("bucket")
   }
 
+  /** BPE MERGE FITTING — the tokenizer-training step itself, run
+    * relationally: learn the first `nMerges` byte-pair-encoding merges
+    * from the corpus. Exactly the production recipe (HuggingFace/
+    * sentencepiece fit on the WORD-FREQUENCY DICTIONARY, not raw text):
+    * each word becomes a space-separated symbol string, and each round
+    * (1) counts adjacent symbol pairs weighted by word frequency,
+    * (2) picks the most frequent pair (count desc, then lexicographic —
+    * fully deterministic), (3) fuses every occurrence via a sentinel-
+    * space `replace(' a b ' → ' ab ')` — leftmost non-overlapping in
+    * both engines, which IS BPE's greedy-left merge order. Later merges
+    * compose earlier ones (the fitted 'm'+'er' → 'mer' on this corpus).
+    *
+    * Scale: ONE corpus shuffle builds the word dictionary; all
+    * `nMerges` rounds iterate over vocab-sized rows (pair counts are a
+    * groupBy over the dictionary, the chosen pair is a 1-row broadcast,
+    * the fuse is a projection), with per-round localCheckpoint keeping
+    * lineage flat — the same bounded-iteration shape as the graph
+    * loops. The oracle unrolls the identical rounds as MATERIALIZED
+    * CTEs. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame =
+    bpeMergesOf(Tables.documents(spark, dir))
+
+  /** [[bpeMerges]] over any documents-shaped corpus (spec entry). */
+  def bpeMergesOf(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val w = docs
+      .select(explode(
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+    var vocab = w
+      .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+        col("wc"))
+      .localCheckpoint()
+    val merges = (1 to nMerges).map { i =>
+      val best = vocab
+        .select(expr("split(trim(sym), ' ')").as("t"), col("wc"))
+        .filter(size(col("t")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(t) - 2), j -> named_struct('a', t[j], 'b', t[j + 1]))"))
+          .as("p"), col("wc"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1)
+        .localCheckpoint()
+      vocab = vocab
+        .crossJoin(broadcast(best.select(col("a").as("ba"), col("b").as("bb"))))
+        .select(expr(
+          "replace(sym, concat(' ', ba, ' ', bb, ' '), concat(' ', ba, bb, ' '))").as("sym"),
+          col("wc"))
+        .localCheckpoint()
+      best.select(lit(i).as("merge_rank"), col("a").as("sym_a"), col("b").as("sym_b"),
+        concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
+    }
+    merges.reduce(_ unionAll _).orderBy("merge_rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_bpe_merges"       -> bpeMerges _,
     "ta_vocab_coverage"   -> vocabCoverage _,
     "ta_bigram_lm_score"  -> bigramLmScore _,
     "ta_ppl_buckets"      -> pplBuckets _,
@@ -514,7 +571,39 @@ object CorpusOps {
   private[graft] val benchValues =
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
+  /** The identical BPE rounds unrolled as MATERIALIZED CTEs (DuckDB
+    * t[j] is 1-based where Spark's is 0-based; both `replace`s fuse
+    * leftmost-non-overlapping = BPE's greedy-left order). */
+  private def bpeOracle(nMerges: Int = 8): String = {
+    val steps = (1 to nMerges).map { i =>
+      val prev = if (i == 1) "v0" else s"v${i - 1}"
+      s"""p$i AS MATERIALIZED (
+           SELECT t[j] AS a, t[j+1] AS b, CAST(sum(wc) AS BIGINT) AS cnt
+           FROM (SELECT string_split(trim(sym), ' ') AS t, wc FROM $prev),
+                unnest(range(1, len(t))) AS u(j)
+           GROUP BY 1, 2),
+         b$i AS (SELECT a, b, cnt FROM p$i ORDER BY cnt DESC, a ASC, b ASC LIMIT 1),
+         v$i AS MATERIALIZED (
+           SELECT replace(sym,
+                    ' ' || (SELECT a FROM b$i) || ' ' || (SELECT b FROM b$i) || ' ',
+                    ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym, wc
+           FROM $prev)"""
+    }.mkString(",\n         ")
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT $i AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH w AS MATERIALIZED (
+         SELECT word, count(*) AS wc FROM (
+           SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+           FROM documents) GROUP BY 1),
+       v0 AS MATERIALIZED (
+         SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, wc FROM w),
+       $steps
+       SELECT * FROM ($sel) ORDER BY merge_rank"""
+  }
+
   val oracles: Map[String, String] = Map(
+    "ta_bpe_merges" -> bpeOracle(),
     // same (count desc, token asc) ranking, cumulative ppm, and
     // min-rank-at-threshold probe
     "ta_vocab_coverage" ->

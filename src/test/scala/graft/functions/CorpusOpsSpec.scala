@@ -89,4 +89,26 @@ class CorpusOpsSpec extends AnyFunSuite {
       case _ =>
     }
   }
+
+  test("bpe merges: Sennrich low/lower/newest/widest fits the textbook sequence") {
+    // word dictionary {low:5, lower:2, newest:6, widest:3} — the canonical
+    // BPE walkthrough. Hand-derived rounds: (e,s)=9 ties (s,t)=9 → lexicographic
+    // pick e+s; then es+t=9; then (l,o)=(o,w)=7 → l+o; then lo+w=7. Merge 2
+    // composes merge 1 and merge 4 composes merge 3, proving learned symbols
+    // re-enter the pair statistics.
+    val docs = Seq(
+      (0L, "low low low low low"),
+      (1L, "lower lower"),
+      (2L, "newest newest newest newest newest newest"),
+      (3L, "widest widest widest")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.bpeMergesOf(docs, nMerges = 4).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    val want = Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L))
+    assert(got.toSeq == want, s"merge sequence mismatch:\n got  ${got.toSeq}\n want $want")
+  }
 }
