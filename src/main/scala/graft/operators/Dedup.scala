@@ -899,7 +899,71 @@ object Dedup {
           .as("chars_kept"))
       .orderBy("lang")
 
+  // ------------------------------------ prefix-filtered set-similarity join
+
+  /** PREFIX-FILTERED SET-SIMILARITY JOIN (the Vernica et al. /
+    * PPJoin prefix-filter shape): every document pair whose 3-shingle
+    * sets have Jaccard ≥ τ (0.6), computed EXACTLY — without the
+    * all-pairs product the definition implies, and unlike the MinHash
+    * family without any probabilistic recall loss. The theorem: under
+    * any single global token order, two sets with J ≥ τ must share at
+    * least one token within their first |s| − ceil(τ·|s|) + 1 tokens
+    * (the "prefix"); ordering tokens rarest-first makes those prefixes
+    * the least-shared tokens, so the candidate join on prefix tokens
+    * pairs only genuinely similar documents. An exact intersect/union
+    * verification pass then makes the output IDENTICAL to the
+    * quadratic oracle (which is the raw definition, all 124 750 pairs
+    * at sf0.01).
+    *
+    * Scale: one corpus shuffle builds token frequencies, the candidate
+    * join is bucketed by PREFIX token only (rare tokens ⇒ small
+    * buckets), and verification joins are keyed by doc_id. Never
+    * all-pairs; candidate count is output-sensitive, not O(n²).
+    * ceil(τ·n) is computed in integer ppm arithmetic so both engines
+    * agree bit-for-bit. */
+  def setsimJoin(spark: SparkSession, dir: String): DataFrame =
+    setsimJoinOf(Tables.documents(spark, dir))
+
+  /** [[setsimJoin]] over any (doc_id, text) frame (spec entry). */
+  def setsimJoinOf(docs: DataFrame, tauPpm: Long = 600000L): DataFrame = {
+    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    val tokFreq = sh.select(explode(col("shingles")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("tf"))
+    // rarest-first total order (tf asc, tok asc); per-doc ordered token
+    // list + integer-exact prefix length p = n − ceil(τ·n) + 1
+    val ordered = sh
+      .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .join(tokFreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("tf"), col("tok")))).as("o"))
+      .select(col("doc_id"),
+        expr("transform(o, s -> s.tok)").as("toks"),
+        size(col("o")).cast("long").as("n"))
+      .withColumn("p",
+        col("n") - expr(s"(n * ${tauPpm}L + 999999L) div 1000000L") + lit(1L))
+    val prefixToks = ordered
+      .select(col("doc_id"), explode(expr("slice(toks, 1, int(p))")).as("tok"))
+    val cands = prefixToks.select(col("doc_id").as("doc_a"), col("tok"))
+      .join(prefixToks.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val full = ordered.select(col("doc_id"), col("toks"), col("n"))
+    cands
+      .join(full.select(col("doc_id").as("doc_a"), col("toks").as("t_a"),
+        col("n").as("size_a")), Seq("doc_a"))
+      .join(full.select(col("doc_id").as("doc_b"), col("toks").as("t_b"),
+        col("n").as("size_b")), Seq("doc_b"))
+      .withColumn("i", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
+      .withColumn("u", size(array_union(col("t_a"), col("t_b"))).cast("long"))
+      // exact predicate (no floor-rounding loss): J ≥ τ ⟺ i·10⁶ ≥ τppm·u
+      .filter(col("i") * lit(1000000L) >= lit(tauPpm) * col("u"))
+      .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
+        expr("i * 1000000L div u").as("jaccard_ppm"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_setsim_join"         -> setsimJoin _,
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_dedup_groups"        -> dedupGroups _,
@@ -1023,6 +1087,21 @@ object Dedup {
     s"WITH RECURSIVE ${dedupGroupsCtesFrom("documents")}"
 
   val oracles: Map[String, String] = Map(
+    // the RAW quadratic definition the prefix filter provably equals:
+    // every pair, exact intersection/union, same integer-ppm predicate
+    "dd_setsim_join" ->
+      s"""WITH $shingleCte,
+         pr AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  CAST(len(a.shingles) AS BIGINT) AS size_a,
+                  CAST(len(b.shingles) AS BIGINT) AS size_b,
+                  CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+                  CAST(len(list_distinct(a.shingles || b.shingles)) AS BIGINT) AS u
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+         SELECT doc_a, doc_b, size_a, size_b,
+                CAST(i * 1000000 // u AS BIGINT) AS jaccard_ppm
+         FROM pr WHERE i * 1000000 >= 600000 * u
+         ORDER BY doc_a, doc_b""",
     "dd_exact_summary" ->
       """WITH g AS (SELECT md5(text) AS h, count(*) AS c FROM documents GROUP BY md5(text))
          SELECT CAST(SUM(c) AS BIGINT) AS n_docs, count(*) AS n_distinct,

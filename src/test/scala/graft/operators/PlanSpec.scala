@@ -618,4 +618,25 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.indexOf("Window [sum") < plan.indexOf("HashAggregate"),
       s"ppm window must sit above the aggregate:\n${plan.take(3000)}")
   }
+
+  test("set-similarity join: candidate generation is an equi join on the " +
+       "prefix token — never a cartesian or nested loop") {
+    val plan = planOf(Dedup.setsimJoin(spark, dir))
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      s"prefix-filter candidates must pair via the token equi join:\n${plan.take(3000)}")
+  }
+
+  test("bpe merge fit: per-round pair counting runs over the checkpointed " +
+       "word dictionary, not the corpus (one corpus scan total)") {
+    val df = graft.functions.CorpusOps.bpeMergesOf(
+      graft.sources.Tables.documents(spark, dir), nMerges = 2)
+    val plan = planOf(df)
+    // the corpus parquet must not appear: every round reads the
+    // localCheckpointed vocab (Scan ExistingRDD), so a plan containing
+    // the documents file scan would mean per-round corpus rescans
+    assert(!plan.contains("documents.parquet"),
+      s"merge rounds must iterate over the checkpointed dictionary:\n${plan.take(3000)}")
+    assert(plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed vocab scans:\n${plan.take(3000)}")
+  }
 }
