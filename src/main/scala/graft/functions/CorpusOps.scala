@@ -518,8 +518,13 @@ object CorpusOps {
   def bpeMerges(spark: SparkSession, dir: String): DataFrame =
     bpeMergesOf(Tables.documents(spark, dir))
 
-  /** [[bpeMerges]] over any documents-shaped corpus (spec entry). */
-  def bpeMergesOf(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+  /** Shared BPE fit loop: word-frequency dictionary → `nMerges` rounds
+    * of (pair count, 1-row best pick, sentinel-space fuse). Returns the
+    * FINAL vocabulary (word → fitted symbol string, frequency) and the
+    * per-round merge records. The symbol string concatenates back to
+    * the word, so the final vocab IS the word→tokenization dictionary
+    * the encoder needs. */
+  private def bpeFit(docs: DataFrame, nMerges: Int): (DataFrame, Seq[DataFrame]) = {
     val w = docs
       .select(explode(
         expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
@@ -549,11 +554,45 @@ object CorpusOps {
       best.select(lit(i).as("merge_rank"), col("a").as("sym_a"), col("b").as("sym_b"),
         concat(col("a"), col("b")).as("merged"), col("cnt").as("pair_count"))
     }
-    merges.reduce(_ unionAll _).orderBy("merge_rank")
+    (vocab, merges)
+  }
+
+  /** [[bpeMerges]] over any documents-shaped corpus (spec entry). */
+  def bpeMergesOf(docs: DataFrame, nMerges: Int = 8): DataFrame =
+    bpeFit(docs, nMerges)._2.reduce(_ unionAll _).orderBy("merge_rank")
+
+  /** BPE ENCODING with the fitted merges — the serving half of the
+    * tokenizer loop: per document, the token count its text gets under
+    * the corpus-fitted merge table, plus word and character counts (the
+    * compression the fitted merges achieve). The encoder never touches
+    * raw text a second time: the fit's final vocabulary doubles as the
+    * word→tokenization dictionary (symbols concatenate back to the
+    * word), so encoding is per-doc word counts ⋈ a dictionary-sized
+    * table — the same dictionary-vs-fact asymmetry as fk_discovery and
+    * the fuzzy blocking join. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame =
+    bpeEncodeOf(Tables.documents(spark, dir))
+
+  /** [[bpeEncode]] over any documents-shaped corpus (spec entry). */
+  def bpeEncodeOf(docs: DataFrame, nMerges: Int = 8): DataFrame = {
+    val dict = bpeFit(docs, nMerges)._1
+      .select(replace(trim(col("sym")), lit(" "), lit("")).as("word"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_sym"))
+    val docWords = docs
+      .select(col("doc_id"), explode(
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("word"))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("k"))
+    docWords.join(dict, Seq("word"))
+      .groupBy("doc_id")
+      .agg(sum(col("k")).as("n_words"),
+        sum(col("k") * col("n_sym")).as("n_bpe_tokens"),
+        sum(col("k") * length(col("word")).cast("long")).as("n_chars"))
+      .orderBy("doc_id")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ta_bpe_merges"       -> bpeMerges _,
+    "ta_bpe_encode"       -> bpeEncode _,
     "ta_vocab_coverage"   -> vocabCoverage _,
     "ta_bigram_lm_score"  -> bigramLmScore _,
     "ta_ppl_buckets"      -> pplBuckets _,
@@ -571,10 +610,11 @@ object CorpusOps {
   private[graft] val benchValues =
     benchmarkSentences.zipWithIndex.map { case (s, i) => s"($i, '$s')" }.mkString(", ")
 
-  /** The identical BPE rounds unrolled as MATERIALIZED CTEs (DuckDB
-    * t[j] is 1-based where Spark's is 0-based; both `replace`s fuse
-    * leftmost-non-overlapping = BPE's greedy-left order). */
-  private def bpeOracle(nMerges: Int = 8): String = {
+  /** The identical BPE rounds unrolled as MATERIALIZED CTE members
+    * (DuckDB t[j] is 1-based where Spark's is 0-based; both `replace`s
+    * fuse leftmost-non-overlapping = BPE's greedy-left order). Shared
+    * by the fit and encode oracles. */
+  private def bpeOracleMembers(nMerges: Int): String = {
     val steps = (1 to nMerges).map { i =>
       val prev = if (i == 1) "v0" else s"v${i - 1}"
       s"""p$i AS MATERIALIZED (
@@ -589,21 +629,45 @@ object CorpusOps {
                     ' ' || (SELECT a FROM b$i) || (SELECT b FROM b$i) || ' ') AS sym, wc
            FROM $prev)"""
     }.mkString(",\n         ")
-    val sel = (1 to nMerges).map(i =>
-      s"SELECT $i AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b$i")
-      .mkString(" UNION ALL ")
-    s"""WITH w AS MATERIALIZED (
+    s"""w AS MATERIALIZED (
          SELECT word, count(*) AS wc FROM (
            SELECT unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
            FROM documents) GROUP BY 1),
        v0 AS MATERIALIZED (
          SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS sym, wc FROM w),
-       $steps
+       $steps"""
+  }
+
+  private def bpeOracle(nMerges: Int = 8): String = {
+    val sel = (1 to nMerges).map(i =>
+      s"SELECT $i AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged, cnt AS pair_count FROM b$i")
+      .mkString(" UNION ALL ")
+    s"""WITH ${bpeOracleMembers(nMerges)}
        SELECT * FROM ($sel) ORDER BY merge_rank"""
   }
 
+  /** Encode oracle: the fitted v{n} vocabulary as a word→symbol-count
+    * dictionary joined back to per-doc word counts. */
+  private def bpeEncodeOracle(nMerges: Int = 8): String =
+    s"""WITH ${bpeOracleMembers(nMerges)},
+       dict AS (
+         SELECT replace(trim(sym), ' ', '') AS word,
+                len(string_split(trim(sym), ' ')) AS n_sym
+         FROM v$nMerges),
+       dw AS (
+         SELECT doc_id, word, count(*) AS k FROM (
+           SELECT doc_id,
+                  unnest(list_filter(string_split(lower(text), ' '), x -> len(x) > 0)) AS word
+           FROM documents) GROUP BY 1, 2)
+       SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_words,
+              CAST(sum(k * n_sym) AS BIGINT) AS n_bpe_tokens,
+              CAST(sum(k * len(word)) AS BIGINT) AS n_chars
+       FROM dw JOIN dict USING (word)
+       GROUP BY 1 ORDER BY 1"""
+
   val oracles: Map[String, String] = Map(
     "ta_bpe_merges" -> bpeOracle(),
+    "ta_bpe_encode" -> bpeEncodeOracle(),
     // same (count desc, token asc) ranking, cumulative ppm, and
     // min-rank-at-threshold probe
     "ta_vocab_coverage" ->

@@ -110,5 +110,16 @@ class CorpusOpsSpec extends AnyFunSuite {
       (3, "l", "o", "lo", 7L),
       (4, "lo", "w", "low", 7L))
     assert(got.toSeq == want, s"merge sequence mismatch:\n got  ${got.toSeq}\n want $want")
+
+    // encode under those 4 merges: low→[low](1), lower→[low,e,r](3),
+    // newest→[n,e,w,est](4), widest→[w,i,d,est](4)
+    val enc = CorpusOps.bpeEncodeOf(docs, nMerges = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val wantEnc = Seq(
+      (0L, 5L, 5L, 15L),   // "low" ×5
+      (1L, 2L, 6L, 10L),   // "lower" ×2
+      (2L, 6L, 24L, 36L),  // "newest" ×6
+      (3L, 3L, 12L, 18L))  // "widest" ×3
+    assert(enc.toSeq == wantEnc, s"encode mismatch:\n got  ${enc.toSeq}\n want $wantEnc")
   }
 }
