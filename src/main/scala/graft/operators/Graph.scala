@@ -251,6 +251,48 @@ object Graph {
       .orderBy(desc("n_orders"), col("part_a"), col("part_b"))
       .limit(k)
 
+  /** ASSOCIATION RULES (support / confidence / lift) over order
+    * baskets — the classic market-basket mining output, in exact
+    * integer ppm. Pair supports come from the same in-array basket
+    * explode as [[copurchaseCounts]] (one fact shuffle, never the
+    * quadratic self-join the oracle uses to prove it); the
+    * support-filtered survivors fan out into BOTH rule directions
+    * map-side, then join the part-dimension-sized item-support table
+    * (broadcast) and the 1-row basket total:
+    * confidence(a→b) = supp(ab)/supp(a),
+    * lift(a→b) = supp(ab)·N / (supp(a)·supp(b)).
+    * All arithmetic is integer (ppm floor-division) so the row hash is
+    * engine-exact; ordering ties break on the full key. */
+  def assocRules(spark: SparkSession, dir: String): DataFrame =
+    assocRulesOf(Tables.lineitem(spark, dir))
+
+  /** [[assocRules]] over any lineitem-shaped fact table (spec entry). */
+  private[operators] def assocRulesOf(lineitem: DataFrame, minSupport: Long = 3L): DataFrame = {
+    val pairSupp = copurchaseCountsOf(lineitem)
+      .filter(col("n_orders") >= minSupport)
+    val itemSupp = lineitem
+      .select(col("l_partkey").as("part"), col("l_orderkey").as("o")).distinct()
+      .groupBy("part").agg(count(lit(1)).as("n_item"))
+    val nBaskets = lineitem.agg(countDistinct(col("l_orderkey")).as("n_baskets"))
+    val directed = pairSupp.select(explode(expr(
+      """array(named_struct('antecedent', part_a, 'consequent', part_b),
+        |      named_struct('antecedent', part_b, 'consequent', part_a))""".stripMargin))
+      .as("r"), col("n_orders").as("n_pair"))
+      .select(col("r.antecedent").as("antecedent"),
+        col("r.consequent").as("consequent"), col("n_pair"))
+    directed
+      .join(broadcast(itemSupp.select(col("part").as("antecedent"),
+        col("n_item").as("n_ante"))), Seq("antecedent"))
+      .join(broadcast(itemSupp.select(col("part").as("consequent"),
+        col("n_item").as("n_cons"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_ante"), col("n_cons"),
+        expr("n_pair * 1000000L div n_ante").as("confidence_ppm"),
+        expr("n_pair * n_baskets * 1000000L div (n_ante * n_cons)").as("lift_ppm"))
+      .orderBy(desc("lift_ppm"), col("antecedent"), col("consequent"))
+  }
+
   /** Triangle counting over the co-purchase graph, k-NN sparsified.
     *
     * The raw co-occurrence graph densifies as the corpus grows (every
@@ -305,6 +347,7 @@ object Graph {
     "rel_pagerank" -> ((s: SparkSession, d: String) => pageRankSuppliers(s, d)),
     "rel_pagerank_converged" -> ((s: SparkSession, d: String) => pageRankConvergedSuppliers(s, d)),
     "rel_copurchase_topk" -> ((s: SparkSession, d: String) => copurchaseTopK(s, d)),
+    "rel_assoc_rules" -> assocRules _,
     "rel_triangle_count" -> ((s: SparkSession, d: String) => triangleCounts(s, d)),
     "rel_khop_reach" -> ((s: SparkSession, d: String) => khopReach(s, d)),
     "rel_connected_components" -> ((s: SparkSession, d: String) => copurchaseComponents(s, d)),
@@ -375,6 +418,27 @@ object Graph {
                 GROUP BY 1, 2)
          SELECT part_a, part_b, n_orders FROM pc
          ORDER BY n_orders DESC, part_a, part_b LIMIT 25""",
+    // pair supports from the quadratic self-join definition — proving
+    // the basket-explode encoding (as for copurchase); rule math in ppm
+    "rel_assoc_rules" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         nb AS (SELECT count(DISTINCT o) AS n_baskets FROM b),
+         item AS (SELECT p, count(*) AS n_item FROM b GROUP BY 1),
+         pc AS (SELECT x.p AS a, y.p AS c, count(*) AS n
+                FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+                GROUP BY 1, 2),
+         keep AS (SELECT * FROM pc WHERE n >= 3),
+         dir AS (SELECT a AS antecedent, c AS consequent, n FROM keep
+                 UNION ALL SELECT c, a, n FROM keep)
+         SELECT d.antecedent, d.consequent, CAST(d.n AS BIGINT) AS n_pair,
+                CAST(ia.n_item AS BIGINT) AS n_ante,
+                CAST(ic.n_item AS BIGINT) AS n_cons,
+                CAST(d.n * 1000000 // ia.n_item AS BIGINT) AS confidence_ppm,
+                CAST(d.n * (SELECT n_baskets FROM nb) * 1000000
+                     // (ia.n_item * ic.n_item) AS BIGINT) AS lift_ppm
+         FROM dir d JOIN item ia ON d.antecedent = ia.p
+                    JOIN item ic ON d.consequent = ic.p
+         ORDER BY lift_ppm DESC, antecedent, consequent""",
     "rel_triangle_count" ->
       """WITH b AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          pc AS (SELECT x.p AS part_a, y.p AS part_b, count(*) AS n_orders

@@ -71,4 +71,22 @@ class GraphMiningSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got === cnt.toMap)
   }
+
+  test("association rules: hand-computed support/confidence/lift on 5 baskets") {
+    import spark.implicits._
+    // baskets: {1,2} {1,2} {1,2} {1,3} {2,3,4} → N=5
+    // supp: 1→4, 2→4, 3→2, 4→1; pair(1,2)=3 (only pair ≥3)
+    val li = Seq(
+      (10L, 1L), (10L, 2L), (11L, 1L), (11L, 2L), (12L, 1L), (12L, 2L),
+      (13L, 1L), (13L, 3L), (14L, 2L), (14L, 3L), (14L, 4L)
+    ).toDF("l_orderkey", "l_partkey")
+    val got = Graph.assocRulesOf(li, minSupport = 3L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // conf(1→2) = 3/4 = 750000 ppm; lift = 3·5·10⁶/(4·4) = 937500 (both ways)
+    val want = Seq(
+      (1L, 2L, 3L, 4L, 4L, 750000L, 937500L),
+      (2L, 1L, 3L, 4L, 4L, 750000L, 937500L))
+    assert(got.toSeq == want, s"rule math mismatch:\n got  ${got.toSeq}\n want $want")
+  }
 }
