@@ -172,6 +172,63 @@ object Maintenance {
       .orderBy("o_custkey")
   }
 
+  /** INCREMENTAL VIEW MAINTENANCE WITH DIMENSION RIPPLE — the hard
+    * case of materialized-view refresh: the view is a JOIN-aggregate
+    * (orders ⋈ customer → per-segment counts and revenue) and BOTH
+    * inputs change. Fact appends are the easy delta
+    * ([[incrementalAggMerge]]); a dimension update *re-classifies
+    * history* — every old fact row of a segment-moved customer must
+    * migrate between groups. The engine never recomputes the view:
+    *
+    *   V_new = V_old                      (stored rollup, read back)
+    *         + agg(ΔB ⋈ A_new)            (fact delta, delta-sized)
+    *         − old-segment contributions  (ripple subtract)
+    *         + new-segment contributions  (ripple add, deletes excluded)
+    *
+    * where the ripple terms aggregate ONLY the base-fact rows of
+    * CHANGED dimension keys — obtained by broadcasting the changed-key
+    * set ([[cdcDiffOf]]'s U/D slice) against the base fact, so the
+    * 100 TB fact is touched once through a broadcast semi-join filter,
+    * never re-shuffled. All arithmetic is exact (long counts, decimal
+    * cents), so the oracle — a FULL RECOMPUTE on the final state — must
+    * hash-match row for row: the incremental path is provably
+    * indistinguishable from the recompute it avoids. */
+  def ivmRipple(spark: SparkSession, dir: String): DataFrame = {
+    val dec2 = org.apache.spark.sql.types.DecimalType(18, 2)
+    val cutoff = "1997-01-01"
+    val custOld = Tables.customer(spark, dir)
+    val custNew = nextCustomerSnapshot(custOld)
+    val orders = Tables.orders(spark, dir)
+    val bOld = orders.filter(col("o_orderdate") < lit(cutoff))
+    val bDelta = orders.filter(col("o_orderdate") >= lit(cutoff))
+    def viewOf(b: DataFrame, a: DataFrame): DataFrame =
+      b.join(a, b("o_custkey") === a("c_custkey"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast(dec2)).as("rev"))
+    val vOld = viewOf(bOld, custOld)
+    val dNew = viewOf(bDelta, custNew)
+    val changed = custOld
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("old_seg"))
+      .join(custNew.select(col("c_custkey").as("key"),
+        col("c_mktsegment").as("new_seg")), Seq("key"), "left")
+      .filter(col("new_seg").isNull || col("new_seg") =!= col("old_seg"))
+    val perKey = bOld
+      .join(broadcast(changed), bOld("o_custkey") === changed("key"))
+      .groupBy("key", "old_seg", "new_seg")
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(dec2)).as("r"))
+    val minus = perKey.select(col("old_seg").as("segment"),
+      (-col("n")).as("n_orders"), (-col("r")).as("rev"))
+    val plus = perKey.filter(col("new_seg").isNotNull)
+      .select(col("new_seg").as("segment"), col("n").as("n_orders"), col("r").as("rev"))
+    vOld.unionByName(dNew).unionByName(minus).unionByName(plus)
+      .groupBy("segment")
+      .agg(sum(col("n_orders")).as("n_orders"),
+        sum(col("rev")).cast("double").as("revenue"))
+      .filter(col("n_orders") =!= 0)
+      .orderBy("segment")
+  }
+
   /** The deterministic "next load" of the customer dimension for the
     * oracle-gated CDC diff — derived from the snapshot itself so both
     * engines construct the identical table. Keys ≡0 (mod 13) are gone
@@ -232,6 +289,56 @@ object Maintenance {
         col("old_acctbal"), col("new_acctbal"),
         col("old_segment"), col("new_segment"))
       .orderBy("c_custkey", "op")
+  }
+
+  /** TIME TRAVEL over a log-structured commit history — the
+    * lakehouse-table "read AS OF version v": a keyed write-ahead log of
+    * (commit, key, op, value) rows reconstructs the table state at any
+    * past commit by last-write-wins per key with delete tombstones
+    * honored. Distinct from the SCD2 family: there the history is an
+    * interval table built once; here the raw multi-version log is the
+    * stored representation (Delta/Iceberg-style) and EVERY version
+    * remains readable.
+    *
+    * The commit log is derived deterministically from the orders
+    * snapshot (commit 0 = initial load; commits 1..3 write "V{c}" to
+    * keys ≡c (mod 7) and tombstone keys ≡c (mod 13)), so both engines
+    * build the identical log. The as-of-2 read: filter commit ≤ 2, one
+    * row_number window per key (commit desc), keep rank 1, drop
+    * tombstones.
+    *
+    * Scale: ONE hash shuffle on the key over the commit-filtered log —
+    * the filter prunes future commits before the exchange; with the log
+    * stored commit-partitioned, version pruning is partition pruning.
+    * The window is a per-key top-1, which AQE/codegen executes without
+    * materializing per-key sorts beyond the run length. */
+  def timeTravel(spark: SparkSession, dir: String, asOf: Int = 2): DataFrame =
+    timeTravelOf(Tables.orders(spark, dir), asOf)
+
+  /** [[timeTravel]] over any orders-shaped snapshot (spec entry). */
+  def timeTravelOf(orders: DataFrame, asOf: Int): DataFrame = {
+    val k = col("o_orderkey")
+    // "cm" not "commit": COMMIT is a reserved word in ANSI engines and
+    // the oracle must spell the identical identifier
+    val base = orders.select(lit(0).as("cm"), k.as("key"),
+      lit("W").as("op"), col("o_orderpriority").as("value"))
+    val log = (1 to 3).map { c =>
+      orders.filter(k % 7 === c).select(lit(c).as("cm"), k.as("key"),
+        lit("W").as("op"), concat(lit("V"), lit(c)).as("value"))
+        .unionAll(orders.filter(k % 13 === c).select(lit(c).as("cm"),
+          k.as("key"), lit("D").as("op"), lit(null).cast("string").as("value")))
+    }.foldLeft(base)(_ unionAll _)
+    // within one commit a key can carry both a write and a tombstone
+    // (k ≡c mod 7 AND mod 13): 'D' < 'W' in the tie-break, so the
+    // tombstone wins — pinned identically in the oracle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("key").orderBy(col("cm").desc, col("op").asc)
+    log.filter(col("cm") <= asOf)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("key").as("o_orderkey"), col("value").as("o_orderpriority"),
+        col("cm").cast("long").as("last_commit"))
+      .orderBy("o_orderkey")
   }
 
   /** CASCADED PURGE accounting — the right-to-be-forgotten / takedown
@@ -388,8 +495,10 @@ object Maintenance {
     "rel_vacuum_plan" -> ((s: SparkSession, d: String) => vacuumPlan(s, d)),
     "rel_purge_cascade" -> purgeCascade _,
     "rel_upsert_merge" -> upsertOrders _,
+    "rel_time_travel" -> ((s: SparkSession, d: String) => timeTravel(s, d)),
     "rel_scd2_history" -> scd2Customers _,
     "rel_incr_agg_merge" -> incrementalAggMerge _,
+    "rel_ivm_ripple" -> ivmRipple _,
     "rel_cdc_snapshot_diff" -> cdcSnapshotDiff _,
     "rel_temporal_join_scd2" -> temporalJoinScd2 _,
   )
@@ -503,6 +612,28 @@ object Maintenance {
       """SELECT o_custkey, count(*) AS n_orders,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders GROUP BY o_custkey ORDER BY o_custkey""",
+    // same log construction, same (cm desc, op asc) last-write-wins
+    // rank — the tombstone-beats-write tie inside a commit included
+    "rel_time_travel" ->
+      """WITH lg AS (
+           SELECT 0 AS cm, o_orderkey AS key, 'W' AS op,
+                  o_orderpriority AS value FROM orders
+           UNION ALL
+           SELECT c, o_orderkey, 'W', 'V' || CAST(c AS VARCHAR)
+           FROM orders, (VALUES (1), (2), (3)) AS t(c)
+           WHERE o_orderkey % 7 = c
+           UNION ALL
+           SELECT c, o_orderkey, 'D', NULL
+           FROM orders, (VALUES (1), (2), (3)) AS t(c)
+           WHERE o_orderkey % 13 = c),
+         r AS (
+           SELECT *, row_number() OVER
+             (PARTITION BY key ORDER BY cm DESC, op ASC) AS rn
+           FROM lg WHERE cm <= 2)
+         SELECT key AS o_orderkey, value AS o_orderpriority,
+                CAST(cm AS BIGINT) AS last_commit
+         FROM r WHERE rn = 1 AND op <> 'D'
+         ORDER BY o_orderkey""",
     "rel_upsert_merge" ->
       """WITH ch AS (
            SELECT o_orderkey AS c_key, o_custkey AS c_custkey,
@@ -547,6 +678,23 @@ object Maintenance {
          ORDER BY o_custkey, version""",
     // the oracle rebuilds the same next snapshot and diffs with the raw
     // FULL OUTER JOIN — row-presence flags, not column null-ness
+    // FULL RECOMPUTE on the final state — the refresh the incremental
+    // path must be indistinguishable from (same new-dimension CTE as
+    // the CDC oracle)
+    "rel_ivm_ripple" ->
+      """WITH an AS (
+           SELECT c_custkey,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                       ELSE c_mktsegment END AS c_mktsegment
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, 'ONBOARDED'
+           FROM customer WHERE c_custkey % 11 = 0)
+         SELECT an.c_mktsegment AS segment,
+                CAST(count(*) AS BIGINT) AS n_orders,
+                CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM orders o JOIN an ON o.o_custkey = an.c_custkey
+         GROUP BY 1 ORDER BY 1""",
     "rel_cdc_snapshot_diff" ->
       """WITH nw AS (
            SELECT c_custkey AS key,
