@@ -481,6 +481,45 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** EDIT-DISTANCE JOIN with PROVABLY COMPLETE blocking (the FastSS /
+    * symmetric-delete scheme): all distinct-name pairs with
+    * levenshtein ≤ 1. [[fuzzyBlockingJoin]]'s last-token blocking is a
+    * heuristic — a pair differing IN the last token never shares a
+    * block and is silently missed; here the blocking key set is each
+    * string's DELETION NEIGHBORHOOD (the string plus every one-char
+    * deletion, |s|+1 keys). Two strings at edit distance ≤ 1 always
+    * share a neighborhood member — a substitution at position i means
+    * deleting i from each yields the same string; an insertion means
+    * the shorter string IS a deletion of the longer — so the key join
+    * produces a complete candidate superset, and the codegen'd
+    * levenshtein verify makes the result EXACTLY the quadratic oracle.
+    *
+    * Scale: runs on the distinct-name dictionary (one partial-agg
+    * shuffle over the fact, dictionary-sized after), neighborhood
+    * explode is map-side (|s|+1 rows per name), candidates bucket by
+    * neighborhood key. The quadratic definition never executes. */
+  def editdistJoin(spark: SparkSession, dir: String): DataFrame =
+    editdistJoinOf(Tables.part(spark, dir).select(col("p_name").as("name")))
+
+  /** [[editdistJoin]] over any single-column (name) frame (spec entry). */
+  private[operators] def editdistJoinOf(named: DataFrame): DataFrame = {
+    val names = named.select(col("name")).distinct()
+    val keys = names.select(col("name"), explode(expr(
+      """array_union(array(name),
+        |  transform(sequence(1, length(name)),
+        |            i -> concat(substring(name, 1, i - 1),
+        |                        substring(name, i + 1, length(name)))))""".stripMargin))
+      .as("k"))
+    val cands = keys.select(col("name").as("name_a"), col("k"))
+      .join(keys.select(col("name").as("name_b"), col("k")), Seq("k"))
+      .filter(col("name_a") < col("name_b"))
+      .select("name_a", "name_b").distinct()
+    cands
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("dist") <= 1)
+      .orderBy("name_a", "name_b")
+  }
+
   /** Fuzzy ENTITY-RESOLUTION join — blocked edit-distance matching, the
     * record-linkage primitive (generalizing O-25's containment lookup to
     * true approximate matching). The naive formulation is a quadratic
@@ -594,6 +633,7 @@ object Relational {
     "rel_interval_overlap"    -> intervalOverlapJoin _,
     "rel_dq_audit"            -> dqAudit _,
     "rel_fuzzy_blocking_join" -> fuzzyBlockingJoin _,
+    "rel_editdist_join" -> editdistJoin _,
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
     "rel_fk_discovery"        -> fkDiscovery _,
@@ -686,6 +726,15 @@ object Relational {
          SELECT 'pk_orders_unique', count(*)
          FROM (SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
          ORDER BY check_name""",
+    // the quadratic definition the deletion-neighborhood blocking
+    // provably equals
+    "rel_editdist_join" ->
+      """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= 1
+         ORDER BY 1, 2""",
     // identical dictionary resolution: distinct lowered names + counts,
     // last-token blocks, levenshtein <= 2 within block
     "rel_fuzzy_blocking_join" ->
