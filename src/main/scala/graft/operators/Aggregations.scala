@@ -612,7 +612,137 @@ object Aggregations {
       .orderBy("digit")
   }
 
+  /** EXACT EQUI-DEPTH HISTOGRAM at scale — the statistics structure
+    * optimizers and drift monitors actually want (equal ROW mass per
+    * bucket), which unlike [[equiwidthHist]] needs a global rank. The
+    * naive formulation (ntile over an unpartitioned window) collapses
+    * all data to one reducer; the shape here never does:
+    *   1. one shuffle builds the value dictionary (cents → count);
+    *   2. the dictionary is RANGE-partitioned by value and a two-pass
+    *      distributed prefix sum (per-partition subtotals collected —
+    *      one row per partition — then offsets broadcast back) gives
+    *      every value its exact cumulative-before rank, the same
+    *      pattern as [[graft.functions.CorpusOps.packSequencesOf]];
+    *   3. bucket = cum_before·B div N, then a bucket-keyed aggregate.
+    * Semantics are value-granular (ties share a bucket — deterministic
+    * without any tiebreak), bucket depth is within one value-run of
+    * N/B. Integer arithmetic end-to-end. */
+  def equidepthHist(spark: SparkSession, dir: String, buckets: Int = 16): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.TaskContext
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    val dict = Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      .groupBy("cents").agg(count(lit(1)).as("cnt"))
+      .repartitionByRange(nParts, col("cents"))
+      .sortWithinPartitions("cents")
+      .as[(Long, Long)]
+      .persist()
+    try {
+      val partSums = dict.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var s = 0L
+        it.foreach { case (_, c) => s += c }
+        Iterator((pid, s))
+      }.collect() // one row per partition — bounded by parallelism
+      val total = partSums.map(_._2).sum
+      val offsets: Map[Int, Long] = {
+        var acc = 0L
+        partSums.sortBy(_._1).map { case (pid, s) =>
+          val off = acc; acc += s; pid -> off
+        }.toMap
+      }
+      val bOff = spark.sparkContext.broadcast(offsets)
+      val ranked = dict.mapPartitions { it =>
+        val pid = TaskContext.getPartitionId()
+        var run = bOff.value.getOrElse(pid, 0L)
+        it.map { case (cents, c) =>
+          val before = run; run += c; (cents, c, before)
+        }
+      }.toDF("cents", "cnt", "cum_before")
+      val out = ranked
+        .withColumn("bucket", expr(s"cum_before * $buckets div ${total}L"))
+        .groupBy("bucket")
+        .agg(sum(col("cnt")).as("n_rows"),
+          min(col("cents")).as("min_cents"), max(col("cents")).as("max_cents"))
+        .orderBy("bucket")
+      out.localCheckpoint(eager = true)
+    } finally dict.unpersist()
+  }
+
+  /** CHI-SQUARED INDEPENDENCE CELLS for two categorical columns
+    * (market segment × order priority) — the data-profiling test for
+    * "are these columns associated". Emits the full contingency
+    * diagnostics per cell: observed count, expected count under
+    * independence (exact integer ppm: r·c·10⁶ div N), and the χ²
+    * contribution (o·N − r·c)²/(N·r·c). The contribution is the ONLY
+    * double in the result and is computed as exactly one IEEE multiply
+    * and one divide over integer-exact operands (the long subtraction
+    * o·N − r·c is exact well past these magnitudes), so both engines
+    * round identically — no cross-cell summation order to drift.
+    *
+    * Scale: the fact join is one broadcast (customer dimension), the
+    * contingency table is a partial+final count, and the margins join
+    * back onto the |segments|×|priorities| cell table — post-aggregate
+    * sizes throughout. */
+  def chi2Independence(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"),
+        col("o_orderpriority").as("priority"))
+      .agg(count(lit(1)).as("observed"))
+    val rows = cells.groupBy("segment").agg(sum("observed").as("r"))
+    val cols_ = cells.groupBy("priority").agg(sum("observed").as("c"))
+    val n = cells.agg(sum("observed").as("n"))
+    cells
+      .join(broadcast(rows), Seq("segment"))
+      .join(broadcast(cols_), Seq("priority"))
+      .crossJoin(broadcast(n))
+      .withColumn("expected_ppm", expr("r * c * 1000000L div n"))
+      .withColumn("chi2_contrib", expr(
+        "CAST(observed * n - r * c AS DOUBLE) * CAST(observed * n - r * c AS DOUBLE)" +
+          " / CAST(n * r * c AS DOUBLE)"))
+      .select("segment", "priority", "observed", "r", "c",
+        "expected_ppm", "chi2_contrib")
+      .orderBy("segment", "priority")
+  }
+
+  /** GINI COEFFICIENT per group — the inequality profile of a value
+    * column (customer balance cents by segment), exact to the ppm:
+    * with values sorted ascending and 1-based ranks i,
+    * G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx). The rank sum is computed on
+    * the VALUE DICTIONARY, not per row: a run of count c of value v
+    * starting after cumulative count F contributes
+    * v·(c·F + c(c+1)/2) — tie-order drops out algebraically, so the
+    * result needs no tiebreak key and the window runs over the
+    * (group × distinct value) dictionary. Integer arithmetic
+    * end-to-end (long bounds hold past sf1 for this column's
+    * magnitudes). */
+  def giniBySegment(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("segment").orderBy("cents")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.customer(spark, dir)
+      .select(col("c_mktsegment").as("segment"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+      .groupBy("segment", "cents").agg(count(lit(1)).as("c"))
+      .withColumn("f", coalesce(sum(col("c")).over(w), lit(0L)))
+      .groupBy("segment")
+      .agg(sum(expr("cents * (c * f + c * (c + 1) div 2)")).as("s1"),
+        sum(expr("cents * c")).as("s0"),
+        sum(col("c")).as("n"))
+      .select(col("segment"), col("n").as("n_customers"),
+        col("s0").as("sum_cents"),
+        expr("(2 * s1 - (n + 1) * s0) * 1000000L div (n * s0)").as("gini_ppm"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_equidepth_hist"      -> ((s: SparkSession, d: String) => equidepthHist(s, d)),
+    "agg_chi2_cells"          -> chi2Independence _,
+    "agg_gini_segment"        -> giniBySegment _,
     "agg_benford_prices"      -> benfordPrices _,
     "agg_equiwidth_hist"      -> equiwidthHist _,
     "agg_minmax_scale"        -> minmaxScale _,
@@ -643,6 +773,66 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // declarative window mirror of the distributed prefix-sum ranking
+    "agg_equidepth_hist" ->
+      """WITH d AS (
+           SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS cnt
+           FROM orders GROUP BY 1),
+         c AS (
+           SELECT cents, cnt,
+                  CAST(coalesce(sum(cnt) OVER (ORDER BY cents
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cumb,
+                  CAST(sum(cnt) OVER () AS BIGINT) AS n
+           FROM d)
+         SELECT CAST(cumb * 16 // n AS BIGINT) AS bucket,
+                CAST(sum(cnt) AS BIGINT) AS n_rows,
+                min(cents) AS min_cents, max(cents) AS max_cents
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // same margins, same single-multiply-single-divide contribution
+    "agg_chi2_cells" ->
+      """WITH cells AS (
+           SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+                  CAST(count(*) AS BIGINT) AS observed
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1, 2),
+         rm AS (SELECT segment, CAST(sum(observed) AS BIGINT) AS r
+                FROM cells GROUP BY 1),
+         cm AS (SELECT priority, CAST(sum(observed) AS BIGINT) AS c
+                FROM cells GROUP BY 1),
+         nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
+         SELECT cells.segment, cells.priority, observed, rm.r, cm.c,
+                CAST(rm.r * cm.c * 1000000 // nt.n AS BIGINT) AS expected_ppm,
+                CAST(observed * nt.n - rm.r * cm.c AS DOUBLE)
+                  * CAST(observed * nt.n - rm.r * cm.c AS DOUBLE)
+                  / CAST(nt.n * rm.r * cm.c AS DOUBLE) AS chi2_contrib
+         FROM cells JOIN rm USING (segment) JOIN cm USING (priority)
+         CROSS JOIN nt
+         ORDER BY 1, 2""",
+    // identical dictionary-granular rank-sum algebra
+    "agg_gini_segment" ->
+      """WITH d AS (
+           SELECT c_mktsegment AS segment,
+                  CAST(round(c_acctbal * 100) AS BIGINT) AS cents,
+                  CAST(count(*) AS BIGINT) AS c
+           FROM customer GROUP BY 1, 2),
+         cf AS (
+           SELECT segment, cents, c,
+                  CAST(coalesce(sum(c) OVER (PARTITION BY segment
+                    ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING
+                    AND 1 PRECEDING), 0) AS BIGINT) AS f
+           FROM d),
+         g AS (
+           SELECT segment,
+                  CAST(sum(cents * (c * f + c * (c + 1) // 2)) AS BIGINT) AS s1,
+                  CAST(sum(cents * c) AS BIGINT) AS s0,
+                  CAST(sum(c) AS BIGINT) AS n
+           FROM cf GROUP BY 1)
+         SELECT segment, n AS n_customers, s0 AS sum_cents,
+                CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
+                  AS gini_ppm
+         FROM g ORDER BY 1""",
     // same integer-cents leading digit, same exact ppm literals
     "agg_benford_prices" ->
       """WITH d AS (
