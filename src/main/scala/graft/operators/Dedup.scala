@@ -189,6 +189,35 @@ object Dedup {
   def minhashLshPairs(spark: SparkSession, dir: String): DataFrame =
     lshPairsFromBands(docBandsTable(spark, dir)).orderBy("doc_a", "doc_b")
 
+  /** TRAIN/TEST LEAKAGE AUDIT — the composition every split pipeline
+    * must run before shipping an eval set: near-duplicate pairs (the
+    * MinHash band candidates, same recall set as [[minhashLshPairs]])
+    * that STRADDLE split boundaries under the deterministic md5-bucket
+    * assignment of `ta_split_assign` (train <90, val <95, test
+    * otherwise). A pair here means an eval document has a near-copy in
+    * training — the contamination the split hashing alone cannot
+    * prevent, because hashing is content-blind while duplication is
+    * content-driven.
+    *
+    * Scale: band-bucket candidate join (never all-pairs) + two
+    * dictionary joins of the doc→split projection. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshPairsFromBands(docBandsTable(spark, dir))
+    val split = Tables.documents(spark, dir)
+      .select(col("doc_id"), when(
+        expr("pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)") < 90,
+        lit("train"))
+        .when(expr("pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)") < 95,
+          lit("val"))
+        .otherwise(lit("test")).as("split"))
+    pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .filter(col("split_a") =!= col("split_b"))
+      .select("doc_a", "doc_b", "split_a", "split_b")
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Asymmetric CONTAINMENT scoring over the LSH candidates — catches
     * doc-in-doc duplication (quotes, excerpts, wrapper pages) that
     * symmetric Jaccard under-scores: a 50-shingle doc fully embedded in
@@ -975,6 +1004,7 @@ object Dedup {
     "dd_jaccard_adjacent"    -> jaccardAdjacent _,
     "dd_containment"         -> containmentPairs _,
     "dd_minhash_lsh_pairs"   -> minhashLshPairs _,
+    "dd_split_leakage"       -> splitLeakage _,
     "dd_simhash16"           -> simhash16 _,
     "dd_simhash_hamming"     -> simhashHammingPairs _,
     "dd_simhash_hamming_k2"  -> ((s: SparkSession, d: String) => simhashHammingKPairs(s, d, 2, 60)),
@@ -1143,6 +1173,30 @@ object Dedup {
          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
          WHERE a.doc_id < b.doc_id
+         ORDER BY doc_a, doc_b""",
+    // same band candidates ⋈ the ta_split_assign md5-bucket rule
+    "dd_split_leakage" ->
+      s"""WITH $shingleCte,
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id),
+         sp AS (
+           SELECT doc_id,
+             CASE WHEN bkt < 90 THEN 'train'
+                  WHEN bkt < 95 THEN 'val' ELSE 'test' END AS split
+           FROM (
+             SELECT doc_id,
+               list_reduce([strpos('0123456789abcdef', c) - 1
+                            FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+                           (a, v) -> a * 16 + v) % 100 AS bkt
+             FROM documents))
+         SELECT p.doc_a, p.doc_b, sa.split AS split_a, sb.split AS split_b
+         FROM pairs p
+         JOIN sp sa ON p.doc_a = sa.doc_id
+         JOIN sp sb ON p.doc_b = sb.doc_id
+         WHERE sa.split <> sb.split
          ORDER BY doc_a, doc_b""",
     "dd_dedup_pipeline" ->
       s"""WITH reps AS (

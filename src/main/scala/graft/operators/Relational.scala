@@ -481,6 +481,67 @@ object Relational {
       .orderBy("o_custkey")
   }
 
+  /** JOIN-KEY SKEW AUDIT — the diagnostic to run BEFORE picking a join
+    * strategy at 100 TB: the full shape of the rows-per-key
+    * distribution for a prospective shuffle key (lineitem.l_suppkey),
+    * in one row: key/row totals, max, exact p50/p99 of key sizes, the
+    * row share held by the heaviest 1% of keys, and the Gini of key
+    * sizes. p99/p50 ≫ 1 or a fat top-1% share says "salt this key or
+    * let AQE split it" ([[skewJoinSalted]]); ~uniform says a plain hash
+    * join is safe.
+    *
+    * Everything after the one fact shuffle (rows per key) runs on the
+    * COUNT-OF-COUNTS dictionary — distinct (size, how-many-keys) pairs,
+    * bounded by max multiplicity, tiny at any corpus size — so the
+    * exact percentiles, the top-share boundary split, and the Gini
+    * rank-sum are all integer-exact window passes over a table that
+    * fits anywhere. The heaviest-1% boundary falls inside a tied size
+    * group; the partial take is exact because tied keys have EQUAL
+    * size (which member is taken cannot change the sum). */
+  def skewAudit(spark: SparkSession, dir: String): DataFrame =
+    skewAuditOf(Tables.lineitem(spark, dir).select(col("l_suppkey").as("key")))
+
+  /** [[skewAudit]] over any single-column (key) frame (spec entry). */
+  private[operators] def skewAuditOf(keyed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = keyed.groupBy("key").agg(count(lit(1)).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("k"))
+    val tot = cc.agg(sum(col("k")).as("n_keys"),
+      sum(expr("s * k")).as("n_rows"), max(col("s")).as("max_rows"))
+    val wAsc = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAscPrev = Window.orderBy("s")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wDescPrev = Window.orderBy(desc("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val e = cc.crossJoin(broadcast(tot))
+      .withColumn("cum_asc", sum(col("k")).over(wAsc))
+      .withColumn("f_asc", coalesce(sum(col("k")).over(wAscPrev), lit(0L)))
+      .withColumn("kb_desc", coalesce(sum(col("k")).over(wDescPrev), lit(0L)))
+      .withColumn("sb_desc", coalesce(sum(expr("s * k")).over(wDescPrev), lit(0L)))
+      .localCheckpoint()
+    val p50 = e.filter(col("cum_asc") * 2 >= col("n_keys"))
+      .agg(min(col("s")).as("p50_rows"))
+    val p99 = e.filter(col("cum_asc") * 100 >= col("n_keys") * 99)
+      .agg(min(col("s")).as("p99_rows"))
+    val top = e
+      .withColumn("t", expr("(n_keys + 99) div 100"))
+      .filter(col("kb_desc") < col("t") && col("kb_desc") + col("k") >= col("t"))
+      .select((col("sb_desc") + (col("t") - col("kb_desc")) * col("s"))
+        .as("top1pct_rows"))
+    val gini = e.agg(
+      sum(expr("s * (k * f_asc + k * (k + 1) div 2)")).as("s1"),
+      sum(expr("s * k")).as("s0"), sum(col("k")).as("n"))
+      .select(expr("(2 * s1 - (n + 1) * s0) * 1000000L div (n * s0)")
+        .as("gini_ppm"))
+    tot.crossJoin(broadcast(p50)).crossJoin(broadcast(p99))
+      .crossJoin(broadcast(top)).crossJoin(broadcast(gini))
+      .select(col("n_keys"), col("n_rows"), col("max_rows"),
+        col("p50_rows"), col("p99_rows"), col("top1pct_rows"),
+        expr("top1pct_rows * 1000000L div n_rows").as("top1pct_share_ppm"),
+        col("gini_ppm"))
+  }
+
   /** EDIT-DISTANCE JOIN with PROVABLY COMPLETE blocking (the FastSS /
     * symmetric-delete scheme): all distinct-name pairs with
     * levenshtein ≤ 1. [[fuzzyBlockingJoin]]'s last-token blocking is a
@@ -634,6 +695,7 @@ object Relational {
     "rel_dq_audit"            -> dqAudit _,
     "rel_fuzzy_blocking_join" -> fuzzyBlockingJoin _,
     "rel_editdist_join" -> editdistJoin _,
+    "rel_skew_audit" -> skewAudit _,
     "rel_bloom_prune"         -> bloomPruneCounts _,
     "rel_table_stats"         -> tableStats _,
     "rel_fk_discovery"        -> fkDiscovery _,
@@ -735,6 +797,38 @@ object Relational {
          FROM n a JOIN n b ON a.name < b.name
          WHERE levenshtein(a.name, b.name) <= 1
          ORDER BY 1, 2""",
+    // identical count-of-counts windows, boundary split, gini algebra
+    "rel_skew_audit" ->
+      """WITH kc AS (SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS s
+                     FROM lineitem GROUP BY 1),
+         cc AS (SELECT s, CAST(count(*) AS BIGINT) AS k FROM kc GROUP BY 1),
+         tot AS (SELECT CAST(sum(k) AS BIGINT) AS n_keys,
+                        CAST(sum(s * k) AS BIGINT) AS n_rows,
+                        max(s) AS max_rows FROM cc),
+         e AS (SELECT s, k,
+                 CAST(sum(k) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED
+                   PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_asc,
+                 CAST(coalesce(sum(k) OVER (ORDER BY s ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS f_asc,
+                 CAST(coalesce(sum(k) OVER (ORDER BY s DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS kb_desc,
+                 CAST(coalesce(sum(s * k) OVER (ORDER BY s DESC ROWS BETWEEN
+                   UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS sb_desc
+               FROM cc),
+         p50 AS (SELECT min(s) AS p50_rows FROM e, tot WHERE cum_asc * 2 >= n_keys),
+         p99 AS (SELECT min(s) AS p99_rows FROM e, tot
+                 WHERE cum_asc * 100 >= n_keys * 99),
+         tp AS (SELECT sb_desc + ((n_keys + 99) // 100 - kb_desc) * s AS top1pct_rows
+                FROM e, tot
+                WHERE kb_desc < (n_keys + 99) // 100
+                  AND kb_desc + k >= (n_keys + 99) // 100),
+         g AS (SELECT CAST(sum(s * (k * f_asc + k * (k + 1) // 2)) AS BIGINT) AS s1,
+                      CAST(sum(s * k) AS BIGINT) AS s0,
+                      CAST(sum(k) AS BIGINT) AS n FROM e)
+         SELECT n_keys, n_rows, max_rows, p50_rows, p99_rows, top1pct_rows,
+                CAST(top1pct_rows * 1000000 // n_rows AS BIGINT) AS top1pct_share_ppm,
+                CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT) AS gini_ppm
+         FROM tot, p50, p99, tp, g""",
     // identical dictionary resolution: distinct lowered names + counts,
     // last-token blocks, levenshtein <= 2 within block
     "rel_fuzzy_blocking_join" ->

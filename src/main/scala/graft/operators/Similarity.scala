@@ -55,6 +55,36 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  /** RANGE (radius) SEARCH — all corpus vectors with cosine ≥ τ to the
+    * query, the retrieval mode dedup/blocklist pipelines need where
+    * top-k is wrong (the answer set size is data-dependent). The
+    * membership predicate is EXACT INTEGER arithmetic on the quantized
+    * vectors: cos ≥ τ ⟺ dot > 0 ∧ dot²·100 ≥ (τ·10)²·‖a‖²·‖b‖² — no
+    * floating-point comparison ever decides the boundary, so both
+    * engines admit the identical set. The reported cosine is the same
+    * pinned one-divide expression the ANN family emits.
+    *
+    * Scale: a pure projection + filter over the corpus — no exchange at
+    * all (the query is a 1-row broadcast); output-sized result. The IVF
+    * cell structure can prune it probabilistically, but unlike top-k the
+    * exact answer needs the full scan — this IS the scale-honest shape. */
+  def rangeSearch(spark: SparkSession, dir: String, tauTenths: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .withColumn("dot", quantDot(col("embedding"), col("qe")))
+      .withColumn("na", quantNormSq(col("embedding")))
+      .withColumn("nb", quantNormSq(col("qe")))
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(100L) >=
+          lit(tauTenths.toLong * tauTenths) * col("na") * col("nb"))
+      .withColumn("cos",
+        col("dot").cast("double") / (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))))
+      .select("vec_id", "cos")
+      .orderBy("vec_id")
+  }
+
   /** Embedding near-dup pairs: top-20 cosine pairs within a bounded id
     * range (the oracle-checkable core of embedding-cosine dedup). */
   def nearDupPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -946,6 +976,7 @@ object Similarity {
     "sim_knn_classify"   -> ((s: SparkSession, d: String) => knnClassify(s, d)),
     "sim_centroid_labels" -> centroidPerLabel _,
     "sim_ann_topk"       -> annBruteForceTopK _,
+    "sim_range_search"   -> ((s: SparkSession, d: String) => rangeSearch(s, d)),
     "sim_neardup_pairs"  -> nearDupPairs _,
     "sim_ivf_topk"       -> ivfTopK _,
     "sim_ivf_probe2"     -> ivfProbe2TopK _,
@@ -1446,6 +1477,24 @@ object Similarity {
                 (SELECT dims FROM st) AS dims,
                 (SELECT n_vectors FROM st) * (SELECT dims FROM st) * 4 AS bytes_fp32,
                 (SELECT n_vectors FROM st) * ((SELECT dims FROM st) + 8) AS bytes_sq8""",
+    // same quantization, same integer boundary predicate (τ = 0.2)
+    "sim_range_search" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y
+               FROM embeddings, q WHERE vec_id <> 0),
+         d AS (SELECT vec_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM p GROUP BY vec_id)
+         SELECT vec_id,
+                CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+         FROM d
+         WHERE dot > 0 AND dot * dot * 100 >= 4 * na * nb
+         ORDER BY vec_id""",
     "sim_ann_topk" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
          p AS (SELECT vec_id, unnest(embedding) AS x, unnest(qe) AS y

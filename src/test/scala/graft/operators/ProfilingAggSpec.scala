@@ -77,4 +77,62 @@ class ProfilingAggSpec extends AnyFunSuite {
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     assert(got == want, s"gini mismatch:\n got  $got\n want $want")
   }
+
+  test("skew audit: planted zipf-ish fixture matches a sequential derivation") {
+    import spark.implicits._
+    // key 0 → 100 rows, key 1 → 50, keys 2..101 → 1 row each (102 keys)
+    val rows = Seq.fill(100)(0L) ++ Seq.fill(50)(1L) ++ (2L to 101L)
+    val got = Relational.skewAuditOf(rows.toDF("key")).collect().head
+    val sizes = rows.groupBy(identity).values.map(_.length.toLong).toSeq.sorted
+    val n = sizes.length.toLong
+    val p50 = sizes((((n + 1) / 2) - 1).toInt) // cum*2 >= n ⇒ ceil(n/2)-th
+    val p99 = sizes((math.ceil(n * 99 / 100.0).toInt - 1).max(0))
+    val t = (n + 99) / 100 // heaviest 1% ⇒ ceil ⇒ 2 keys: 100 + 50
+    val topRows = sizes.sorted.reverse.take(t.toInt).sum
+    assert(got.getLong(0) == n && got.getLong(1) == rows.length.toLong)
+    assert(got.getLong(2) == 100L, "max")
+    assert(got.getLong(3) == p50, s"p50 got ${got.getLong(3)} want $p50")
+    assert(got.getLong(4) == p99, s"p99 got ${got.getLong(4)} want $p99")
+    assert(got.getLong(5) == topRows, s"top1pct got ${got.getLong(5)} want $topRows")
+    assert(got.getLong(6) == topRows * 1000000L / rows.length)
+    // gini via the per-row rank formula
+    val s0 = sizes.sum
+    val s1 = sizes.zipWithIndex.map { case (v, i) => v * (i + 1L) }.sum
+    assert(got.getLong(7) == (2 * s1 - (n + 1) * s0) * 1000000L / (n * s0))
+  }
+
+  test("range search: exact integer boundary equals brute-force cosine filter") {
+    val e = graft.sources.Tables.embeddings(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = e.find(_._1 == 0L).get._2.map(x => math.round(x.toDouble * 1000.0))
+    val want = e.filter(_._1 != 0L).flatMap { case (id, v) =>
+      val p = v.map(x => math.round(x.toDouble * 1000.0))
+      val dot = p.zip(q).map { case (a, b) => a * b }.sum
+      val na = p.map(x => x * x).sum; val nb = q.map(x => x * x).sum
+      if (dot > 0 && dot * dot * 100 >= 4 * na * nb) Some(id) else None
+    }.toSet
+    val got = Similarity.rangeSearch(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(got == want, s"range-set divergence: missing ${want -- got} extra ${got -- want}")
+  }
+
+  test("split leakage: pairs are exactly the LSH candidates whose splits differ") {
+    val pairs = Dedup.minhashLshPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val leak = Dedup.splitLeakage(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getString(2), r.getString(3))))
+    leak.foreach { case (p, (sa, sb)) =>
+      assert(pairs.contains(p), s"$p not an LSH candidate")
+      assert(sa != sb, s"$p same-split pair leaked into the audit")
+    }
+    // completeness: every candidate pair with differing splits is reported
+    val assign = graft.sources.Tables.documents(spark, dir)
+      .selectExpr("doc_id",
+        """CASE WHEN pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100) < 90 THEN 'train'
+           WHEN pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100) < 95 THEN 'val'
+           ELSE 'test' END AS split""")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val wantLeak = pairs.filter { case (a, b) => assign(a) != assign(b) }
+    assert(leak.map(_._1).toSet == wantLeak,
+      s"leak set mismatch: ${leak.map(_._1).toSet} vs $wantLeak")
+  }
 }
