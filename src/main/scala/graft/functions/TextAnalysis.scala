@@ -40,6 +40,36 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** LANGUAGE-ID CONFUSION MATRIX — the eval harness for
+    * [[langIdNgram]] run inside the engine: gold label (the corpus
+    * `lang` column) × predicted label cell counts, with per-gold-row
+    * totals and cell rates in exact ppm. Documents the classifier
+    * abstains on (no profile-word hit anywhere) surface as an explicit
+    * 'unk' prediction column instead of silently vanishing — the
+    * abstention rate is part of the eval.
+    *
+    * Scale: the prediction pass is the same broadcast profile join +
+    * per-doc top-1 as the classifier; the matrix is a
+    * |langs|²-bounded aggregate with row totals joined back
+    * post-aggregate. */
+  def langidConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langIdNgram(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val full = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("actual_lang"))
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("pred", coalesce(col("pred_lang"), lit("unk")))
+    val cm = full.groupBy("actual_lang", "pred")
+      .agg(count(lit(1)).as("n"))
+    val rows = cm.groupBy("actual_lang").agg(sum(col("n")).as("row_total"))
+    cm.join(broadcast(rows), Seq("actual_lang"))
+      .select(col("actual_lang"), col("pred").as("pred_lang"), col("n"),
+        col("row_total"),
+        expr("n * 1000000L div row_total").as("cell_ppm"),
+        (col("actual_lang") === col("pred")).as("is_correct"))
+      .orderBy("actual_lang", "pred_lang")
+  }
+
   /** Document quality scoring: token/stopword/length statistics + a
     * bounded composite score. Integer counts + double arithmetic only —
     * deterministic at any parallelism. */
@@ -668,6 +698,7 @@ object TextAnalysis {
     "ta_split_assign" -> splitAssign _,
     "ta_clean_corpus" -> cleanCorpus _,
     "ta_langid_ngram" -> langIdNgram _,
+    "ta_langid_confusion" -> langidConfusion _,
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
@@ -861,6 +892,36 @@ object TextAnalysis {
          SELECT doc_id, plang AS pred_lang, hits, lang AS actual_lang,
                 plang = lang AS correct
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    // same prediction CTEs, left join for the 'unk' abstention column
+    "ta_langid_confusion" ->
+      """WITH profile(plang, pword) AS (VALUES
+           ('en','the'),('en','a'),('en','fast'),
+           ('de','und'),('de','der'),('de','hash'),
+           ('es','el'),('es','la'),('es','join'),
+           ('fr','le'),('fr','et'),('fr','merge'),
+           ('zh','stream'),('zh','scan')),
+         t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+         s AS (SELECT doc_id, lang, plang, count(*) AS hits
+               FROM t JOIN profile ON tok = pword GROUP BY doc_id, lang, plang),
+         r AS (SELECT doc_id, plang,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, plang ASC) AS rnk
+               FROM s),
+         fl AS (SELECT d.doc_id, d.lang AS actual_lang,
+                       coalesce(r.plang, 'unk') AS pred
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, plang FROM r WHERE rnk = 1) r
+                  ON d.doc_id = r.doc_id),
+         cm AS (SELECT actual_lang, pred, CAST(count(*) AS BIGINT) AS n
+                FROM fl GROUP BY 1, 2),
+         rt AS (SELECT actual_lang, CAST(sum(n) AS BIGINT) AS row_total
+                FROM cm GROUP BY 1)
+         SELECT cm.actual_lang, cm.pred AS pred_lang, cm.n, rt.row_total,
+                CAST(cm.n * 1000000 // rt.row_total AS BIGINT) AS cell_ppm,
+                cm.actual_lang = cm.pred AS is_correct
+         FROM cm JOIN rt USING (actual_lang)
+         ORDER BY actual_lang, pred_lang""",
     "ta_quality_score" ->
       """WITH b AS (
            SELECT doc_id, n_chars,
