@@ -40,6 +40,12 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-8 raw-web front (per-domain URL accounting)
   HEADLINE="$HEADLINE,rel_skyline_pareto,sim_pq_persisted,rel_fk_discovery"
   HEADLINE="$HEADLINE,rel_fuzzy_blocking_join,agg_benford_prices,ta_url_filter"
+  # round-8 third-session additions: exact prefix-filtered set-similarity
+  # join, incremental join-view maintenance (dimension ripple), MVCC
+  # time-travel reconstruct, the distributed-prefix-sum equi-depth
+  # histogram, and basket association rules
+  HEADLINE="$HEADLINE,dd_setsim_join,rel_ivm_ripple,rel_time_travel"
+  HEADLINE="$HEADLINE,agg_equidepth_hist,rel_assoc_rules"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
