@@ -955,14 +955,33 @@ object Dedup {
 
   /** [[setsimJoin]] over any (doc_id, text) frame (spec entry). */
   def setsimJoinOf(docs: DataFrame, tauPpm: Long = 600000L): DataFrame = {
-    val sh = withShingles(docs).select(col("doc_id"), col("shingles"))
+    // parallelism guard + explicit repartitions around the CPU-heavy
+    // phases: every stage here is small in BYTES but big in per-row
+    // compute (shingle transform, struct explode, per-doc sorts, array
+    // intersections), so both a single-file scan and AQE's byte-based
+    // post-shuffle coalescing would serialize them onto one task
+    // (measured: the whole operator single-threaded, 25 s at sf0.1 →
+    // 3 s with the pinned layout). The scan-side repartition only fires
+    // when the input is under-parallel — on a real many-file corpus it
+    // is a no-op, so no gratuitous corpus shuffle at scale.
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = if (docs.rdd.getNumPartitions < nParts) docs.repartition(nParts) else docs
+    // shingle dictionary: checkpointed once — consumed by the frequency
+    // count AND the per-doc ordering
+    val sh = withShingles(base).select(col("doc_id"), col("shingles"))
+      .localCheckpoint()
     val tokFreq = sh.select(explode(col("shingles")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
     // rarest-first total order (tf asc, tok asc); per-doc ordered token
-    // list + integer-exact prefix length p = n − ceil(τ·n) + 1
+    // list + integer-exact prefix length p = n − ceil(τ·n) + 1.
+    // CHECKPOINTED: four consumers read it (both candidate sides, both
+    // verify sides) — without the cut, Spark re-runs the corpus scan +
+    // frequency shuffle + sort-collect once per consumer
     val ordered = sh
       .select(col("doc_id"), explode(col("shingles")).as("tok"))
+      .repartition(nParts, col("tok"))
       .join(tokFreq, Seq("tok"))
+      .repartition(nParts, col("doc_id"))
       .groupBy("doc_id")
       .agg(array_sort(collect_list(struct(col("tf"), col("tok")))).as("o"))
       .select(col("doc_id"),
@@ -970,12 +989,19 @@ object Dedup {
         size(col("o")).cast("long").as("n"))
       .withColumn("p",
         col("n") - expr(s"(n * ${tauPpm}L + 999999L) div 1000000L") + lit(1L))
+      .localCheckpoint()
     val prefixToks = ordered
-      .select(col("doc_id"), explode(expr("slice(toks, 1, int(p))")).as("tok"))
-    val cands = prefixToks.select(col("doc_id").as("doc_a"), col("tok"))
-      .join(prefixToks.select(col("doc_id").as("doc_b"), col("tok")), Seq("tok"))
-      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_id"), col("n"), explode(expr("slice(toks, 1, int(p))")).as("tok"))
+    // length filter rides the candidate join: J ≥ τ ⇒ τ·|a| ≤ |b| ∧
+    // τ·|b| ≤ |a| — prunes size-incompatible pairs before the exact
+    // verify ever materializes their arrays
+    val cands = prefixToks.select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
+      .join(prefixToks.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok")), Seq("tok"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("na") * lit(tauPpm) <= col("nb") * lit(1000000L) &&
+        col("nb") * lit(tauPpm) <= col("na") * lit(1000000L))
       .select("doc_a", "doc_b").distinct()
+      .repartition(nParts, col("doc_a"))
     val full = ordered.select(col("doc_id"), col("toks"), col("n"))
     cands
       .join(full.select(col("doc_id").as("doc_a"), col("toks").as("t_a"),
