@@ -700,10 +700,17 @@ object Aggregations {
       .join(broadcast(rows), Seq("segment"))
       .join(broadcast(cols_), Seq("priority"))
       .crossJoin(broadcast(n))
-      .withColumn("expected_ppm", expr("r * c * 1000000L div n"))
+      // expected_ppm = floor(r·c·10⁶ / n) in two base-1000 steps:
+      // r·c·10⁶ would overflow long near sf10 margins; r·c·1000 stays
+      // well inside (≤ ~9e15·10³)
+      .withColumn("e1", expr("(r * c * 1000L) div n"))
+      .withColumn("e2", expr("((r * c * 1000L) % n) * 1000L div n"))
+      .withColumn("expected_ppm", expr("e1 * 1000L + e2"))
+      // denominator multiplies in the DOUBLE domain (left-assoc, pinned
+      // in the oracle identically): n·r·c as longs overflows near sf10
       .withColumn("chi2_contrib", expr(
         "CAST(observed * n - r * c AS DOUBLE) * CAST(observed * n - r * c AS DOUBLE)" +
-          " / CAST(n * r * c AS DOUBLE)"))
+          " / (CAST(n AS DOUBLE) * CAST(r AS DOUBLE) * CAST(c AS DOUBLE))"))
       .select("segment", "priority", "observed", "r", "c",
         "expected_ppm", "chi2_contrib")
       .orderBy("segment", "priority")
@@ -733,9 +740,20 @@ object Aggregations {
       .agg(sum(expr("cents * (c * f + c * (c + 1) div 2)")).as("s1"),
         sum(expr("cents * c")).as("s0"),
         sum(col("c")).as("n"))
+      // gini_ppm = floor(N1·10⁶ / D) computed as three base-100
+      // long-division steps: N1 and D reach ~9e14 at sf1 (9e16 at
+      // sf10), so the naive N1·10⁶ overflows long — each step here
+      // multiplies by only 100, keeping every intermediate ≤ ~9.2e18
+      // (safe past sf10; the ANSI overflow at sf1 was measured)
+      .withColumn("n1", expr("2 * s1 - (n + 1) * s0"))
+      .withColumn("d", expr("n * s0"))
+      .withColumn("a1", expr("(n1 * 100L) div d"))
+      .withColumn("r1", expr("(n1 * 100L) % d"))
+      .withColumn("a2", expr("(r1 * 100L) div d"))
+      .withColumn("r2", expr("(r1 * 100L) % d"))
       .select(col("segment"), col("n").as("n_customers"),
         col("s0").as("sum_cents"),
-        expr("(2 * s1 - (n + 1) * s0) * 1000000L div (n * s0)").as("gini_ppm"))
+        expr("a1 * 10000L + a2 * 100L + (r2 * 100L) div d").as("gini_ppm"))
       .orderBy("segment")
   }
 
@@ -803,10 +821,12 @@ object Aggregations {
                 FROM cells GROUP BY 1),
          nt AS (SELECT CAST(sum(observed) AS BIGINT) AS n FROM cells)
          SELECT cells.segment, cells.priority, observed, rm.r, cm.c,
-                CAST(rm.r * cm.c * 1000000 // nt.n AS BIGINT) AS expected_ppm,
+                CAST(CAST(rm.r AS HUGEINT) * cm.c * 1000000 // nt.n AS BIGINT)
+                  AS expected_ppm,
                 CAST(observed * nt.n - rm.r * cm.c AS DOUBLE)
                   * CAST(observed * nt.n - rm.r * cm.c AS DOUBLE)
-                  / CAST(nt.n * rm.r * cm.c AS DOUBLE) AS chi2_contrib
+                  / (CAST(nt.n AS DOUBLE) * CAST(rm.r AS DOUBLE)
+                     * CAST(cm.c AS DOUBLE)) AS chi2_contrib
          FROM cells JOIN rm USING (segment) JOIN cm USING (priority)
          CROSS JOIN nt
          ORDER BY 1, 2""",
@@ -830,8 +850,8 @@ object Aggregations {
                   CAST(sum(c) AS BIGINT) AS n
            FROM cf GROUP BY 1)
          SELECT segment, n AS n_customers, s0 AS sum_cents,
-                CAST((2 * s1 - (n + 1) * s0) * 1000000 // (n * s0) AS BIGINT)
-                  AS gini_ppm
+                CAST(CAST(2 * s1 - (n + 1) * s0 AS HUGEINT) * 1000000
+                     // (CAST(n AS HUGEINT) * s0) AS BIGINT) AS gini_ppm
          FROM g ORDER BY 1""",
     // same integer-cents leading digit, same exact ppm literals
     "agg_benford_prices" ->

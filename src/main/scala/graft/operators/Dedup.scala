@@ -972,31 +972,42 @@ object Dedup {
       .localCheckpoint()
     val tokFreq = sh.select(explode(col("shingles")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("tf"))
-    // rarest-first total order (tf asc, tok asc); per-doc ordered token
-    // list + integer-exact prefix length p = n − ceil(τ·n) + 1.
+    // rarest-first total order (tf asc, tok asc) COMPILED TO INTEGER
+    // IDS: the dictionary window assigns each distinct token its rank
+    // in the global order, so every downstream structure — per-doc
+    // sorted sets, the candidate join key, the verify arrays — carries
+    // 8-byte longs instead of ~20-char shingle strings (collision-free
+    // by construction, unlike hashing). The window runs over the
+    // token DICTIONARY (distinct shingles), not the corpus; at extreme
+    // dictionary sizes swap for the distributed prefix-sum ranking
+    // (equidepthHist pattern) — any total order is valid here.
+    val dict = tokFreq.withColumn("tid",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy("tf", "tok")).cast("long"))
+    // per-doc sorted id set + integer-exact prefix length
+    // p = n − ceil(τ·n) + 1; ids ascending IS rarest-first.
     // CHECKPOINTED: four consumers read it (both candidate sides, both
     // verify sides) — without the cut, Spark re-runs the corpus scan +
     // frequency shuffle + sort-collect once per consumer
     val ordered = sh
       .select(col("doc_id"), explode(col("shingles")).as("tok"))
       .repartition(nParts, col("tok"))
-      .join(tokFreq, Seq("tok"))
+      .join(dict.select("tok", "tid"), Seq("tok"))
       .repartition(nParts, col("doc_id"))
       .groupBy("doc_id")
-      .agg(array_sort(collect_list(struct(col("tf"), col("tok")))).as("o"))
-      .select(col("doc_id"),
-        expr("transform(o, s -> s.tok)").as("toks"),
-        size(col("o")).cast("long").as("n"))
+      .agg(sort_array(collect_list(col("tid"))).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        size(col("toks")).cast("long").as("n"))
       .withColumn("p",
         col("n") - expr(s"(n * ${tauPpm}L + 999999L) div 1000000L") + lit(1L))
       .localCheckpoint()
     val prefixToks = ordered
-      .select(col("doc_id"), col("n"), explode(expr("slice(toks, 1, int(p))")).as("tok"))
+      .select(col("doc_id"), col("n"), explode(expr("slice(toks, 1, int(p))")).as("tid"))
     // length filter rides the candidate join: J ≥ τ ⇒ τ·|a| ≤ |b| ∧
     // τ·|b| ≤ |a| — prunes size-incompatible pairs before the exact
     // verify ever materializes their arrays
-    val cands = prefixToks.select(col("doc_id").as("doc_a"), col("n").as("na"), col("tok"))
-      .join(prefixToks.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tok")), Seq("tok"))
+    val cands = prefixToks.select(col("doc_id").as("doc_a"), col("n").as("na"), col("tid"))
+      .join(prefixToks.select(col("doc_id").as("doc_b"), col("n").as("nb"), col("tid")), Seq("tid"))
       .filter(col("doc_a") < col("doc_b") &&
         col("na") * lit(tauPpm) <= col("nb") * lit(1000000L) &&
         col("nb") * lit(tauPpm) <= col("na") * lit(1000000L))
@@ -1009,7 +1020,9 @@ object Dedup {
       .join(full.select(col("doc_id").as("doc_b"), col("toks").as("t_b"),
         col("n").as("size_b")), Seq("doc_b"))
       .withColumn("i", size(array_intersect(col("t_a"), col("t_b"))).cast("long"))
-      .withColumn("u", size(array_union(col("t_a"), col("t_b"))).cast("long"))
+      // sets are distinct by construction: |a∪b| = |a| + |b| − |a∩b| —
+      // no array_union materialization
+      .withColumn("u", col("size_a") + col("size_b") - col("i"))
       // exact predicate (no floor-rounding loss): J ≥ τ ⟺ i·10⁶ ≥ τppm·u
       .filter(col("i") * lit(1000000L) >= lit(tauPpm) * col("u"))
       .select(col("doc_a"), col("doc_b"), col("size_a"), col("size_b"),
