@@ -260,6 +260,50 @@ object Windows {
       .orderBy("user_id", "d")
   }
 
+  /** LINEAR-INTERPOLATION GAP FILL — [[gapFillDaily]]'s zero-fill is
+    * right for counts; for a level/metric series the standard repair is
+    * linear interpolation between the surrounding observations. Exact
+    * integer arithmetic in cents with the interpolation written as
+    *   (v_prev·(d_next−d) + v_next·(d−d_prev)) div (d_next−d_prev)
+    * — a NON-NEGATIVE numerator by construction, so floor division and
+    * truncating division agree and the cross-engine hash cannot drift
+    * on a declining series (v_next−v_prev < 0 would make the naive
+    * slope form disagree between Spark's `div` and DuckDB's `//`).
+    *
+    * Scale: the spine explode is bounded per user; both carry-forward
+    * and carry-backward windows share the ONE user_id partitioning. */
+  def interpolateLinear(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("user_id", "d")
+      .agg(sum(col("vc")).as("v"))
+    interpolateLinearOf(daily)
+  }
+
+  /** Core of [[interpolateLinear]] over a per-(user_id, d) aggregate
+    * with a non-negative BIGINT `v` (cents). Spec-tested by hand. */
+  private[graft] def interpolateLinearOf(daily: DataFrame): DataFrame = {
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      .select(col("user_id"),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as("d"))
+    val wPrev = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy("user_id").orderBy("d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    spine.join(daily, Seq("user_id", "d"), "left")
+      .withColumn("pd", last(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wPrev))
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(wPrev))
+      .withColumn("nd", first(when(col("v").isNotNull, col("d")), ignoreNulls = true).over(wNext))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(wNext))
+      .select(col("user_id"), col("d"), col("v").isNotNull.as("observed"),
+        when(col("v").isNotNull, col("v")).otherwise(expr(
+          """(pv * datediff(nd, d) + nv * datediff(d, pd))
+            |  div datediff(nd, pd)""".stripMargin)).as("v_cents"))
+      .orderBy("user_id", "d")
+  }
+
   /** ORDERED FUNNEL analysis — the event-sequence operator behind every
     * conversion report: per user, the first `view`, the first `click`
     * strictly after that view, and the first `purchase` strictly after
@@ -624,6 +668,7 @@ object Windows {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_interpolate_linear" -> interpolateLinear _,
     "win_rank_changes"       -> rankChanges _,
     "win_period_over_period" -> periodOverPeriod _,
     "win_time_weighted_avg"  -> timeWeightedAvg _,
@@ -899,6 +944,38 @@ object Windows {
          FROM s3 ORDER BY user_id""",
     // same construction: per-(user, day) aggregates, a generate_series
     // spine over each user's [first, last] day span, zero-filled left join
+    // same spine + carry windows; the weighted-sum interpolation form
+    // keeps the numerator non-negative so // (floor) equals div (trunc)
+    "win_interpolate_linear" ->
+      """WITH daily AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1, 2),
+         spine AS (
+           SELECT user_id, unnest(generate_series(min(d), max(d), INTERVAL 1 DAY))::DATE AS d
+           FROM daily GROUP BY user_id),
+         j AS (
+           SELECT s.user_id, s.d, dl.v
+           FROM spine s LEFT JOIN daily dl ON s.user_id = dl.user_id AND s.d = dl.d),
+         f AS (
+           SELECT user_id, d, v,
+                  last_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+                  last_value(v IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+                  first_value(CASE WHEN v IS NOT NULL THEN d END IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd,
+                  first_value(v IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY d
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+           FROM j)
+         SELECT user_id, d, v IS NOT NULL AS observed,
+                CASE WHEN v IS NOT NULL THEN v
+                     ELSE (pv * (nd - d) + nv * (d - pd)) // (nd - pd) END AS v_cents
+         FROM f ORDER BY user_id, d""",
     "win_gap_fill" ->
       """WITH daily AS (
            SELECT user_id, CAST(ts AS DATE) AS d, count(*) AS n_events,

@@ -128,4 +128,47 @@ class Round8OpsSpec extends AnyFunSuite {
     // head bucket's scores dominate the tail bucket's
     assert(buckets(1) > buckets(3))
   }
+
+  test("interpolateLinearOf: interior gaps fill on the straight line between neighbors") {
+    import spark.implicits._
+    // user 1: observed day1=100c, day4=400c -> day2=200, day3=300
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 100L),
+      (1L, java.sql.Date.valueOf("2024-01-04"), 400L)
+    ).toDF("user_id", "d", "v")
+    val got = Windows.interpolateLinearOf(daily)
+      .collect().map(r => (r.getDate(1).toString, r.getBoolean(2), r.getLong(3))).toList
+    assert(got === List(
+      ("2024-01-01", true, 100L), ("2024-01-02", false, 200L),
+      ("2024-01-03", false, 300L), ("2024-01-04", true, 400L)))
+  }
+
+  test("interpolateLinearOf: declining series floors like the oracle's // (non-negative numerator)") {
+    import spark.implicits._
+    // 10c down to 3c over 3 days: exact line points 10, 7.667, 5.333, 3
+    // -> floor to 7 and 5 (the naive pv + slope*(d-pd) form would
+    // truncate toward zero and could disagree; the weighted-sum form
+    // keeps the numerator >= 0 so div == //)
+    val daily = Seq(
+      (7L, java.sql.Date.valueOf("2024-02-01"), 10L),
+      (7L, java.sql.Date.valueOf("2024-02-04"), 3L)
+    ).toDF("user_id", "d", "v")
+    val got = Windows.interpolateLinearOf(daily)
+      .collect().map(r => r.getLong(3)).toList
+    assert(got === List(10L, 7L, 5L, 3L))
+  }
+
+  test("interpolateLinearOf: spine spans [min,max] per user so edges are always observed") {
+    import spark.implicits._
+    val daily = Seq(
+      (1L, java.sql.Date.valueOf("2024-01-01"), 5L),
+      (1L, java.sql.Date.valueOf("2024-01-03"), 9L),
+      (2L, java.sql.Date.valueOf("2024-03-10"), 2L) // single-day user: one observed row
+    ).toDF("user_id", "d", "v")
+    val got = Windows.interpolateLinearOf(daily).collect()
+      .map(r => (r.getLong(0), r.getDate(1).toString, r.getBoolean(2), r.getLong(3))).toList
+    assert(got === List(
+      (1L, "2024-01-01", true, 5L), (1L, "2024-01-02", false, 7L),
+      (1L, "2024-01-03", true, 9L), (2L, "2024-03-10", true, 2L)))
+  }
 }
