@@ -757,7 +757,66 @@ object Aggregations {
       .orderBy("segment")
   }
 
+  /** ROBUST OUTLIER GATE (median + MAD) — the profiling statistic
+    * [[outlierZscore]] can't give you when the column itself is
+    * heavy-tailed: mean/stddev move with the outliers they're meant to
+    * catch, the median and the median-absolute-deviation don't. Exact
+    * medians at scale without a per-group sort: order totals quantize to
+    * whole dollars (the operator's declared granularity, like the
+    * dollar-bucketed [[equiwidthHist]]), so everything after ONE fact
+    * shuffle runs on the (segment, dollar) COUNT DICTIONARY — a bounded
+    * table (≤ price-domain rows per segment) however many orders exist:
+    *   1. dictionary cum-sums per segment → lower median (cum ≥ ⌈n/2⌉);
+    *   2. the deviation dictionary is re-aggregated from the value
+    *      dictionary itself (never a second fact pass) → MAD the same way;
+    *   3. outliers (|x−med| > 5·MAD) counted off the dictionary too.
+    * Integer arithmetic end-to-end; medians are value-granular so no
+    * tie-break nondeterminism. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("segment"),
+        expr("CAST(round(o_totalprice) AS BIGINT)").as("usd"))
+    madOutliersOf(v)
+  }
+
+  /** Core of [[madOutliers]] over (segment, usd) rows (spec entry). */
+  private[graft] def madOutliersOf(v: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = v.groupBy("segment", "usd").agg(count(lit(1)).as("cnt"))
+    val tot = dict.groupBy("segment").agg(sum(col("cnt")).as("n"))
+    val wVal = Window.partitionBy("segment").orderBy("usd")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val med = dict.withColumn("cum", sum(col("cnt")).over(wVal))
+      .join(broadcast(tot), Seq("segment"))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("segment").agg(min(col("usd")).as("median_usd"))
+    val dev = dict.join(broadcast(med), Seq("segment"))
+      .groupBy(col("segment"), abs(col("usd") - col("median_usd")).as("dev"))
+      .agg(sum(col("cnt")).as("cnt"))
+    val wDev = Window.partitionBy("segment").orderBy("dev")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val mad = dev.withColumn("cum", sum(col("cnt")).over(wDev))
+      .join(broadcast(tot), Seq("segment"))
+      .filter(col("cum") >= expr("(n + 1) div 2"))
+      .groupBy("segment").agg(min(col("dev")).as("mad_usd"))
+    dict.join(broadcast(med), Seq("segment")).join(broadcast(mad), Seq("segment"))
+      .groupBy("segment")
+      .agg(sum(when(abs(col("usd") - col("median_usd")) > lit(5L) * col("mad_usd"),
+        col("cnt")).otherwise(0L)).as("n_outliers"))
+      .join(broadcast(tot), Seq("segment"))
+      .join(broadcast(med), Seq("segment"))
+      .join(broadcast(mad), Seq("segment"))
+      .select(col("segment"), col("n").as("n_orders"),
+        col("median_usd"), col("mad_usd"), col("n_outliers"),
+        expr("n_outliers * 1000000 div n").as("outlier_ppm"))
+      .orderBy("segment")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_mad_outliers"        -> madOutliers _,
     "agg_equidepth_hist"      -> ((s: SparkSession, d: String) => equidepthHist(s, d)),
     "agg_chi2_cells"          -> chi2Independence _,
     "agg_gini_segment"        -> giniBySegment _,
@@ -791,6 +850,44 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dictionary construction declaratively: cum-sum windows over
+    // the (segment, dollar) counts, lower medians at cum >= ceil(n/2)
+    "agg_mad_outliers" ->
+      """WITH v AS (
+           SELECT c_mktsegment AS segment,
+                  CAST(round(o_totalprice) AS BIGINT) AS usd
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         dict AS (SELECT segment, usd, CAST(COUNT(*) AS BIGINT) AS cnt
+                  FROM v GROUP BY 1, 2),
+         tot AS (SELECT segment, CAST(SUM(cnt) AS BIGINT) AS n
+                 FROM dict GROUP BY 1),
+         cumv AS (SELECT segment, usd, cnt,
+                         CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY usd
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM dict),
+         med AS (SELECT c.segment, MIN(usd) AS median_usd
+                 FROM cumv c JOIN tot USING (segment)
+                 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+         dev AS (SELECT d.segment, abs(usd - median_usd) AS dev,
+                        CAST(SUM(cnt) AS BIGINT) AS cnt
+                 FROM dict d JOIN med USING (segment) GROUP BY 1, 2),
+         cumd AS (SELECT segment, dev, cnt,
+                         CAST(SUM(cnt) OVER (PARTITION BY segment ORDER BY dev
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                  FROM dev),
+         mad AS (SELECT c.segment, MIN(dev) AS mad_usd
+                 FROM cumd c JOIN tot USING (segment)
+                 WHERE cum >= (n + 1) // 2 GROUP BY 1),
+         outl AS (SELECT d.segment,
+                         CAST(SUM(CASE WHEN abs(usd - median_usd) > 5 * mad_usd
+                                       THEN cnt ELSE 0 END) AS BIGINT) AS n_outliers
+                  FROM dict d JOIN med USING (segment) JOIN mad USING (segment)
+                  GROUP BY 1)
+         SELECT segment, n AS n_orders, median_usd, mad_usd, n_outliers,
+                n_outliers * 1000000 // n AS outlier_ppm
+         FROM tot JOIN med USING (segment) JOIN mad USING (segment)
+                  JOIN outl USING (segment)
+         ORDER BY segment""",
     // declarative window mirror of the distributed prefix-sum ranking
     "agg_equidepth_hist" ->
       """WITH d AS (

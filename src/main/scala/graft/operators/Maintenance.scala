@@ -291,6 +291,66 @@ object Maintenance {
       .orderBy("c_custkey", "op")
   }
 
+  /** MERKLE (bucket-digest) SNAPSHOT DIFF — [[cdcSnapshotDiff]] answers
+    * "what changed" by full-outer-joining BOTH snapshots end to end; at
+    * 100 TB that shuffles 200 TB to discover that 0.01% of rows moved.
+    * The anti-entropy shape replication systems use instead:
+    *   1. each side folds to a BUCKET DIGEST — (count, bit_xor of a
+    *      64-bit row hash) per `hash(key) mod B` bucket — a map-side
+    *      partial+final aggregate whose output is B rows, whatever the
+    *      corpus size;
+    *   2. digests join (B×B, trivially) and buckets whose (count, xor)
+    *      disagree are DIRTY — the clean 99.99% of both snapshots never
+    *      crosses the wire again;
+    *   3. only dirty-bucket rows (selected by a broadcast semi-join on
+    *      the ≤B-row dirty set) meet in the exact keyed diff, classified
+    *      I/U/D with null-safe attribute compares exactly like the CDC
+    *      full diff.
+    * xor is order/partitioning-independent and never overflows. A changed
+    * row flips its bucket's xor unless independent 64-bit deltas cancel
+    * (≈2⁻⁶⁴ per bucket); the differential spec proves the result equals
+    * [[cdcDiffOf]] row-for-row on this corpus, and the identical DuckDB
+    * oracle (the plain full diff) gates it every round. */
+  def merkleDiff(spark: SparkSession, dir: String, buckets: Int = 1024): DataFrame =
+    merkleDiffOf(Tables.customer(spark, dir), buckets)
+
+  /** Core of [[merkleDiff]] over any customer-shaped snapshot (spec entry). */
+  private[graft] def merkleDiffOf(cust: DataFrame, buckets: Int): DataFrame = {
+    val oldS = cust.select(col("c_custkey").as("key"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    val newS = nextCustomerSnapshot(cust).select(col("c_custkey").as("key"),
+      col("c_acctbal").as("bal"), col("c_mktsegment").as("seg"))
+    def withBucket(df: DataFrame): DataFrame =
+      df.withColumn("bucket", pmod(xxhash64(col("key")), lit(buckets.toLong)))
+    def digest(df: DataFrame, tag: String): DataFrame =
+      withBucket(df)
+        .withColumn("rh",
+          xxhash64(col("key"), expr("CAST(round(bal * 100) AS BIGINT)"), col("seg")))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as(s"cnt_$tag"), expr("bit_xor(rh)").as(s"dig_$tag"))
+    val dirty = digest(oldS, "o").join(digest(newS, "n"), Seq("bucket"), "full_outer")
+      .filter(!(col("cnt_o") <=> col("cnt_n")) || !(col("dig_o") <=> col("dig_n")))
+      .select("bucket")
+    def dirtyRows(df: DataFrame): DataFrame =
+      withBucket(df).join(broadcast(dirty), Seq("bucket"), "left_semi").drop("bucket")
+    val o = dirtyRows(oldS).select(col("key"), col("bal").as("old_acctbal"),
+      col("seg").as("old_segment"), lit(true).as("in_old"))
+    val n = dirtyRows(newS).select(col("key"), col("bal").as("new_acctbal"),
+      col("seg").as("new_segment"), lit(true).as("in_new"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("op",
+        when(col("in_new").isNull, lit("D"))
+          .when(col("in_old").isNull, lit("I"))
+          .otherwise(lit("U")))
+      .filter(col("in_new").isNull || col("in_old").isNull ||
+        !(col("old_acctbal") <=> col("new_acctbal")) ||
+        !(col("old_segment") <=> col("new_segment")))
+      .select(col("key").as("c_custkey"), col("op"),
+        col("old_acctbal"), col("new_acctbal"),
+        col("old_segment"), col("new_segment"))
+      .orderBy("c_custkey", "op")
+  }
+
   /** TIME TRAVEL over a log-structured commit history — the
     * lakehouse-table "read AS OF version v": a keyed write-ahead log of
     * (commit, key, op, value) rows reconstructs the table state at any
@@ -500,6 +560,7 @@ object Maintenance {
     "rel_incr_agg_merge" -> incrementalAggMerge _,
     "rel_ivm_ripple" -> ivmRipple _,
     "rel_cdc_snapshot_diff" -> cdcSnapshotDiff _,
+    "rel_merkle_diff" -> ((s: SparkSession, d: String) => merkleDiff(s, d)),
     "rel_temporal_join_scd2" -> temporalJoinScd2 _,
   )
 
@@ -695,6 +756,37 @@ object Maintenance {
                 CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
          FROM orders o JOIN an ON o.o_custkey = an.c_custkey
          GROUP BY 1 ORDER BY 1""",
+    // the PLAIN full diff — the merkle bucket-digest path must produce
+    // exactly what the end-to-end full-outer diff produces
+    "rel_merkle_diff" ->
+      """WITH nw AS (
+           SELECT c_custkey AS key,
+                  CASE WHEN c_custkey % 7 = 0 THEN c_acctbal + 100.0
+                       ELSE c_acctbal END AS new_acctbal,
+                  CASE WHEN c_custkey % 7 = 0 THEN 'MIGRATED'
+                       ELSE c_mktsegment END AS new_segment
+           FROM customer WHERE c_custkey % 13 <> 0
+           UNION ALL
+           SELECT c_custkey + 1000000, c_acctbal, 'ONBOARDED'
+           FROM customer WHERE c_custkey % 11 = 0),
+         old AS (SELECT c_custkey AS key, c_acctbal AS old_acctbal,
+                        c_mktsegment AS old_segment FROM customer),
+         j AS (SELECT COALESCE(o.key, n.key) AS key,
+                      o.old_acctbal, o.old_segment,
+                      n.new_acctbal, n.new_segment,
+                      o.key IS NOT NULL AS in_old,
+                      n.key IS NOT NULL AS in_new
+               FROM old o FULL OUTER JOIN nw n ON o.key = n.key)
+         SELECT key AS c_custkey,
+                CASE WHEN NOT in_new THEN 'D'
+                     WHEN NOT in_old THEN 'I'
+                     ELSE 'U' END AS op,
+                old_acctbal, new_acctbal, old_segment, new_segment
+         FROM j
+         WHERE NOT in_new OR NOT in_old
+            OR old_acctbal IS DISTINCT FROM new_acctbal
+            OR old_segment IS DISTINCT FROM new_segment
+         ORDER BY c_custkey, op""",
     "rel_cdc_snapshot_diff" ->
       """WITH nw AS (
            SELECT c_custkey AS key,

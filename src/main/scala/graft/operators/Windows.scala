@@ -304,6 +304,87 @@ object Windows {
       .orderBy("user_id", "d")
   }
 
+  /** MAX-CONCURRENCY (sweep line) — the interval-stabbing aggregate every
+    * capacity dashboard needs: for each day, the peak number of
+    * simultaneously-active intervals (here each event opens a 1-hour
+    * activity interval; sessions or SCD2 validity ranges drop in the
+    * same way). The classic formulation sorts ALL endpoint deltas on one
+    * global timeline — a single-reducer sort at 100 TB. The shape here
+    * never does:
+    *   1. endpoints (+1 at start, −1 at exclusive end) hash-shuffle ONCE
+    *      on their calendar day;
+    *   2. per-day running sums are day-partitioned windows;
+    *   3. cross-day carry-in is a prefix over the per-day NET sums — a
+    *      calendar-bounded table (≤ a few thousand rows at any corpus
+    *      size), so its unpartitioned window is a non-issue;
+    *   4. day peak = carry_in + max(within-day running sum).
+    * At equal timestamps ends sort before starts (delta ascending), so
+    * the interval end is exclusive and the peak is well-defined; within
+    * an equal-(t,delta) run the running sum is monotone, so the max is
+    * order-independent — no hidden tie-break nondeterminism. */
+  def maxConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.events(spark, dir).select(expr("ts_ns div 1000").as("t"))
+    maxConcurrencyOf(pts, 3600000000L)
+  }
+
+  /** Core of [[maxConcurrency]] over micro-epoch interval starts `t`,
+    * each interval lasting `durUs` micros (spec entry). */
+  private[graft] def maxConcurrencyOf(pts: DataFrame, durUs: Long): DataFrame = {
+    val deltas = pts.select(col("t"), lit(1L).as("delta"))
+      .unionByName(pts.select((col("t") + lit(durUs)).as("t"), lit(-1L).as("delta")))
+      .withColumn("day", expr("t div 86400000000"))
+    val dayNet = deltas.groupBy("day")
+      .agg(sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+    // calendar-bounded: the unpartitioned prefix runs over ≤ #days rows
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    val carry = dayNet
+      .withColumn("carry_in", coalesce(sum(col("net")).over(wDays), lit(0L)))
+    val wIn = Window.partitionBy("day").orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deltas.withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("day").agg(max(col("run")).as("peak_in_day"))
+      .join(broadcast(carry), Seq("day"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
+        (col("peak_in_day") + col("carry_in")).as("max_concurrent"),
+        col("n_starts"))
+      .orderBy("d")
+  }
+
+  /** COHORT LTV CURVES — cumulative revenue per signup cohort by age,
+    * the companion to [[retentionCohorts]] (that one counts who came
+    * back; this one accumulates what they were worth). Cohort = the
+    * user's first event WEEK (epoch-day div 7 — pure integer week
+    * arithmetic, no calendar/locale semantics to drift cross-engine);
+    * one co-partitioned join stamps it onto the fact (both sides hash
+    * on user_id), the grid aggregate is partial+final, and the
+    * cumulative window runs over the cohorts×ages grid —
+    * post-aggregate sized at any corpus scale. Revenue in integer
+    * cents; LTV-per-user floors (cents div users). */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"),
+      expr("datediff(to_date(ts), DATE '1970-01-01') div 7").as("wk"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_wk"))
+    val size = cohort.groupBy("cohort_wk").agg(count(lit(1)).as("cohort_users"))
+    val grid = ev.join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_wk"), (col("wk") - col("cohort_wk")).as("age_weeks"))
+      .agg(countDistinct(col("user_id")).as("n_active"),
+        sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy("cohort_wk").orderBy("age_weeks")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.withColumn("cum_rev_cents", sum(col("rev_cents")).over(w))
+      .join(broadcast(size), Seq("cohort_wk"))
+      .select(
+        date_add(lit("1970-01-01").cast("date"),
+          expr("CAST(cohort_wk * 7 AS INT)")).as("cohort"),
+        col("age_weeks"), col("cohort_users"), col("n_active"),
+        col("rev_cents"), col("cum_rev_cents"),
+        expr("cum_rev_cents div cohort_users").as("ltv_cents_per_user"))
+      .orderBy("cohort", "age_weeks")
+  }
+
   /** ORDERED FUNNEL analysis — the event-sequence operator behind every
     * conversion report: per user, the first `view`, the first `click`
     * strictly after that view, and the first `purchase` strictly after
@@ -669,6 +750,8 @@ object Windows {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_interpolate_linear" -> interpolateLinear _,
+    "win_max_concurrency"    -> maxConcurrency _,
+    "win_cohort_ltv"         -> cohortLtv _,
     "win_rank_changes"       -> rankChanges _,
     "win_period_over_period" -> periodOverPeriod _,
     "win_time_weighted_avg"  -> timeWeightedAvg _,
@@ -944,6 +1027,50 @@ object Windows {
          FROM s3 ORDER BY user_id""",
     // same construction: per-(user, day) aggregates, a generate_series
     // spine over each user's [first, last] day span, zero-filled left join
+    // declarative mirror of the day-partitioned sweep: one global-window
+    // running sum per endpoint, then max per day (the engine's carry-in +
+    // within-day decomposition is algebraically the same prefix)
+    "win_max_concurrency" ->
+      """WITH pts AS (SELECT epoch_us(ts) AS t FROM events),
+         deltas AS (
+           SELECT t, CAST(1 AS BIGINT) AS delta FROM pts
+           UNION ALL
+           SELECT t + 3600000000, CAST(-1 AS BIGINT) AS delta FROM pts),
+         runs AS (
+           SELECT t // 86400000000 AS day, delta,
+                  CAST(SUM(delta) OVER (ORDER BY t, delta
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run
+           FROM deltas)
+         SELECT DATE '1970-01-01' + CAST(day AS INTEGER) AS d,
+                CAST(MAX(run) AS BIGINT) AS max_concurrent,
+                CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_starts
+         FROM runs GROUP BY day ORDER BY d""",
+    // same cohort stamp + grid + cumulative window, declaratively
+    "win_cohort_ltv" ->
+      """WITH ev AS (
+           SELECT user_id,
+                  (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events),
+         cohort AS (SELECT user_id, MIN(wk) AS cohort_wk FROM ev GROUP BY user_id),
+         sz AS (SELECT cohort_wk, CAST(COUNT(*) AS BIGINT) AS cohort_users
+                FROM cohort GROUP BY cohort_wk),
+         grid AS (
+           SELECT c.cohort_wk, e.wk - c.cohort_wk AS age_weeks,
+                  CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active,
+                  CAST(SUM(e.cents) AS BIGINT) AS rev_cents
+           FROM ev e JOIN cohort c ON e.user_id = c.user_id
+           GROUP BY 1, 2),
+         cum AS (
+           SELECT cohort_wk, age_weeks, n_active, rev_cents,
+                  CAST(SUM(rev_cents) OVER (PARTITION BY cohort_wk ORDER BY age_weeks
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_rev_cents
+           FROM grid)
+         SELECT DATE '1970-01-01' + CAST(cohort_wk * 7 AS INTEGER) AS cohort,
+                age_weeks, cohort_users, n_active, rev_cents, cum_rev_cents,
+                cum_rev_cents // cohort_users AS ltv_cents_per_user
+         FROM cum JOIN sz USING (cohort_wk)
+         ORDER BY cohort, age_weeks""",
     // same spine + carry windows; the weighted-sum interpolation form
     // keeps the numerator non-negative so // (floor) equals div (trunc)
     "win_interpolate_linear" ->

@@ -129,6 +129,65 @@ class Round8OpsSpec extends AnyFunSuite {
     assert(buckets(1) > buckets(3))
   }
 
+  test("madOutliersOf: lower medians and the 5-MAD gate on a hand-checked column") {
+    import spark.implicits._
+    // segment A: values 1..7 plus one wild 1000 -> n=8, lower median = 4
+    // (cum at 4 is 4 >= ceil(8/2)), devs |x-4| = {3,2,1,0,1,2,3,996},
+    // sorted 0,1,1,2,2,3,3,996 -> lower MAD = 2; outliers: |x-4| > 10
+    // -> only 1000. ppm = 1e6/8 = 125000.
+    val v = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000L).map(("A", _)))
+      .toDF("segment", "usd")
+    val got = Aggregations.madOutliersOf(v).collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toList === List(("A", 8L, 4L, 2L, 1L, 125000L)))
+  }
+
+  test("madOutliersOf: even-count ties keep the median value-granular") {
+    import spark.implicits._
+    // {5,5,9,9}: cum at 5 is 2 >= ceil(4/2)=2 -> median 5 (lower), devs
+    // {0,0,4,4} -> MAD 0; gate 5*0 -> every dev>0 row is an outlier
+    val v = Seq(("B", 5L), ("B", 5L), ("B", 9L), ("B", 9L)).toDF("segment", "usd")
+    val r = Aggregations.madOutliersOf(v).collect().head
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((5L, 0L, 2L)))
+  }
+
+  test("merkleDiffOf equals the end-to-end CDC full diff row-for-row") {
+    val cust = graft.sources.Tables.customer(spark, "/root/testdata/sf0.001")
+    val merkle = Maintenance.merkleDiffOf(cust, 64).collect().map(_.toSeq).toList
+    val full = Maintenance.cdcDiffOf(cust).collect().map(_.toSeq).toList
+    assert(merkle.nonEmpty && merkle === full)
+  }
+
+  test("merkleDiff digest stage flags no bucket on an identical snapshot pair") {
+    import spark.implicits._
+    // the dirty-set derivation is what makes the clean 99.99% never
+    // cross the wire: identical sides must yield an EMPTY dirty set
+    val side = Seq((1L, 10.0, "A"), (2L, 20.0, "B"))
+      .toDF("key", "bal", "seg")
+    def digest(tag: String) = side
+      .withColumn("bucket", pmod(xxhash64(col("key")), lit(16L)))
+      .withColumn("rh", xxhash64(col("key"),
+        expr("CAST(round(bal * 100) AS BIGINT)"), col("seg")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as(s"cnt_$tag"), expr("bit_xor(rh)").as(s"dig_$tag"))
+    val dirty = digest("o").join(digest("n"), Seq("bucket"), "full_outer")
+      .filter(!(col("cnt_o") <=> col("cnt_n")) || !(col("dig_o") <=> col("dig_n")))
+    assert(dirty.count() === 0L)
+  }
+
+  test("maxConcurrencyOf: overlap peaks and midnight-crossing carry-in") {
+    import spark.implicits._
+    val us = 1000000L
+    val day = 86400L * us
+    // day 0: starts at t=0, 10m, 20m (1h intervals) -> peak 3;
+    // one more start 30m BEFORE midnight -> its -1 lands in day 1
+    // day 1: no starts; carry-in 1 from the straddler, which ends 30m in
+    val pts = Seq(0L, 600L * us, 1200L * us, day - 1800L * us).toDF("t")
+    val got = Windows.maxConcurrencyOf(pts, 3600L * us)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2))).toList
+    assert(got === List(("1970-01-01", 3L, 4L), ("1970-01-02", 0L, 0L)))
+  }
+
   test("interpolateLinearOf: interior gaps fill on the straight line between neighbors") {
     import spark.implicits._
     // user 1: observed day1=100c, day4=400c -> day2=200, day3=300
