@@ -686,7 +686,50 @@ object TextAnalysis {
       .orderBy("level", "lang", "source")
   }
 
+  /** Default blocklist for [[blocklistFilter]] — stands in for the
+    * word-list safety filters (profanity/NSFW lists) every pre-training
+    * corpus pass runs; on the synthetic vocabulary these three terms
+    * give a non-degenerate keep/drop split. */
+  private[graft] val DefaultBlocklist = Seq("slow", "big", "crash")
+
+  /** TERM-BLOCKLIST SAFETY FILTER — the word-list document gate
+    * (profanity/NSFW/spam lists) that runs in front of every
+    * pre-training corpus: per document, how many tokens hit the list,
+    * how many DISTINCT listed terms appear, and a keep/drop verdict at
+    * an integer-ppm density threshold. Distinct from [[qualityScore]]
+    * (shape heuristics) and [[graft.functions.WebOps]] URL filtering
+    * (provenance): this one gates on CONTENT terms.
+    *
+    * Scale: the blocklist is a literal array inside codegen'd
+    * higher-order functions (`filter`/`array_intersect`) — a pure
+    * per-document projection, ZERO shuffles, no join even at list sizes
+    * in the thousands (broadcast-join the list as a dimension only past
+    * that). Integer ppm so the verdict boundary cannot FP-drift. */
+  def blocklistFilter(spark: SparkSession, dir: String,
+                      terms: Seq[String] = DefaultBlocklist,
+                      maxPpm: Long = 60000L): DataFrame = {
+    val lst = terms.map(t => s"'$t'").mkString(", ")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        expr("filter(split(lower(text), ' +'), t -> t <> '')").as("toks"))
+      .select(col("doc_id"), col("source"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(expr(s"filter(toks, t -> array_contains(array($lst), t))"))
+          .cast("long").as("n_hits"),
+        size(array_intersect(array_distinct(col("toks")),
+          expr(s"array($lst)"))).cast("long").as("n_terms_hit"))
+      .withColumn("hit_ppm",
+        when(col("n_tokens") === 0L, 0L)
+          .otherwise(expr("n_hits * 1000000 div n_tokens")))
+      .withColumn("verdict",
+        when(col("hit_ppm") > lit(maxPpm), lit("drop")).otherwise(lit("keep")))
+      .select("doc_id", "source", "n_tokens", "n_hits", "n_terms_hit",
+        "hit_ppm", "verdict")
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_blocklist_filter" -> ((s: SparkSession, d: String) => blocklistFilter(s, d)),
     "ta_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "ta_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
     "ta_chunk_documents" -> ((s: SparkSession, d: String) => chunkDocuments(s, d)),
@@ -734,6 +777,28 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same list-lambda shape: tokenize, count blocklist hits, ppm gate
+    "ta_blocklist_filter" ->
+      """WITH t AS (
+           SELECT doc_id, source,
+                  list_filter(string_split_regex(lower(text), ' +'),
+                              x -> x <> '') AS toks
+           FROM documents),
+         m AS (
+           SELECT doc_id, source,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks,
+                    x -> list_contains(['slow', 'big', 'crash'], x))) AS BIGINT) AS n_hits,
+                  CAST(len(list_intersect(list_distinct(toks),
+                    ['slow', 'big', 'crash'])) AS BIGINT) AS n_terms_hit
+           FROM t)
+         SELECT doc_id, source, n_tokens, n_hits, n_terms_hit,
+                CASE WHEN n_tokens = 0 THEN 0
+                     ELSE n_hits * 1000000 // n_tokens END AS hit_ppm,
+                CASE WHEN (CASE WHEN n_tokens = 0 THEN 0
+                                ELSE n_hits * 1000000 // n_tokens END) > 60000
+                     THEN 'drop' ELSE 'keep' END AS verdict
+         FROM m ORDER BY doc_id""",
     // identical two-level audit: exact classes, then the at-risk slice
     // regrouped at (lang, *)
     "ta_k_anonymity" ->

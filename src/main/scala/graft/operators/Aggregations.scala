@@ -815,7 +815,67 @@ object Aggregations {
       .orderBy("segment")
   }
 
+  /** A/B SIGNIFICANCE (2×2 chi-squared) — the experimentation readout:
+    * split users into variants (A = even user_id), conversion = "first
+    * event is a purchase", and test whether the conversion-rate
+    * difference is real.
+    * χ² for a 2×2 table has the closed form N·(ad−bc)²/(r₁r₂c₁c₂);
+    * both sides are computed EXACTLY in DECIMAL(38,0) from the four
+    * BIGINT cells, the test emits χ²·100 by one integral division, and
+    * the 95% verdict is the integer comparison χ²·100 > 384 — no FP
+    * anywhere, so the significance boundary cannot drift cross-engine.
+    * (Headroom: at 100× data N≈10⁷ users keeps N·(ad−bc)²·100 < 10³⁵,
+    * well inside DECIMAL(38,0).)
+    *
+    * Scale: one shuffle to fold events → per-user conversion flags
+    * (partial+final max), then a 2-row aggregate; the cell algebra runs
+    * on a single summary row. */
+  def abSignificance(spark: SparkSession, dir: String): DataFrame =
+    abSignificanceOf(Tables.events(spark, dir))
+
+  /** Core of [[abSignificance]] over an events-shaped frame (spec entry). */
+  private[graft] def abSignificanceOf(events: DataFrame): DataFrame = {
+    // conversion = the user's FIRST event is a purchase: ~p stays fixed
+    // however much history accretes ("ever purchased" saturates to 1 as
+    // per-user event counts grow — a degenerate 2x2 at scale). First =
+    // min by (micro ts, event_id): micro-truncated so both engines order
+    // the same axis, event_id the deterministic tie-break. One struct-min
+    // partial+final aggregate — no window, no second pass.
+    val users = events
+      .groupBy(col("user_id"))
+      .agg(min(struct(expr("ts_ns div 1000").as("t"), col("event_id"),
+        col("event_type"))).as("f"))
+      .select(col("user_id"),
+        when(col("f.event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+      .withColumn("variant",
+        when(col("user_id") % 2 === 0, lit("A")).otherwise(lit("B")))
+    users.groupBy("variant")
+      .agg(count(lit(1)).as("n_users"), sum(col("conv")).as("n_conv"))
+      .agg(
+        sum(when(col("variant") === "A", col("n_users")).otherwise(0L)).as("users_a"),
+        sum(when(col("variant") === "A", col("n_conv")).otherwise(0L)).as("conv_a"),
+        sum(when(col("variant") === "B", col("n_users")).otherwise(0L)).as("users_b"),
+        sum(when(col("variant") === "B", col("n_conv")).otherwise(0L)).as("conv_b"))
+      .withColumn("adbc", expr(
+        "CAST(conv_a * (users_b - conv_b) - conv_b * (users_a - conv_a) AS DECIMAL(38,0))"))
+      .withColumn("den", expr(
+        """CAST(users_a AS DECIMAL(38,0)) * CAST(users_b AS DECIMAL(38,0))
+           * CAST(conv_a + conv_b AS DECIMAL(38,0))
+           * CAST(users_a + users_b - conv_a - conv_b AS DECIMAL(38,0))"""))
+      .select(col("users_a"), col("conv_a"), col("users_b"), col("conv_b"),
+        expr("CASE WHEN users_a = 0 THEN 0L ELSE conv_a * 1000000 div users_a END")
+          .as("rate_a_ppm"),
+        expr("CASE WHEN users_b = 0 THEN 0L ELSE conv_b * 1000000 div users_b END")
+          .as("rate_b_ppm"),
+        expr("""CASE WHEN den = 0 THEN 0L ELSE
+                  CAST((CAST(users_a + users_b AS DECIMAL(38,0))
+                        * adbc * adbc * 100) div den AS BIGINT)
+                END""").as("chi2_x100"))
+      .withColumn("significant_95", col("chi2_x100") > lit(384L))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ab_significance"     -> abSignificance _,
     "agg_mad_outliers"        -> madOutliers _,
     "agg_equidepth_hist"      -> ((s: SparkSession, d: String) => equidepthHist(s, d)),
     "agg_chi2_cells"          -> chi2Independence _,
@@ -850,6 +910,43 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same 2x2 algebra in HUGEINT, same integral chi-squared x100
+    "agg_ab_significance" ->
+      """WITH r AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+           FROM events),
+         u AS (
+           SELECT user_id,
+                  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+           FROM r WHERE rn = 1),
+         cells AS (
+           SELECT CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_a,
+                  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+                  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_b,
+                  CAST(SUM(CASE WHEN user_id % 2 <> 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+           FROM u),
+         alg AS (
+           SELECT *,
+                  CAST(conv_a AS HUGEINT) * (users_b - conv_b)
+                    - CAST(conv_b AS HUGEINT) * (users_a - conv_a) AS adbc,
+                  CAST(users_a AS HUGEINT) * users_b
+                    * (conv_a + conv_b)
+                    * (users_a + users_b - conv_a - conv_b) AS den
+           FROM cells)
+         SELECT users_a, conv_a, users_b, conv_b,
+                CASE WHEN users_a = 0 THEN 0
+                     ELSE conv_a * 1000000 // users_a END AS rate_a_ppm,
+                CASE WHEN users_b = 0 THEN 0
+                     ELSE conv_b * 1000000 // users_b END AS rate_b_ppm,
+                CAST(CASE WHEN den = 0 THEN 0
+                     ELSE (CAST(users_a + users_b AS HUGEINT) * adbc * adbc * 100) // den
+                     END AS BIGINT) AS chi2_x100,
+                CAST(CASE WHEN den = 0 THEN 0
+                     ELSE (CAST(users_a + users_b AS HUGEINT) * adbc * adbc * 100) // den
+                     END AS BIGINT) > 384 AS significant_95
+         FROM alg""",
     // same dictionary construction declaratively: cum-sum windows over
     // the (segment, dollar) counts, lower medians at cum >= ceil(n/2)
     "agg_mad_outliers" ->
