@@ -785,7 +785,12 @@ object Aggregations {
   /** Core of [[madOutliers]] over (segment, usd) rows (spec entry). */
   private[graft] def madOutliersOf(v: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // the dictionary is derived five times (totals, median, deviation
+    // dictionary, MAD, outlier count) — materialize it ONCE so the fact
+    // join+aggregate runs once, not once per derivation; it is bounded
+    // by segments × value domain, post-aggregate sized by construction
     val dict = v.groupBy("segment", "usd").agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = true)
     val tot = dict.groupBy("segment").agg(sum(col("cnt")).as("n"))
     val wVal = Window.partitionBy("segment").orderBy("usd")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

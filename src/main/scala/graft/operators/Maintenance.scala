@@ -328,9 +328,14 @@ object Maintenance {
           xxhash64(col("key"), expr("CAST(round(bal * 100) AS BIGINT)"), col("seg")))
         .groupBy("bucket")
         .agg(count(lit(1)).as(s"cnt_$tag"), expr("bit_xor(rh)").as(s"dig_$tag"))
+    // materialize the ≤B-row dirty set ONCE: without this the whole
+    // digest subtree (two snapshot scans) re-executes inside EACH side's
+    // semi-join broadcast — 8 snapshot scans instead of the optimal 4
+    // (one digest pass + one dirty-row pass per side)
     val dirty = digest(oldS, "o").join(digest(newS, "n"), Seq("bucket"), "full_outer")
       .filter(!(col("cnt_o") <=> col("cnt_n")) || !(col("dig_o") <=> col("dig_n")))
       .select("bucket")
+      .localCheckpoint(eager = true)
     def dirtyRows(df: DataFrame): DataFrame =
       withBucket(df).join(broadcast(dirty), Seq("bucket"), "left_semi").drop("bucket")
     val o = dirtyRows(oldS).select(col("key"), col("bal").as("old_acctbal"),

@@ -333,18 +333,20 @@ object Windows {
     val deltas = pts.select(col("t"), lit(1L).as("delta"))
       .unionByName(pts.select((col("t") + lit(durUs)).as("t"), lit(-1L).as("delta")))
       .withColumn("day", expr("t div 86400000000"))
-    val dayNet = deltas.groupBy("day")
-      .agg(sum(col("delta")).as("net"),
-        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
-    // calendar-bounded: the unpartitioned prefix runs over ≤ #days rows
-    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
-    val carry = dayNet
-      .withColumn("carry_in", coalesce(sum(col("net")).over(wDays), lit(0L)))
     val wIn = Window.partitionBy("day").orderBy(col("t"), col("delta"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    deltas.withColumn("run", sum(col("delta")).over(wIn))
-      .groupBy("day").agg(max(col("run")).as("peak_in_day"))
-      .join(broadcast(carry), Seq("day"))
+    // peak, net and start-count fold in the SAME day aggregate, so the
+    // endpoint stream crosses the wire exactly once (the day shuffle the
+    // window already pays); the cross-day carry is then a prefix over
+    // the calendar-bounded per-day table — ≤ a few thousand rows, so its
+    // unpartitioned window is a non-issue
+    val perDay = deltas.withColumn("run", sum(col("delta")).over(wIn))
+      .groupBy("day").agg(max(col("run")).as("peak_in_day"),
+        sum(col("delta")).as("net"),
+        sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_starts"))
+    val wDays = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    perDay
+      .withColumn("carry_in", coalesce(sum(col("net")).over(wDays), lit(0L)))
       .select(
         date_add(lit("1970-01-01").cast("date"), col("day").cast("int")).as("d"),
         (col("peak_in_day") + col("carry_in")).as("max_concurrent"),

@@ -61,6 +61,12 @@ if [ "${1:-}" = "--sf10" ]; then
   # modest, gates it at 9.0x).
   HEADLINE="$HEADLINE,rel_ivm_ripple,rel_time_travel"
   HEADLINE="$HEADLINE,agg_equidepth_hist,rel_assoc_rules"
+  # round-8 fourth-session additions: the merkle bucket-digest diff
+  # (anti-entropy: near-constant at 10x), the dictionary-granular
+  # MAD outlier gate, the day-carry sweep-line concurrency, and the
+  # all-integer A/B chi-squared readout
+  HEADLINE="$HEADLINE,rel_merkle_diff,agg_mad_outliers"
+  HEADLINE="$HEADLINE,win_max_concurrency,agg_ab_significance"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
