@@ -590,7 +590,54 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  /** TOKEN CO-OCCURRENCE LIFT (integer-monotone PMI) — which token pairs
+    * appear in the same documents far more often than independence
+    * predicts: lift = P(a,b)/(P(a)·P(b)) in integer ppm
+    * (n_ab·N·10⁶ div (n_a·n_b)). PMI = log(lift) is monotone in lift, so
+    * the ranking is the PMI ranking without a float log in the compare
+    * path. The collocation/phrase-mining primitive (word2vec-era PMI
+    * matrices, phrase detection, topic seeding) over the top-`vocabK`
+    * document-frequency vocabulary; top-`k` pairs by (lift desc, a, b).
+    *
+    * Scale: the df dictionary collapses the corpus to vocabulary size
+    * and the top-`vocabK` slab BROADCASTs; each doc's frequent-token set
+    * explodes to its C(f,2) pairs IN-ARRAY map-side (the co-purchase
+    * move — bounded by vocabK², never corpus×corpus) and pair counts are
+    * one partial+final agg; the quadratic doc×doc co-occurrence join
+    * never happens. */
+  def pmiCooccur(spark: SparkSession, dir: String,
+      vocabK: Int = 64, k: Int = 30): DataFrame =
+    pmiCooccurOf(Tables.documents(spark, dir), vocabK, k)
+
+  /** [[pmiCooccur]] over any documents-shaped corpus (spec entry). */
+  private[graft] def pmiCooccurOf(docs: DataFrame,
+      vocabK: Int = 64, k: Int = 30): DataFrame = {
+    val tok = docs.select(col("doc_id"), explode(array_distinct(
+      expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))).as("t"))
+    val top = tok.groupBy("t").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("t").asc).limit(vocabK)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pairs = tok.join(broadcast(top.select("t")), Seq("t"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("t"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(top.select(col("t").as("a"), col("df").as("n_a"))), Seq("a"))
+      .join(broadcast(top.select(col("t").as("b"), col("df").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .withColumn("lift_ppm", expr("n_ab * n_docs * 1000000 div (n_a * n_b)"))
+      .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"), col("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_pmi_cooccur"      -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "ta_bpe_merges"       -> bpeMerges _,
     "ta_bpe_encode"       -> bpeEncode _,
     "ta_vocab_coverage"   -> vocabCoverage _,
@@ -666,6 +713,28 @@ object CorpusOps {
        GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
+    // same per-doc distinct tokens, same (df desc, t) top-64 vocabulary,
+    // same ppm lift and (lift desc, a, b) top-30
+    "ta_pmi_cooccur" ->
+      """WITH tok AS (
+           SELECT DISTINCT doc_id, t
+           FROM (SELECT doc_id,
+                        unnest(list_filter(string_split(lower(text), ' '),
+                                           x -> len(x) > 0)) AS t
+                 FROM documents)),
+         dft AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+         top AS (SELECT t, df FROM dft ORDER BY df DESC, t ASC LIMIT 64),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         ft AS (SELECT tok.doc_id, tok.t FROM tok JOIN top ON tok.t = top.t),
+         pr AS (SELECT a.t AS a, b.t AS b, count(*) AS n_ab
+                FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
+                GROUP BY 1, 2)
+         SELECT pr.a, pr.b, ta.df AS n_a, tb.df AS n_b, pr.n_ab,
+                pr.n_ab * n.n_docs * 1000000 // (ta.df * tb.df) AS lift_ppm
+         FROM pr
+         JOIN top ta ON pr.a = ta.t
+         JOIN top tb ON pr.b = tb.t, n
+         ORDER BY lift_ppm DESC, a ASC, b ASC LIMIT 30""",
     "ta_bpe_merges" -> bpeOracle(),
     "ta_bpe_encode" -> bpeEncodeOracle(),
     // same (count desc, token asc) ranking, cumulative ppm, and

@@ -70,6 +70,48 @@ object TextAnalysis {
       .orderBy("actual_lang", "pred_lang")
   }
 
+  /** COHEN'S KAPPA — chance-corrected agreement between the corpus gold
+    * labels and the [[langIdNgram]] prediction (abstentions as 'unk'):
+    * the one-number summary of [[langidConfusion]] that a labeling
+    * pipeline actually gates on (raw accuracy rewards majority-class
+    * guessing; kappa subtracts the chance-agreement term). Exact
+    * integer algebra end-to-end: po = agree/N, pe = Σ row_k·col_k / N²,
+    * κ = (po − pe)/(1 − pe) emitted as
+    * (agree·N − pe_num)·10⁶ div (N² − pe_num) — the sign and every tie
+    * are bit-stable across engines. Degenerate pe = 1 (both raters
+    * constant) emits NULL rather than divide.
+    *
+    * Scale: one broadcast-profile prediction pass over the corpus, then
+    * a |langs|²-bounded cell aggregate — marginals and the kappa algebra
+    * run on ≤36 rows. agree·N·10⁶ holds in BIGINT to ~10⁶-doc eval sets;
+    * beyond that, evals sample anyway. */
+  def cohensKappa(spark: SparkSession, dir: String): DataFrame = {
+    val pred = langIdNgram(spark, dir)
+      .select(col("doc_id"), col("pred_lang"))
+    val cells = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("gold"))
+      .join(pred, Seq("doc_id"), "left")
+      .withColumn("pred", coalesce(col("pred_lang"), lit("unk")))
+      .groupBy("gold", "pred")
+      .agg(count(lit(1)).as("n"))
+    val rows = cells.groupBy("gold").agg(
+      expr("CAST(sum(n) AS BIGINT)").as("row_n"))
+    val colsT = cells.groupBy("pred").agg(
+      expr("CAST(sum(n) AS BIGINT)").as("col_n"))
+    val pe = rows.join(colsT, col("gold") === col("pred"))
+      .agg(coalesce(expr("CAST(sum(row_n * col_n) AS BIGINT)"), lit(0L)).as("pe_num"))
+    cells
+      .agg(expr("CAST(sum(n) AS BIGINT)").as("n_docs"),
+        expr("CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT)").as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n_docs"), col("n_agree"),
+        expr("n_agree * 1000000 div n_docs").as("po_ppm"),
+        expr("pe_num * 1000000 div (n_docs * n_docs)").as("pe_ppm"),
+        when(expr("n_docs * n_docs - pe_num") > 0,
+          expr("(n_agree * n_docs - pe_num) * 1000000 div (n_docs * n_docs - pe_num)"))
+          .as("kappa_ppm"))
+  }
+
   /** Document quality scoring: token/stopword/length statistics + a
     * bounded composite score. Integer counts + double arithmetic only —
     * deterministic at any parallelism. */
@@ -742,6 +784,7 @@ object TextAnalysis {
     "ta_clean_corpus" -> cleanCorpus _,
     "ta_langid_ngram" -> langIdNgram _,
     "ta_langid_confusion" -> langidConfusion _,
+    "ta_cohens_kappa" -> cohensKappa _,
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
@@ -957,6 +1000,44 @@ object TextAnalysis {
          SELECT doc_id, plang AS pred_lang, hits, lang AS actual_lang,
                 plang = lang AS correct
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    // same prediction CTEs, same marginal-product chance term and
+    // truncating integer kappa
+    "ta_cohens_kappa" ->
+      """WITH profile(plang, pword) AS (VALUES
+           ('en','the'),('en','a'),('en','fast'),
+           ('de','und'),('de','der'),('de','hash'),
+           ('es','el'),('es','la'),('es','join'),
+           ('fr','le'),('fr','et'),('fr','merge'),
+           ('zh','stream'),('zh','scan')),
+         t AS (SELECT doc_id, lang, unnest(string_split(lower(text), ' ')) AS tok
+               FROM documents),
+         s AS (SELECT doc_id, lang, plang, count(*) AS hits
+               FROM t JOIN profile ON tok = pword GROUP BY doc_id, lang, plang),
+         r AS (SELECT doc_id, plang,
+                 row_number() OVER (PARTITION BY doc_id
+                   ORDER BY hits DESC, plang ASC) AS rnk
+               FROM s),
+         fl AS (SELECT d.doc_id, d.lang AS gold,
+                       coalesce(r.plang, 'unk') AS pred
+                FROM documents d
+                LEFT JOIN (SELECT doc_id, plang FROM r WHERE rnk = 1) r
+                  ON d.doc_id = r.doc_id),
+         cm AS (SELECT gold, pred, CAST(count(*) AS BIGINT) AS n
+                FROM fl GROUP BY 1, 2),
+         rw AS (SELECT gold AS k, CAST(sum(n) AS BIGINT) AS row_n FROM cm GROUP BY 1),
+         cl AS (SELECT pred AS k, CAST(sum(n) AS BIGINT) AS col_n FROM cm GROUP BY 1),
+         pe AS (SELECT coalesce(CAST(sum(rw.row_n * cl.col_n) AS BIGINT), 0) AS pe_num
+                FROM rw JOIN cl ON rw.k = cl.k),
+         ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+                       CAST(sum(CASE WHEN gold = pred THEN n ELSE 0 END) AS BIGINT) AS n_agree
+                FROM cm)
+         SELECT ag.n_docs, ag.n_agree,
+                ag.n_agree * 1000000 // ag.n_docs AS po_ppm,
+                pe.pe_num * 1000000 // (ag.n_docs * ag.n_docs) AS pe_ppm,
+                CASE WHEN ag.n_docs * ag.n_docs - pe.pe_num > 0
+                     THEN (ag.n_agree * ag.n_docs - pe.pe_num) * 1000000
+                            // (ag.n_docs * ag.n_docs - pe.pe_num) END AS kappa_ppm
+         FROM ag, pe""",
     // same prediction CTEs, left join for the 'unk' abstention column
     "ta_langid_confusion" ->
       """WITH profile(plang, pword) AS (VALUES

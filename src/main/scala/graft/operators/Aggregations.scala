@@ -879,7 +879,99 @@ object Aggregations {
       .withColumn("significant_95", col("chi2_x100") > lit(384L))
   }
 
+  /** EXACT ROC-AUC (Mann–Whitney rank-sum) — classifier evaluation as a
+    * first-class relational op: how well does document length separate
+    * English from non-English docs, per source and overall ('ALL').
+    * AUC = P(score_pos > score_neg) + ½·P(tie), computed EXACTLY from
+    * the score dictionary: for each distinct score, pos·(2·neg_below +
+    * neg_at) accumulates twice the U statistic, and
+    * auc_ppm = num2·10⁶ div (2·n_pos·n_neg) — all BIGINT, no float
+    * ranks, bit-stable across engines. The eval companion to
+    * [[graft.functions.TextAnalysis.qualityClassifier]] and the langid
+    * confusion matrix: confusion gives thresholded counts, AUC ranks
+    * the scorer across ALL thresholds.
+    *
+    * Scale: docs collapse to the (group, score) DICTIONARY in one
+    * partial+final agg (the 'ALL' group rides the same scan via a
+    * 2-element explode); the running-negatives window sorts only the
+    * dictionary (bounded by distinct scores per group, not by corpus);
+    * the final collapse is per-group. No corpus-sized sort anywhere —
+    * the same count-of-counts move as the skew audit. num2 ≤ n_pos·
+    * 2·n_neg, so the 10⁶ scaling holds to ~10⁹-doc groups in BIGINT. */
+  def aucRank(spark: SparkSession, dir: String): DataFrame =
+    aucRankOf(Tables.documents(spark, dir))
+
+  /** [[aucRank]] over any documents-shaped frame (spec entry point). */
+  private[graft] def aucRankOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = docs
+      .select(explode(array(col("source"), lit("ALL"))).as("grp"),
+        col("n_chars").as("score"),
+        when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+      .groupBy("grp", "score")
+      .agg(expr("CAST(sum(pos) AS BIGINT)").as("pos_c"),
+        expr("CAST(sum(1 - pos) AS BIGINT)").as("neg_c"))
+    val below = Window.partitionBy("grp").orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    dict
+      .withColumn("neg_below", coalesce(sum(col("neg_c")).over(below), lit(0L)))
+      .groupBy("grp")
+      .agg(expr("CAST(sum(pos_c) AS BIGINT)").as("n_pos"),
+        expr("CAST(sum(neg_c) AS BIGINT)").as("n_neg"),
+        expr("CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT)").as("num2"))
+      .select(col("grp").as("source"), col("n_pos"), col("n_neg"),
+        when(col("n_pos") > 0 && col("n_neg") > 0,
+          expr("num2 * 1000000 div (2 * n_pos * n_neg)")).as("auc_ppm"))
+      .orderBy("source")
+  }
+
+  /** EXACT TWO-SAMPLE KOLMOGOROV–SMIRNOV — distribution-drift detection
+    * as a relational op: are purchase values distributed like click
+    * values? D = max |ECDF_a − ECDF_b|, computed EXACTLY on the value
+    * DICTIONARY: per distinct cents value the two cumulative counts, and
+    * the sup as max |cum_a·n_b − cum_b·n_a|·10⁶ div (n_a·n_b) — all
+    * BIGINT cross-multiplication, no float ECDFs, so both engines agree
+    * on the argmax value too (ties → lowest cents). The drift gate a
+    * training pipeline runs between data snapshots (alongside the PSI /
+    * chi-squared family) — KS is the one that needs no binning choice.
+    *
+    * Scale: events collapse to the distinct-value dictionary in one
+    * partial+final agg (the count-of-counts move); the two running sums
+    * window over the DICTIONARY (bounded by distinct values, not rows);
+    * the final sup is a 1-row TakeOrdered. cum·n ≤ N², so BIGINT holds
+    * to ~10⁹-row samples at ppm scale. */
+  def ksTest(spark: SparkSession, dir: String): DataFrame =
+    ksTestOf(Tables.events(spark, dir))
+
+  /** [[ksTest]] over any events-shaped frame (spec entry point). */
+  private[graft] def ksTestOf(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = events
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("is_a"))
+      .groupBy("cents")
+      .agg(expr("CAST(sum(is_a) AS BIGINT)").as("n_a"),
+        expr("CAST(sum(1 - is_a) AS BIGINT)").as("n_b"))
+    val run = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = dict
+      .withColumn("cum_a", sum(col("n_a")).over(run))
+      .withColumn("cum_b", sum(col("n_b")).over(run))
+    val tot = cum.agg(expr("CAST(sum(n_a) AS BIGINT)").as("tot_a"),
+      expr("CAST(sum(n_b) AS BIGINT)").as("tot_b"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("d_ppm",
+        expr("abs(cum_a * tot_b - cum_b * tot_a) * 1000000 div (tot_a * tot_b)"))
+      .select(col("tot_a").as("n_purchase"), col("tot_b").as("n_click"),
+        col("d_ppm"), col("cents").as("at_cents"))
+      .orderBy(col("d_ppm").desc, col("at_cents").asc)
+      .limit(1)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_ks_test"             -> ksTest _,
+    "agg_auc_rank"            -> aucRank _,
     "agg_ab_significance"     -> abSignificance _,
     "agg_mad_outliers"        -> madOutliers _,
     "agg_equidepth_hist"      -> ((s: SparkSession, d: String) => equidepthHist(s, d)),
@@ -915,6 +1007,57 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same value dictionary, same cross-multiplied sup, same
+    // (d desc, cents asc) 1-row pick
+    "agg_ks_test" ->
+      """WITH d AS (
+           SELECT CAST(round(value * 100) AS BIGINT) AS cents,
+                  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+                  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+           FROM events WHERE event_type IN ('purchase', 'click')
+           GROUP BY 1),
+         c AS (SELECT cents, n_a, n_b,
+                 CAST(SUM(n_a) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+                 CAST(SUM(n_b) OVER (ORDER BY cents
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+               FROM d),
+         t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+                      CAST(sum(n_b) AS BIGINT) AS tot_b FROM d)
+         SELECT t.tot_a AS n_purchase, t.tot_b AS n_click,
+                abs(c.cum_a * t.tot_b - c.cum_b * t.tot_a) * 1000000
+                  // (t.tot_a * t.tot_b) AS d_ppm,
+                c.cents AS at_cents
+         FROM c, t
+         ORDER BY d_ppm DESC, at_cents ASC LIMIT 1""",
+    // same score dictionary, same 2U accumulation, same BIGINT ppm
+    "agg_auc_rank" ->
+      """WITH d AS (
+           SELECT grp, n_chars AS score,
+                  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+           FROM (SELECT source, lang, n_chars,
+                        unnest([source, 'ALL']) AS grp
+                 FROM documents)),
+         dict AS (
+           SELECT grp, score,
+                  CAST(sum(pos) AS BIGINT) AS pos_c,
+                  CAST(sum(1 - pos) AS BIGINT) AS neg_c
+           FROM d GROUP BY grp, score),
+         cum AS (
+           SELECT grp, pos_c, neg_c,
+                  COALESCE(SUM(neg_c) OVER (PARTITION BY grp ORDER BY score
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+           FROM dict),
+         g AS (
+           SELECT grp AS source,
+                  CAST(sum(pos_c) AS BIGINT) AS n_pos,
+                  CAST(sum(neg_c) AS BIGINT) AS n_neg,
+                  CAST(sum(pos_c * (2 * neg_below + neg_c)) AS BIGINT) AS num2
+           FROM cum GROUP BY grp)
+         SELECT source, n_pos, n_neg,
+                CASE WHEN n_pos > 0 AND n_neg > 0
+                     THEN num2 * 1000000 // (2 * n_pos * n_neg) END AS auc_ppm
+         FROM g ORDER BY source""",
     // same 2x2 algebra in HUGEINT, same integral chi-squared x100
     "agg_ab_significance" ->
       """WITH r AS (

@@ -968,7 +968,184 @@ object Similarity {
         (col("n_hits_total").cast("double") / (col("n_queries") * k)).as("mean_recall"))
   }
 
+  /** TRIPLET HARD-EXAMPLE MINING — the contrastive-training curation
+    * step: for each anchor vector, the HARDEST NEGATIVE (highest-cosine
+    * vector with a DIFFERENT label — the impostor the model most
+    * confuses) and the HARDEST POSITIVE (lowest-cosine vector with the
+    * SAME label — the hardest example it must still pull close), plus
+    * the margin violation flag (neg closer than pos — the triplets a
+    * trainer actually samples). Ties → lower vec_id on both sides; the
+    * cosine is the family's pinned quantized-dot one-divide expression.
+    *
+    * Scale: anchors are a bounded probe slab BROADCAST against the
+    * corpus (the [[annMultiQueryTopK]] shape — one corpus scan per
+    * side, never corpus×corpus); each side collapses through the
+    * bounded typed top-1 ([[graft.functions.TopKByScore]] map-side
+    * partial keeps one row per anchor per mapper). At 100 TB the mining
+    * batch is the probe slab — the corpus side streams. */
+  def tripletMining(spark: SparkSession, dir: String,
+                    probeBound: Long = 20L): DataFrame =
+    tripletMiningOf(Tables.embeddings(spark, dir), probeBound)
+
+  /** [[tripletMining]] over any embeddings-shaped frame (spec entry). */
+  private[graft] def tripletMiningOf(emb: DataFrame,
+                                     probeBound: Long): DataFrame = {
+    import graft.functions.TopKByScore
+    val e = emb.withColumn("na", quantNormSq(col("embedding")))
+    val anchors = e.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"), col("na").as("qna"))
+    val scored = e.join(broadcast(anchors), col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+    val negs = TopKByScore.serveTopK(
+        scored.filter(col("label") =!= col("q_label")),
+        "q_id", col("cos"), col("vec_id"), 1)
+      .select(col("q_id"), col("key").as("hard_neg_id"), col("score").as("neg_cos"))
+    val poss = TopKByScore.serveTopK(
+        scored.filter(col("label") === col("q_label") ), // min cos = top-1 of -cos
+        "q_id", negate(col("cos")), col("vec_id"), 1)
+      .select(col("q_id"), col("key").as("hard_pos_id"),
+        negate(col("score")).as("pos_cos"))
+    negs.join(poss, Seq("q_id"))
+      .join(anchors.select(col("q_id"), col("q_label").as("label")), Seq("q_id"))
+      .withColumn("violation", col("neg_cos") > col("pos_cos"))
+      .select("q_id", "label", "hard_pos_id", "pos_cos",
+        "hard_neg_id", "neg_cos", "violation")
+      .orderBy("q_id")
+  }
+
+  /** MMR (maximal marginal relevance) DIVERSIFIED RE-RANKING — the
+    * retrieval-diversity pass every RAG/train-batch sampler runs on a
+    * candidate pool: greedily pick `k` of the query's top-`poolK`
+    * neighbors maximizing `0.7·rel − 0.3·max-sim-to-already-picked`
+    * (λ=0.7; the first pick sees an empty picked set, i.e. score
+    * 0.7·rel). Ties → lower vec_id. Both relevance and the pool-internal
+    * similarities are the family's pinned quantized-cosine expression,
+    * and the oracle unrolls the identical greedy steps as chained CTEs.
+    *
+    * Scale: pool selection is the brute-force/IVF serving path (corpus
+    * streams once, bounded top-k); the pairwise pool matrix is
+    * poolK² = 400 sims computed distributed, and ONLY those ≤400 rows
+    * are collected for the greedy fold — the same bounded-collect
+    * contract as the IVF centroid fit. The corpus is never collected. */
+  def mmrRerank(spark: SparkSession, dir: String,
+                poolK: Int = 20, k: Int = 5): DataFrame =
+    mmrRerankOf(spark, Tables.embeddings(spark, dir), poolK, k)
+
+  /** [[mmrRerank]] over any embeddings-shaped frame (spec entry). */
+  private[graft] def mmrRerankOf(spark: SparkSession, emb: DataFrame,
+                                 poolK: Int, k: Int): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val e = emb.withColumn("na", quantNormSq(col("embedding")))
+    val q = e.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qe"), col("na").as("qna"))
+    val pool = rankedTopK(
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .withColumn("cos",
+          quantDot(col("embedding"), col("qe")).cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double")))),
+      poolK, col("cos").desc, col("vec_id").asc)
+      .select(col("vec_id"), col("cos").as("rel"), col("embedding"), col("na"))
+    val a = pool.select(col("vec_id").as("a_id"), col("embedding").as("ea"),
+      col("na").as("naa"))
+    val b = pool.select(col("vec_id").as("b_id"), col("embedding").as("eb"),
+      col("na").as("nab"))
+    val sims = a.join(broadcast(b), col("a_id") < col("b_id"))
+      .withColumn("sim",
+        quantDot(col("ea"), col("eb")).cast("double")
+          / (sqrt(col("naa").cast("double")) * sqrt(col("nab").cast("double"))))
+      .select("a_id", "b_id", "sim")
+    // bounded collect: ≤ poolK rels + C(poolK,2) sims — the greedy fold
+    // is inherently sequential and its state is the tiny pool itself
+    val rels = pool.select("vec_id", "rel").as[(Long, Double)].collect()
+      .sortBy(_._1)
+    val simMap = sims.as[(Long, Long, Double)].collect()
+      .flatMap { case (x, y, s) => Seq((x, y) -> s, (y, x) -> s) }.toMap
+    var remaining = rels.toList
+    var picked = List.empty[(Long, Double)] // (vec_id, rel)
+    val out = Seq.newBuilder[(Long, Long, Double, Double)] // rnk, id, rel, score
+    var rnk = 1L
+    while (rnk <= k && remaining.nonEmpty) {
+      val best = remaining.map { case (id, rel) =>
+        val maxSim =
+          if (picked.isEmpty) 0.0
+          else picked.map(p => simMap((id, p._1))).max
+        (id, rel, 0.7 * rel - 0.3 * maxSim)
+      }.minBy { case (id, _, score) => (-score, id) }
+      out += ((rnk, best._1, best._2, best._3))
+      picked ::= ((best._1, best._2))
+      remaining = remaining.filterNot(_._1 == best._1)
+      rnk += 1
+    }
+    out.result().toDF("rnk", "vec_id", "rel", "mmr_score").orderBy("rnk")
+  }
+
+  /** DuckDB oracle for [[mmrRerank]]: the same top-`poolK` pool and
+    * pairwise sims, then the greedy unrolled as `k` chained MATERIALIZED
+    * steps — step i picks argmax of 0.7·rel − 0.3·max-sim-to-picked
+    * (empty-set max = 0) with the vec_id tie-break, exactly the
+    * driver-side fold. */
+  private def mmrOracle(poolK: Int = 20, k: Int = 5): String = {
+    val milli = "CAST(round(CAST(%s AS DOUBLE) * 1000.0) AS BIGINT)"
+    val steps = (2 to k).map { i =>
+      val prev = (1 until i).map(j => s"SELECT vec_id FROM sel$j").mkString(" UNION ALL ")
+      s"""pk$i AS MATERIALIZED ($prev),
+         sel$i AS MATERIALIZED (
+           SELECT vec_id, rel, score, CAST($i AS BIGINT) AS rnk FROM (
+             SELECT c.vec_id, c.rel,
+                    CAST(0.7 AS DOUBLE) * c.rel - CAST(0.3 AS DOUBLE) *
+                      (SELECT max(s.sim) FROM sims s
+                       WHERE (s.a_id = c.vec_id AND s.b_id IN (SELECT vec_id FROM pk$i))
+                          OR (s.b_id = c.vec_id AND s.a_id IN (SELECT vec_id FROM pk$i))) AS score
+             FROM cand c
+             WHERE c.vec_id NOT IN (SELECT vec_id FROM pk$i))
+           ORDER BY score DESC, vec_id ASC LIMIT 1)"""
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       pr AS (SELECT e.vec_id, unnest(e.embedding) AS x, unnest(q.qe) AS y
+              FROM embeddings e, q WHERE e.vec_id <> 0),
+       d AS (SELECT vec_id,
+               SUM(${milli.format("x")} * ${milli.format("y")}) AS dot,
+               SUM(${milli.format("x")} * ${milli.format("x")}) AS na,
+               SUM(${milli.format("y")} * ${milli.format("y")}) AS nb
+             FROM pr GROUP BY vec_id),
+       sc AS (SELECT vec_id,
+                CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS rel
+              FROM d),
+       cand AS MATERIALIZED (
+         SELECT vec_id, rel FROM sc
+         ORDER BY rel DESC, vec_id ASC LIMIT $poolK),
+       cp AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                unnest(ea.embedding) AS x, unnest(eb.embedding) AS y
+              FROM cand a JOIN cand b ON a.vec_id < b.vec_id
+              JOIN embeddings ea ON ea.vec_id = a.vec_id
+              JOIN embeddings eb ON eb.vec_id = b.vec_id),
+       sd AS (SELECT a_id, b_id,
+               SUM(${milli.format("x")} * ${milli.format("y")}) AS dot,
+               SUM(${milli.format("x")} * ${milli.format("x")}) AS na,
+               SUM(${milli.format("y")} * ${milli.format("y")}) AS nb
+             FROM cp GROUP BY a_id, b_id),
+       sims AS MATERIALIZED (
+         SELECT a_id, b_id,
+                CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS sim
+         FROM sd),
+       sel1 AS MATERIALIZED (
+         SELECT vec_id, rel,
+                CAST(0.7 AS DOUBLE) * rel - CAST(0.3 AS DOUBLE) * CAST(0.0 AS DOUBLE) AS score,
+                CAST(1 AS BIGINT) AS rnk
+         FROM cand ORDER BY CAST(0.7 AS DOUBLE) * rel DESC, vec_id ASC LIMIT 1),
+       $steps
+       SELECT rnk, vec_id, rel, score AS mmr_score
+       FROM (${(1 to k).map(j => s"SELECT * FROM sel$j").mkString(" UNION ALL ")})
+       ORDER BY rnk"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_triplet_mining" -> ((s: SparkSession, d: String) => tripletMining(s, d)),
+    "sim_mmr_rerank"     -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "sim_pq_topk"        -> ((s: SparkSession, d: String) => pqTopK(s, d)),
     "sim_ivfpq_topk"     -> ((s: SparkSession, d: String) => ivfPqTopK(s, d)),
     "sim_pq_persisted"   -> ((s: SparkSession, d: String) => pqPersisted(s, d)),
@@ -1295,6 +1472,42 @@ object Similarity {
          SELECT q_id, rnk, vec_id, score_adc FROM r WHERE rnk <= 5"""
 
   val oracles: Map[String, String] = Map(
+    // same broadcast-anchor cosine, same (cos desc|asc, vec_id) top-1
+    // per side, same float violation compare
+    "sim_triplet_mining" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+                    FROM embeddings WHERE vec_id < 20),
+         p AS (SELECT e.vec_id, e.label, q.q_id, q.q_label,
+                 unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e JOIN q ON e.vec_id <> q.q_id),
+         d AS (SELECT q_id, q_label, vec_id, label,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM p GROUP BY 1, 2, 3, 4),
+         s AS (SELECT q_id, q_label, vec_id, label,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         neg AS (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, vec_id ASC) AS rn
+                 FROM s WHERE label <> q_label),
+         pos AS (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos ASC, vec_id ASC) AS rn
+                 FROM s WHERE label = q_label)
+         SELECT q.q_id, q.q_label AS label,
+                pos.vec_id AS hard_pos_id, pos.cos AS pos_cos,
+                neg.vec_id AS hard_neg_id, neg.cos AS neg_cos,
+                neg.cos > pos.cos AS violation
+         FROM q
+         JOIN neg ON q.q_id = neg.q_id AND neg.rn = 1
+         JOIN pos ON q.q_id = pos.q_id AND pos.rn = 1
+         ORDER BY q.q_id""",
+    "sim_mmr_rerank" -> mmrOracle(),
     // same round(x·1000) milli quantization; `//` truncates toward zero
     // in DuckDB exactly like Spark's `div` (matters for negative sums)
     "sim_centroid_labels" ->

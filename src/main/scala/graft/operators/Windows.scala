@@ -750,7 +750,81 @@ object Windows {
       .orderBy("user_id")
   }
 
+  /** MAX DRAWDOWN per user — the classic equity-curve risk metric over a
+    * signed event ledger: purchases/signups credit the balance,
+    * errors/clicks debit it (views are neutral), the running balance is
+    * tracked against its running peak, and the drawdown is the deepest
+    * peak-to-trough fall. Reported: the 20 users with the worst
+    * drawdown (ties → lower user_id), with their peak / final balance /
+    * event count alongside. All integer cents; event order is the
+    * explicit (ts, event_id) total order every window here carries.
+    *
+    * Scale: ONE hash shuffle on user_id; both running sums are frames
+    * over the per-user partition (bounded by a user's own history); the
+    * per-user collapse is a partial+final agg and the top-20 is
+    * TakeOrderedAndProject — no global sort of users. */
+  def maxDrawdown(spark: SparkSession, dir: String): DataFrame =
+    maxDrawdownOf(Tables.events(spark, dir))
+
+  /** [[maxDrawdown]] over any events-shaped frame (spec entry point). */
+  private[graft] def maxDrawdownOf(events: DataFrame): DataFrame = {
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("""CAST(CASE WHEN event_type IN ('purchase','signup') THEN round(value * 100)
+                          WHEN event_type IN ('error','click') THEN -round(value * 100)
+                          ELSE 0 END AS BIGINT)""").as("delta_cents"))
+      .withColumn("bal", sum(col("delta_cents")).over(run))
+      .withColumn("peak", max(col("bal")).over(run))
+      .withColumn("dd", col("peak") - col("bal"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(max(peak) AS BIGINT)").as("max_peak_cents"),
+        expr("CAST(max(dd) AS BIGINT)").as("max_drawdown_cents"),
+        expr("CAST(sum(delta_cents) AS BIGINT)").as("final_cents"))
+      .orderBy(col("max_drawdown_cents").desc, col("user_id").asc)
+      .limit(20)
+  }
+
+  /** SEASONAL BASELINE + RESIDUAL ANOMALIES — the de-seasonalized twin
+    * of [[anomalySpikes]] (which compares to the user's own recent EWMA):
+    * hourly slot totals are compared to the corpus-wide hour-of-day
+    * baseline (mean slot total for that clock hour, floored integer
+    * cents), and the 24 slots with the largest absolute residual
+    * surface. Catches "3 AM looks like 3 PM" shifts that a trailing
+    * window smooths over. Ties → earlier (d, hr).
+    *
+    * Scale: events collapse to |days|×24 slot rows in one partial+final
+    * agg; the 24-row baseline BROADCASTs back onto the slots; the final
+    * top-24 is TakeOrderedAndProject over the slot aggregate — events
+    * are scanned once and never window-sorted. */
+  def seasonalBaseline(spark: SparkSession, dir: String): DataFrame =
+    seasonalBaselineOf(Tables.events(spark, dir))
+
+  /** [[seasonalBaseline]] over any events-shaped frame (spec entry). */
+  private[graft] def seasonalBaselineOf(events: DataFrame): DataFrame = {
+    val slots = events
+      .select(to_date(col("ts")).as("d"), hour(col("ts")).cast("long").as("hr"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("d", "hr")
+      .agg(count(lit(1)).as("n_events"),
+        expr("CAST(sum(cents) AS BIGINT)").as("slot_cents"))
+    val base = slots.groupBy("hr")
+      .agg(expr("CAST(sum(slot_cents) AS BIGINT)").as("tot"),
+        count(lit(1)).as("n_slots"))
+      .select(col("hr"), expr("tot div n_slots").as("baseline_cents"))
+    slots.join(broadcast(base), Seq("hr"))
+      .withColumn("residual_cents", col("slot_cents") - col("baseline_cents"))
+      .select(col("d"), col("hr"), col("n_events"), col("slot_cents"),
+        col("baseline_cents"), col("residual_cents"))
+      .orderBy(abs(col("residual_cents")).desc, col("d").asc, col("hr").asc)
+      .limit(24)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_max_drawdown"       -> maxDrawdown _,
+    "win_seasonal_baseline"  -> seasonalBaseline _,
     "win_interpolate_linear" -> interpolateLinear _,
     "win_max_concurrency"    -> maxConcurrency _,
     "win_cohort_ltv"         -> cohortLtv _,
@@ -781,6 +855,45 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same signed ledger, same (ts, event_id) order, same running
+    // sum/peak frames and per-user collapse
+    "win_max_drawdown" ->
+      """WITH e AS (
+           SELECT user_id, ts, event_id,
+                  CAST(CASE WHEN event_type IN ('purchase','signup') THEN round(value * 100)
+                            WHEN event_type IN ('error','click') THEN -round(value * 100)
+                            ELSE 0 END AS BIGINT) AS delta_cents
+           FROM events),
+         r AS (SELECT user_id, ts, event_id, delta_cents,
+                 SUM(delta_cents) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS bal
+               FROM e),
+         p AS (SELECT user_id, delta_cents, bal,
+                 MAX(bal) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+               FROM r)
+         SELECT user_id, count(*) AS n_events,
+                CAST(max(peak) AS BIGINT) AS max_peak_cents,
+                CAST(max(peak - bal) AS BIGINT) AS max_drawdown_cents,
+                CAST(sum(delta_cents) AS BIGINT) AS final_cents
+         FROM p GROUP BY user_id
+         ORDER BY max_drawdown_cents DESC, user_id ASC LIMIT 20""",
+    // same slot rollup, same floored hour-of-day baseline, same
+    // (|residual| desc, d, hr) top-24
+    "win_seasonal_baseline" ->
+      """WITH s AS (
+           SELECT CAST(ts AS DATE) AS d, CAST(hour(ts) AS BIGINT) AS hr,
+                  count(*) AS n_events,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS slot_cents
+           FROM events GROUP BY 1, 2),
+         b AS (SELECT hr,
+                 CAST(sum(slot_cents) // count(*) AS BIGINT) AS baseline_cents
+               FROM s GROUP BY hr)
+         SELECT s.d, s.hr, s.n_events, s.slot_cents, b.baseline_cents,
+                s.slot_cents - b.baseline_cents AS residual_cents
+         FROM s JOIN b ON s.hr = b.hr
+         ORDER BY abs(s.slot_cents - b.baseline_cents) DESC, s.d ASC, s.hr ASC
+         LIMIT 24""",
     // same 15-day split off the scalar min date, same conditional-sum
     // collapse and (total desc, user asc) ranking
     "win_rank_changes" ->

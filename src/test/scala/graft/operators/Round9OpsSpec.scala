@@ -1,0 +1,254 @@
+package graft.operators
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.CorpusOps
+
+/** Hand-built cases for the batch-9 operator additions: max drawdown,
+  * seasonal baseline residuals, exact rank-sum AUC, PMI co-occurrence
+  * lift, triplet hard-example mining, and MMR diversified re-ranking.
+  * The DuckDB oracle gate proves each on the synthetic corpus; these pin
+  * the core rules on inputs small enough to check by hand. */
+class Round9OpsSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-round9-test")
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def eventsDf(rows: Seq[(Long, String, Long, String, Double)]) = {
+    import spark.implicits._
+    rows.map { case (eid, t, uid, typ, v) => (eid, ts(t), uid, typ, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+  }
+
+  test("maxDrawdownOf: peak-to-trough fall on a hand ledger") {
+    // user 1: +1000 (purchase), -300 (error), -300 (error), +100 (signup)
+    // balance: 1000, 700, 400, 500 -> peak 1000, max drawdown 600
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 10.00),
+      (2L, "2024-01-01 01:00:00", 1L, "error", 3.00),
+      (3L, "2024-01-01 02:00:00", 1L, "error", 3.00),
+      (4L, "2024-01-01 03:00:00", 1L, "signup", 1.00)))
+    val r = Windows.maxDrawdownOf(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("max_peak_cents") === 1000L)
+    assert(r(0).getAs[Long]("max_drawdown_cents") === 600L)
+    assert(r(0).getAs[Long]("final_cents") === 500L)
+  }
+
+  test("maxDrawdownOf: views are neutral and a rising curve has zero drawdown") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 2L, "purchase", 5.00),
+      (2L, "2024-01-01 01:00:00", 2L, "view", 99.99), // neutral
+      (3L, "2024-01-01 02:00:00", 2L, "purchase", 5.00)))
+    val r = Windows.maxDrawdownOf(df).collect()
+    assert(r(0).getAs[Long]("max_drawdown_cents") === 0L)
+    assert(r(0).getAs[Long]("final_cents") === 1000L)
+  }
+
+  test("maxDrawdownOf: drawdown measures from the running peak, not the start") {
+    // balance path: -200 (error), +1000, -500: peak 800, trough 300 -> dd 500
+    // (a from-start measure would report 200)
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 3L, "error", 2.00),
+      (2L, "2024-01-01 01:00:00", 3L, "purchase", 10.00),
+      (3L, "2024-01-01 02:00:00", 3L, "error", 5.00)))
+    val r = Windows.maxDrawdownOf(df).collect()
+    assert(r(0).getAs[Long]("max_drawdown_cents") === 500L)
+    assert(r(0).getAs[Long]("max_peak_cents") === 800L)
+  }
+
+  test("seasonalBaselineOf: residual is slot minus floored same-hour mean") {
+    // hour 5 on three days: 100, 200, 400 cents -> baseline (700 div 3)=233
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 05:00:00", 1L, "view", 1.00),
+      (2L, "2024-01-02 05:00:00", 1L, "view", 2.00),
+      (3L, "2024-01-03 05:00:00", 1L, "view", 4.00)))
+    val r = Windows.seasonalBaselineOf(df).collect()
+    assert(r.forall(_.getAs[Long]("baseline_cents") === 233L))
+    val res = r.map(x => (x.getAs[java.sql.Date]("d").toString,
+      x.getAs[Long]("residual_cents"))).toMap
+    assert(res === Map("2024-01-01" -> -133L, "2024-01-02" -> -33L,
+      "2024-01-03" -> 167L))
+  }
+
+  test("seasonalBaselineOf: hours are independent baselines") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 05:00:00", 1L, "view", 1.00),
+      (2L, "2024-01-01 06:00:00", 1L, "view", 9.00)))
+    val r = Windows.seasonalBaselineOf(df).collect()
+    // each hour's single slot IS its baseline -> residual 0 for both
+    assert(r.forall(_.getAs[Long]("residual_cents") === 0L))
+  }
+
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("aucRankOf: perfect separation gives AUC 1, reversed gives 0") {
+    // en docs strictly longer than others -> AUC = 1.0 (1e6 ppm)
+    val perfect = docsDf(Seq(
+      (1L, "a", "en", "web", 100L), (2L, "a", "en", "web", 90L),
+      (3L, "a", "fr", "web", 10L), (4L, "a", "de", "web", 20L)))
+    val p = Aggregations.aucRankOf(perfect).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("auc_ppm")).toMap
+    assert(p("ALL") === 1000000L && p("web") === 1000000L)
+    val reversed = docsDf(Seq(
+      (1L, "a", "en", "web", 5L), (2L, "a", "fr", "web", 50L)))
+    val q = Aggregations.aucRankOf(reversed).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("auc_ppm")).toMap
+    assert(q("ALL") === 0L)
+  }
+
+  test("aucRankOf: ties contribute half — all-equal scores give AUC 1/2") {
+    val tied = docsDf(Seq(
+      (1L, "a", "en", "web", 42L), (2L, "a", "fr", "web", 42L),
+      (3L, "a", "en", "web", 42L), (4L, "a", "de", "web", 42L)))
+    val t = Aggregations.aucRankOf(tied).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("auc_ppm")).toMap
+    assert(t("ALL") === 500000L)
+  }
+
+  test("aucRankOf: single-class groups emit NULL auc rather than divide") {
+    val oneClass = docsDf(Seq(
+      (1L, "a", "en", "web", 1L), (2L, "a", "en", "web", 2L)))
+    val r = Aggregations.aucRankOf(oneClass).collect()
+    assert(r.forall(_.isNullAt(3)))
+  }
+
+  test("pmiCooccurOf: always-together pair lifts above independents") {
+    // 'x y' always co-occur (4 docs); 'p q' co-occur once in 4
+    val docs = docsDf(Seq(
+      (1L, "x y p", "en", "w", 0L), (2L, "x y q", "en", "w", 0L),
+      (3L, "x y p q", "en", "w", 0L), (4L, "x y", "en", "w", 0L)))
+    val r = CorpusOps.pmiCooccurOf(docs, vocabK = 10, k = 10).collect()
+    val lift = r.map(x => ((x.getString(0), x.getString(1)),
+      x.getAs[Long]("lift_ppm"))).toMap
+    // x,y: 4*4*1e6/(4*4) = 1e6 (independence at saturation)
+    assert(lift(("x", "y")) === 1000000L)
+    // p,q: n_ab=1, n_p=2, n_q=2 -> 1*4*1e6/4 = 1e6; x,p: 2*4/(4*2)=1e6... use
+    // a rarer pair: p appears in docs 1,3; q in 2,3; together only doc 3
+    assert(lift(("p", "q")) === 1000000L)
+    // all pairs here sit at independence; ordering falls to the tie-break
+    assert(r.map(_.getAs[Long]("lift_ppm")).forall(_ === 1000000L))
+  }
+
+  test("pmiCooccurOf: a genuinely associated pair outranks independence") {
+    // 'a b' always together (3 docs of 6); 'c' spread independently
+    val docs = docsDf(Seq(
+      (1L, "a b", "en", "w", 0L), (2L, "a b c", "en", "w", 0L),
+      (3L, "a b", "en", "w", 0L), (4L, "c d", "en", "w", 0L),
+      (5L, "d e", "en", "w", 0L), (6L, "c e", "en", "w", 0L)))
+    val r = CorpusOps.pmiCooccurOf(docs, vocabK = 10, k = 10).collect()
+    val byPair = r.map(x => ((x.getString(0), x.getString(1)),
+      x.getAs[Long]("lift_ppm"))).toMap
+    // a,b: 3*6e6/(3*3) = 2e6 — twice independence; tops the ranking
+    assert(byPair(("a", "b")) === 2000000L)
+    assert(r.head.getString(0) === "a" && r.head.getString(1) === "b")
+  }
+
+  private val embSchema = StructType(Seq(
+    StructField("vec_id", LongType), StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  private def embDf(rows: Seq[(Long, Seq[Float], Int)]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (id, e, l) => Row(id, e, l) }),
+      embSchema)
+
+  test("tripletMiningOf: picks the closest impostor and farthest same-label") {
+    // anchor 0 (label 1) at (1,0); same-label 1 at (1, 0.1), 2 at (0.5, 0.8);
+    // other-label 3 at (0.9, 0.1), 4 at (0, 1)
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.1f), 1), (2L, Seq(0.5f, 0.8f), 1),
+      (3L, Seq(0.9f, 0.1f), 2), (4L, Seq(0f, 1f), 2)))
+    val r = Similarity.tripletMiningOf(e, probeBound = 1L).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("hard_pos_id") === 2L)  // farthest same-label
+    assert(r(0).getAs[Long]("hard_neg_id") === 3L)  // closest impostor
+    // neg (3) is closer to the anchor than pos (2): a violated triplet
+    assert(r(0).getAs[Boolean]("violation"))
+  }
+
+  test("tripletMiningOf: margin-satisfied anchors report violation=false") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(0.9f, 0.1f), 1), // tight positive
+      (2L, Seq(0f, 1f), 2)))                          // orthogonal negative
+    val r = Similarity.tripletMiningOf(e, probeBound = 1L).collect()
+    assert(r(0).getAs[Long]("hard_pos_id") === 1L)
+    assert(r(0).getAs[Long]("hard_neg_id") === 2L)
+    assert(!r(0).getAs[Boolean]("violation"))
+  }
+
+  test("mmrRerankOf: diversity term demotes a near-duplicate of the first pick") {
+    // query 0 at (1,0). Candidates: 1 at (0.8,0.6) rel=0.8; 2 a near-copy
+    // of 1 (rel~0.79, sim to 1 ~ 1); 3 at (0.6,-0.8), rel=0.6 but
+    // ORTHOGONAL to pick 1 (sim=0). Pure relevance ranks 1,2,3; MMR step 2
+    // scores 2 at 0.7*0.79-0.3*1 ~ 0.25 vs 3 at 0.7*0.6-0 = 0.42 -> 1,3,2.
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 1),
+      (1L, Seq(0.8f, 0.6f), 1), (2L, Seq(0.79f, 0.61f), 1),
+      (3L, Seq(0.6f, -0.8f), 1)))
+    val r = Similarity.mmrRerankOf(spark, e, poolK = 3, k = 3).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 3L, 2L))
+  }
+
+  test("ksTestOf: disjoint supports give D=1e6 at the lower sample's max") {
+    // purchases at 1.00/2.00, clicks at 5.00/6.00 -> full separation;
+    // sup attained first at cents=200 (all purchases seen, no clicks)
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 1.00),
+      (2L, "2024-01-01 01:00:00", 1L, "purchase", 2.00),
+      (3L, "2024-01-01 02:00:00", 2L, "click", 5.00),
+      (4L, "2024-01-01 03:00:00", 2L, "click", 6.00)))
+    val r = Aggregations.ksTestOf(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("d_ppm") === 1000000L)
+    assert(r(0).getAs[Long]("at_cents") === 200L)
+  }
+
+  test("ksTestOf: identical distributions give D=0") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 3.00),
+      (2L, "2024-01-01 01:00:00", 1L, "click", 3.00),
+      (3L, "2024-01-01 02:00:00", 2L, "purchase", 7.00),
+      (4L, "2024-01-01 03:00:00", 2L, "click", 7.00)))
+    val r = Aggregations.ksTestOf(df).collect()
+    assert(r(0).getAs[Long]("d_ppm") === 0L)
+  }
+
+  test("ksTestOf: other event types are excluded from both samples") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "purchase", 1.00),
+      (2L, "2024-01-01 01:00:00", 1L, "click", 1.00),
+      (3L, "2024-01-01 02:00:00", 2L, "view", 999.00))) // ignored
+    val r = Aggregations.ksTestOf(df).collect()
+    assert(r(0).getAs[Long]("n_purchase") === 1L)
+    assert(r(0).getAs[Long]("n_click") === 1L)
+    assert(r(0).getAs[Long]("d_ppm") === 0L)
+  }
+
+  test("cohensKappa on testdata: bounded by po and consistent with its parts") {
+    val r = graft.functions.TextAnalysis.cohensKappa(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(r.length === 1)
+    val (n, agree) = (r(0).getAs[Long]("n_docs"), r(0).getAs[Long]("n_agree"))
+    val (po, pe, k) = (r(0).getAs[Long]("po_ppm"), r(0).getAs[Long]("pe_ppm"),
+      r(0).getAs[Long]("kappa_ppm"))
+    assert(n > 0 && agree <= n)
+    assert(po === agree * 1000000L / n)
+    // kappa <= po (chance correction can only subtract) and >= -1e6
+    assert(k <= po && k >= -1000000L)
+    assert(pe >= 0L && pe <= 1000000L)
+  }
+
+  test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
+    val r = Similarity.mmrRerankOf(spark, e, poolK = 2, k = 2).collect()
+    assert(r(0).getAs[Long]("vec_id") === 1L)
+    assert(math.abs(r(0).getAs[Double]("mmr_score")
+      - 0.7 * r(0).getAs[Double]("rel")) < 1e-12)
+  }
+}
