@@ -112,6 +112,36 @@ object TextAnalysis {
           .as("kappa_ppm"))
   }
 
+  /** DETERMINISTIC EPOCH SHUFFLE — the training-loader step that
+    * re-partitions the corpus into micro-batches with a DIFFERENT
+    * pseudorandom order every epoch (same-order epochs overfit batch
+    * composition): batch = md5(epoch:doc_id) mod nBatches, audited as
+    * per-(epoch, batch) doc/char counts plus the id range. Seeded
+    * hashing, so any worker — or the oracle — reproduces the exact
+    * assignment; the min/max id columns make the epoch-to-epoch
+    * recomposition visible (same totals, different membership).
+    *
+    * Scale: hash-bucketing needs NO sort — the classic sort-by-random-
+    * key epoch shuffle is a full corpus sort per epoch, this is a pure
+    * projection + one bounded aggregate (epochs×nBatches rows). The
+    * epoch multiplier is a map-side explode; a real loader materializes
+    * one epoch at a time and drops the explode entirely. */
+  def epochShuffle(spark: SparkSession, dir: String,
+                   epochs: Int = 2, nBatches: Int = 8): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        explode(sequence(lit(0), lit(epochs - 1))).as("epoch"))
+      .withColumn("epoch", col("epoch").cast("long"))
+      .withColumn("batch", expr(
+        s"""pmod(cast(conv(substring(md5(concat(cast(epoch as string), ':',
+            cast(doc_id as string))), 1, 8), 16, 10) as bigint), $nBatches)"""))
+      .groupBy("epoch", "batch")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(n_chars) AS BIGINT)").as("n_chars"),
+        expr("CAST(min(doc_id) AS BIGINT)").as("min_doc"),
+        expr("CAST(max(doc_id) AS BIGINT)").as("max_doc"))
+      .orderBy("epoch", "batch")
+
   /** Document quality scoring: token/stopword/length statistics + a
     * bounded composite score. Integer counts + double arithmetic only —
     * deterministic at any parallelism. */
@@ -785,6 +815,7 @@ object TextAnalysis {
     "ta_langid_ngram" -> langIdNgram _,
     "ta_langid_confusion" -> langidConfusion _,
     "ta_cohens_kappa" -> cohensKappa _,
+    "ta_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
@@ -1000,6 +1031,24 @@ object TextAnalysis {
          SELECT doc_id, plang AS pred_lang, hits, lang AS actual_lang,
                 plang = lang AS correct
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    // same md5-prefix hash bucket (the split_assign decode), same
+    // epoch:doc_id seed string
+    "ta_epoch_shuffle" ->
+      """WITH x AS (
+           SELECT doc_id, n_chars, unnest(range(0, 2)) AS epoch
+           FROM documents),
+         b AS (SELECT epoch, doc_id, n_chars,
+                 list_reduce([strpos('0123456789abcdef', c) - 1
+                              FOR c IN string_split(substr(md5(
+                                CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8), '')],
+                             (a, v) -> a * 16 + v) % 8 AS batch
+               FROM x)
+         SELECT CAST(epoch AS BIGINT) AS epoch, CAST(batch AS BIGINT) AS batch,
+                count(*) AS n_docs,
+                CAST(sum(n_chars) AS BIGINT) AS n_chars,
+                CAST(min(doc_id) AS BIGINT) AS min_doc,
+                CAST(max(doc_id) AS BIGINT) AS max_doc
+         FROM b GROUP BY 1, 2 ORDER BY epoch, batch""",
     // same prediction CTEs, same marginal-product chance term and
     // truncating integer kappa
     "ta_cohens_kappa" ->

@@ -1143,7 +1143,75 @@ object Similarity {
        ORDER BY rnk"""
   }
 
+  /** K-MEANS CONVERGENCE CURVE (inertia-style cohesion per iteration) —
+    * the clustering-quality diagnostic every IVF/SemDeDup deployment
+    * reads before trusting its cells: for each fit snapshot (0 = the
+    * fixed init, then each Lloyd iteration of [[fitIvfCentroids]]), the
+    * CORPUS-wide cohesion Σ floor(best-cos·10⁶) under that snapshot's
+    * centroids. A curve that stops rising says the sample-fit converged;
+    * a cell structure whose corpus cohesion lags its sample cohesion
+    * says the sample is unrepresentative. Cosine-k-means maximizes
+    * total assigned cosine, so this is (negated) inertia in the
+    * spherical metric — floored per row to an integer so the corpus sum
+    * is order-independent and bit-stable across engines.
+    *
+    * Scale: each snapshot is the same literal-centroid PROJECTION as
+    * [[assignCells]] (zero exchange), and the per-snapshot collapse is
+    * one partial+final agg; iterations are a metadata-sized driver loop
+    * over the ≤256-row sample fit (the documented offline-trainer
+    * collect), never extra corpus passes beyond one scan per snapshot. */
+  def kmeansInertia(spark: SparkSession, dir: String,
+                    k: Int = 8, maxIters: Int = 2): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    val frames = (0 to maxIters).map { it =>
+      val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir, k, 256, it))
+      e.withColumn("na", quantNormSq(col("embedding")))
+        .withColumn("best", expr(
+          s"""aggregate(
+                transform($centsLit, c ->
+                  cast(quantized_dot(embedding, c.ce) as double)
+                  / (sqrt(cast(na as double)) * sqrt(cast(c.nb as double)))),
+                cast('-Infinity' as double),
+                (b, x) -> if(x > b, x, b))"""))
+        .select(lit(it.toLong).as("iters"),
+          expr("CAST(floor(best * 1000000) AS BIGINT)").as("cos_ppm"))
+    }
+    frames.reduce(_ unionAll _)
+      .groupBy("iters")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(cos_ppm) AS BIGINT)").as("sum_cos_ppm"))
+      .withColumn("mean_cos_ppm", expr("sum_cos_ppm div n_vecs"))
+      .orderBy("iters")
+  }
+
+  /** DuckDB oracle for [[kmeansInertia]]: the shared fit replay
+    * ([[ivfFitCtes]] defines c0..c`maxIters` and the quantized corpus
+    * `qall`), then per snapshot the same max-cos per vector and floored
+    * ppm corpus sum. */
+  private def kmeansInertiaOracle(maxIters: Int = 2): String = {
+    val per = (0 to maxIters).map { it =>
+      s"""p_i$it AS (SELECT e.vec_id, c.cent_id, unnest(e.qv) AS x, unnest(c.cv) AS y
+                 FROM qall e, c$it c),
+         d_i$it AS (SELECT vec_id, cent_id, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                 FROM p_i$it GROUP BY vec_id, cent_id),
+         b_i$it AS (SELECT vec_id,
+                   max(CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))) AS best
+                 FROM d_i$it GROUP BY vec_id),
+         g_i$it AS (SELECT CAST($it AS BIGINT) AS iters,
+                    CAST(count(*) AS BIGINT) AS n_vecs,
+                    CAST(SUM(CAST(floor(best * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_ppm
+                 FROM b_i$it)"""
+    }.mkString(",\n         ")
+    s"""${ivfFitCtes(maxIters)}
+       $per
+       SELECT iters, n_vecs, sum_cos_ppm,
+              sum_cos_ppm // n_vecs AS mean_cos_ppm
+       FROM (${(0 to maxIters).map(i => s"SELECT * FROM g_i$i").mkString(" UNION ALL ")})
+       ORDER BY iters"""
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_kmeans_inertia" -> ((s: SparkSession, d: String) => kmeansInertia(s, d)),
     "sim_triplet_mining" -> ((s: SparkSession, d: String) => tripletMining(s, d)),
     "sim_mmr_rerank"     -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
     "sim_pq_topk"        -> ((s: SparkSession, d: String) => pqTopK(s, d)),
@@ -1508,6 +1576,7 @@ object Similarity {
          JOIN pos ON q.q_id = pos.q_id AND pos.rn = 1
          ORDER BY q.q_id""",
     "sim_mmr_rerank" -> mmrOracle(),
+    "sim_kmeans_inertia" -> kmeansInertiaOracle(),
     // same round(x·1000) milli quantization; `//` truncates toward zero
     // in DuckDB exactly like Spark's `div` (matters for negative sums)
     "sim_centroid_labels" ->

@@ -822,7 +822,56 @@ object Windows {
       .limit(24)
   }
 
+  /** AUTOCORRELATION FUNCTION of the daily revenue series at lags 1..7 —
+    * the seasonality/momentum diagnostic read before any forecasting or
+    * anomaly threshold is trusted (a strong lag-7 says weekly cycle; all
+    * lags ~0 says the EWMA alarms run on noise). Pearson r between the
+    * series and its lag-ℓ shift, observed-day aligned: all six moment
+    * sums are EXACT BIGINTs over integer cents, with the one final
+    * r expression evaluated in the same pinned IEEE form both engines
+    * share (the [[graft.operators.Aggregations.corrValueTime]]
+    * contract). Lags with degenerate variance are dropped rather than
+    * divided.
+    *
+    * Scale: events collapse to the |days|-row daily aggregate first; the
+    * banded self-join (1 ≤ Δd ≤ 7) and the moment aggregation run on
+    * that calendar-bounded series, never on events. Daily sums hold in
+    * BIGINT cents to ~10⁸-event days; x² sums to ~10⁹-cent days. */
+  def autocorrDaily(spark: SparkSession, dir: String, maxLag: Int = 7): DataFrame =
+    autocorrDailyOf(Tables.events(spark, dir), maxLag)
+
+  /** [[autocorrDaily]] over any events-shaped frame (spec entry). */
+  private[graft] def autocorrDailyOf(events: DataFrame, maxLag: Int = 7): DataFrame = {
+    val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
+    val daily = events
+      .select(to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("d").agg(expr("CAST(sum(cents) AS BIGINT)").as("v"))
+    val later = daily.select(col("d").as("d2"), col("v").as("v2"))
+    daily.join(later, expr(s"datediff(d2, d) BETWEEN 1 AND $maxLag"))
+      .select(expr("CAST(datediff(d2, d) AS BIGINT)").as("lag"),
+        col("v").as("x"), col("v2").as("y"))
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(x) AS BIGINT)").as("sx"),
+        expr("CAST(sum(y) AS BIGINT)").as("sy"),
+        expr("CAST(sum(x * x) AS BIGINT)").as("sxx"),
+        expr("CAST(sum(y * y) AS BIGINT)").as("syy"),
+        expr("CAST(sum(x * y) AS BIGINT)").as("sxy"))
+      .filter(col("n") >= 2)
+      .withColumn("nd", dbl(col("n")))
+      .withColumn("den_x", col("nd") * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")))
+      .withColumn("den_y", col("nd") * dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")))
+      .filter(col("den_x") > 0 && col("den_y") > 0)
+      .withColumn("autocorr",
+        (col("nd") * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy")))
+          / (sqrt(col("den_x")) * sqrt(col("den_y"))))
+      .select("lag", "n", "autocorr")
+      .orderBy("lag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_autocorr"           -> ((s: SparkSession, d: String) => autocorrDaily(s, d)),
     "win_max_drawdown"       -> maxDrawdown _,
     "win_seasonal_baseline"  -> seasonalBaseline _,
     "win_interpolate_linear" -> interpolateLinear _,
@@ -855,6 +904,35 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily collapse, same banded self-join, same exact moment
+    // sums and pinned one-expression Pearson r
+    "win_autocorr" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         pr AS (SELECT CAST(date_diff('day', a.d, b.d) AS BIGINT) AS lag,
+                       a.v AS x, b.v AS y
+                FROM daily a JOIN daily b
+                  ON date_diff('day', a.d, b.d) BETWEEN 1 AND 7),
+         s AS (SELECT lag, count(*) AS n,
+                 CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                 CAST(SUM(x*x) AS BIGINT) AS sxx, CAST(SUM(y*y) AS BIGINT) AS syy,
+                 CAST(SUM(x*y) AS BIGINT) AS sxy
+               FROM pr GROUP BY lag HAVING count(*) >= 2),
+         e AS (SELECT lag, n, CAST(n AS DOUBLE) AS nd,
+                 CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd,
+                 CAST(sxy AS DOUBLE) AS sxyd
+               FROM s),
+         f AS (SELECT lag, n, nd, sxd, syd, sxyd,
+                 nd * sxxd - sxd * sxd AS den_x,
+                 nd * syyd - syd * syd AS den_y
+               FROM e)
+         SELECT lag, n,
+                (nd * sxyd - sxd * syd) / (sqrt(den_x) * sqrt(den_y)) AS autocorr
+         FROM f WHERE den_x > 0 AND den_y > 0
+         ORDER BY lag""",
     // same signed ledger, same (ts, event_id) order, same running
     // sum/peak frames and per-user collapse
     "win_max_drawdown" ->

@@ -243,6 +243,48 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(pe >= 0L && pe <= 1000000L)
   }
 
+  test("autocorrDailyOf: alternating series gives r=-1 at lag 1 and r=+1 at lag 2") {
+    // one event per day, values 1,2,1,2,1,2: lag-1 pairs are perfectly
+    // anti-linear (y = 3 - x), lag-2 pairs identical (y = x)
+    val df = eventsDf((1 to 6).map(i =>
+      (i.toLong, f"2024-01-0$i 12:00:00", 1L, "view",
+        if (i % 2 == 1) 1.00 else 2.00)))
+    val r = Windows.autocorrDailyOf(df).collect()
+      .map(x => x.getAs[Long]("lag") -> x.getAs[Double]("autocorr")).toMap
+    assert(math.abs(r(1L) - (-1.0)) < 1e-9)
+    assert(math.abs(r(2L) - 1.0) < 1e-9)
+  }
+
+  test("autocorrDailyOf: constant series drops out (zero variance, no NaN rows)") {
+    val df = eventsDf((1 to 5).map(i =>
+      (i.toLong, f"2024-01-0$i 12:00:00", 1L, "view", 7.00)))
+    assert(Windows.autocorrDailyOf(df).collect().isEmpty)
+  }
+
+  test("kmeansInertia on testdata: cohesion is non-decreasing over Lloyd iterations") {
+    val rows = Similarity.kmeansInertia(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("iters"))
+    assert(rows.length === 3)
+    val sums = rows.map(_.getAs[Long]("sum_cos_ppm"))
+    assert(sums(1) >= sums(0) && sums(2) >= sums(1),
+      s"cohesion regressed: ${sums.toSeq}")
+    assert(rows.forall(_.getAs[Long]("n_vecs") === rows(0).getAs[Long]("n_vecs")))
+  }
+
+  test("epochShuffle: epochs conserve totals but recompose batches") {
+    val r = graft.functions.TextAnalysis.epochShuffle(spark, "/root/testdata/sf0.001")
+      .collect()
+    val byEpoch = r.groupBy(_.getAs[Long]("epoch"))
+    assert(byEpoch.keySet === Set(0L, 1L))
+    // totals identical per epoch (same corpus, different arrangement)
+    val totals = byEpoch.view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(totals(0L) === totals(1L))
+    // at least one batch has a different size or id-range across epochs
+    def key(e: Long) = byEpoch(e).map(x => (x.getAs[Long]("batch"),
+      x.getAs[Long]("n_docs"), x.getAs[Long]("min_doc"), x.getAs[Long]("max_doc"))).toSet
+    assert(key(0L) !== key(1L), "epoch 1 produced the identical batch composition")
+  }
+
   test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
