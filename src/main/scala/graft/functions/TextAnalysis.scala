@@ -142,6 +142,48 @@ object TextAnalysis {
         expr("CAST(max(doc_id) AS BIGINT)").as("max_doc"))
       .orderBy("epoch", "batch")
 
+  /** MEMORIZATION / CROSS-SPLIT VERBATIM OVERLAP — the n-gram audit run
+    * before reporting eval numbers: what fraction of each test-split
+    * document's distinct 8-grams appear VERBATIM anywhere in the train
+    * split (the held-out metric is meaningless for spans the model saw
+    * letter-for-letter). Splits are the [[splitAssign]] md5 buckets, so
+    * this composes with the pipeline's own split; distinct grams per
+    * doc (a doc repeating its own phrase is not memorization evidence).
+    * Per-language: test docs, gram counts, overlapping grams, ppm rate.
+    * The verbatim complement of the MinHash near-dup split-leakage
+    * audit ([[graft.operators.Dedup]] `dd_split_leakage`): that finds
+    * whole near-duplicate documents, this measures span-level leakage.
+    *
+    * Scale: one gram stream per side off a single corpus scan (the
+    * span-dedup shape), hash-bucketed equi-join on the gram key — the
+    * train side collapses to its DISTINCT gram dictionary first, so the
+    * join is gram-dictionary-sized, never positions×positions. */
+  def memorizationRate(spark: SparkSession, dir: String, w: Int = 8): DataFrame = {
+    val gramCols = (0 until w).map(j => s"toks[i-1+$j]").mkString(", ")
+    val grams = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .withColumn("toks", expr("filter(split(lower(text), ' '), x -> length(x) > 0)"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), col("lang"), col("split"), explode(expr(
+        s"""array_distinct(transform(sequence(1, size(toks) - ${w - 1}),
+              i -> md5(concat_ws(' ', $gramCols))))""")).as("gh"))
+    val trainGrams = grams.filter(col("split") === "train")
+      .select(col("gh")).distinct().withColumn("hit", lit(1L))
+    grams.filter(col("split") === "test")
+      .join(trainGrams, Seq("gh"), "left")
+      .groupBy("lang")
+      .agg(countDistinct(col("doc_id")).as("n_test_docs"),
+        count(lit(1)).as("n_grams"),
+        expr("CAST(sum(coalesce(hit, 0)) AS BIGINT)").as("n_memorized"))
+      .withColumn("memorized_ppm", expr("n_memorized * 1000000 div n_grams"))
+      .orderBy("lang")
+  }
+
   /** Document quality scoring: token/stopword/length statistics + a
     * bounded composite score. Integer counts + double arithmetic only —
     * deterministic at any parallelism. */
@@ -816,6 +858,7 @@ object TextAnalysis {
     "ta_langid_confusion" -> langidConfusion _,
     "ta_cohens_kappa" -> cohensKappa _,
     "ta_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
+    "ta_memorization_rate" -> ((s: SparkSession, d: String) => memorizationRate(s, d)),
     "ta_quality_score" -> qualityScore _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
@@ -1031,6 +1074,34 @@ object TextAnalysis {
          SELECT doc_id, plang AS pred_lang, hits, lang AS actual_lang,
                 plang = lang AS correct
          FROM r WHERE rnk = 1 ORDER BY doc_id""",
+    // same md5 split buckets, same distinct-8-gram stream per side,
+    // same train-dictionary left join and ppm collapse
+    "ta_memorization_rate" ->
+      """WITH d AS (
+           SELECT doc_id, lang, text,
+                  list_reduce([strpos('0123456789abcdef', c) - 1
+                               FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+                              (a, v) -> a * 16 + v) % 100 AS bucket
+           FROM documents),
+         s AS (SELECT doc_id, lang,
+                 CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS toks
+               FROM d),
+         g AS (SELECT doc_id, lang, split,
+                 unnest(list_distinct(list_transform(range(1, len(toks) - 6),
+                   i -> md5(array_to_string(toks[i : i+7], ' '))))) AS gh
+               FROM s WHERE len(toks) >= 8),
+         tr AS (SELECT DISTINCT gh FROM g WHERE split = 'train'),
+         te AS (SELECT g.lang, g.doc_id, g.gh,
+                       CASE WHEN tr.gh IS NULL THEN 0 ELSE 1 END AS hit
+                FROM g LEFT JOIN tr ON g.gh = tr.gh
+                WHERE g.split = 'test')
+         SELECT lang, count(DISTINCT doc_id) AS n_test_docs,
+                count(*) AS n_grams,
+                CAST(sum(hit) AS BIGINT) AS n_memorized,
+                CAST(sum(hit) AS BIGINT) * 1000000 // count(*) AS memorized_ppm
+         FROM te GROUP BY lang ORDER BY lang""",
     // same md5-prefix hash bucket (the split_assign decode), same
     // epoch:doc_id seed string
     "ta_epoch_shuffle" ->

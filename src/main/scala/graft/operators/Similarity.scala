@@ -1210,7 +1210,73 @@ object Similarity {
        ORDER BY iters"""
   }
 
+  /** RECALL@K CURVE — the serving-quality dashboard in one query:
+    * IVF recall against brute-force ground truth at k = 1, 5, 10, 20
+    * simultaneously (one point tells you nothing about where the index
+    * loses; the curve separates "misses the top hit" from "misses the
+    * tail"). A hit at k = both sides rank the neighbor ≤ k; recall in
+    * integer ppm (n_hits·10⁶ div (n_queries·k)) so the gate hashes
+    * exactly. Generalizes the single-point [[ivfMultiQueryRecall]].
+    *
+    * Scale: both sides are the existing bounded-probe serving paths run
+    * once at k=20; the per-k expansion is a 4-element map-side explode
+    * of the ≤ probeBound·20 joined rank pairs — the corpus is scanned
+    * exactly as often as the two underlying top-k queries. */
+  def recallCurve(spark: SparkSession, dir: String,
+                  probeBound: Long = 20L): DataFrame = {
+    val ks = Seq(1, 5, 10, 20)
+    val ivf = ivfMultiQueryTopK(spark, dir, probeBound, 20)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("ri"))
+    val brute = annMultiQueryTopK(spark, dir, probeBound, 20)
+      .select(col("q_id"), col("vec_id"), col("rnk").as("rb"))
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    ivf.join(brute, Seq("q_id", "vec_id"))
+      .select(explode(array(ks.map(lit): _*)).as("k"), col("ri"), col("rb"))
+      .groupBy("k")
+      .agg(expr("CAST(sum(CASE WHEN ri <= k AND rb <= k THEN 1 ELSE 0 END) AS BIGINT)")
+        .as("n_hits"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("k").cast("long").as("k"), col("n_queries"), col("n_hits"),
+        expr("n_hits * 1000000 div (n_queries * k)").as("recall_ppm"))
+      .orderBy("k")
+  }
+
+  /** OUT-OF-DISTRIBUTION RATE per label — embedding-drift monitoring
+    * against the fitted cell structure: a vector is OOD when NO fitted
+    * centroid reaches cosine ≥ τ (= it lives between the cells the
+    * index was trained on — the vectors whose ANN serving quality, and
+    * whose semantic-dedup grouping, degrade first). The τ boundary is
+    * the EXACT integer predicate of [[rangeSearch]]
+    * (dot > 0 ∧ dot²·100 ≥ (τ·10)²·‖a‖²·‖c‖²) evaluated per centroid —
+    * no float compare ever decides membership, so both engines flag the
+    * identical set. Reported per label: n_vecs, n_ood, ood_ppm.
+    *
+    * Scale: a literal-centroid pure PROJECTION (the [[assignCells]]
+    * shape — zero exchange) followed by one |labels|-bounded agg; the
+    * monitoring pass costs exactly one corpus scan. */
+  def oodRate(spark: SparkSession, dir: String, tauTenths: Int = 2): DataFrame = {
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val t2 = tauTenths.toLong * tauTenths
+    Tables.embeddings(spark, dir)
+      .withColumn("na", quantNormSq(col("embedding")))
+      .withColumn("hits", expr(
+        s"""aggregate(
+              transform($centsLit, c -> named_struct(
+                'dot', quantized_dot(embedding, c.ce), 'nb', c.nb)),
+              0L,
+              (acc, s) -> acc + if(s.dot > 0 AND s.dot * s.dot * 100 >= ${t2}L * na * s.nb, 1L, 0L))"""))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        expr("CAST(sum(CASE WHEN hits = 0 THEN 1 ELSE 0 END) AS BIGINT)").as("n_ood"))
+      .withColumn("ood_ppm", expr("n_ood * 1000000 div n_vecs"))
+      .orderBy("label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
+    "sim_recall_curve"   -> ((s: SparkSession, d: String) => recallCurve(s, d)),
     "sim_kmeans_inertia" -> ((s: SparkSession, d: String) => kmeansInertia(s, d)),
     "sim_triplet_mining" -> ((s: SparkSession, d: String) => tripletMining(s, d)),
     "sim_mmr_rerank"     -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
@@ -1412,7 +1478,9 @@ object Similarity {
          SELECT rnk, vec_id, cell, cos FROM r WHERE rnk <= 10 ORDER BY rnk"""
 
   // full-statement oracles reused as CTE subqueries by the recall oracle
-  private lazy val ivfMultiOracle: String =
+  private lazy val ivfMultiOracle: String = ivfMultiOracleK(5)
+
+  private def ivfMultiOracleK(k: Int): String =
     s"""${ivfFitCtes()}
          qs AS (SELECT vec_id AS q_id, cell AS qcell FROM assigned WHERE vec_id < 20),
          cand AS (SELECT q.q_id, a.vec_id FROM assigned a
@@ -1436,7 +1504,7 @@ object Similarity {
          rr AS (SELECT q_id, vec_id, cos,
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
                FROM sc)
-         SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= 5
+         SELECT q_id, rnk, vec_id, cos FROM rr WHERE rnk <= $k
          ORDER BY q_id, rnk"""
 
   /** DuckDB replay of the SQ8 compress→score→top-k path — the identical
@@ -1495,9 +1563,11 @@ object Similarity {
                  row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
                FROM vs)"""
 
-  private lazy val annMultiOracle: String =
+  private lazy val annMultiOracle: String = annMultiOracleK(5)
+
+  private def annMultiOracleK(k: Int): String =
     s"""WITH ${annMultiVecCtes(20)}
-         SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= 5 ORDER BY q_id, rnk"""
+         SELECT q_id, rnk, vec_id, cos FROM vr WHERE rnk <= $k ORDER BY q_id, rnk"""
 
   /** Closed-form PQ index CTEs (sampled codebooks, integer L2 codes,
     * ADC lookup) without the final scoring — shared by the PQ oracles
@@ -1577,6 +1647,39 @@ object Similarity {
          ORDER BY q.q_id""",
     "sim_mmr_rerank" -> mmrOracle(),
     "sim_kmeans_inertia" -> kmeansInertiaOracle(),
+    // same fit replay, same exact integer tau predicate per centroid,
+    // same per-label collapse
+    "sim_ood_rate" -> s"""${ivfFitCtes()}
+         pv AS (SELECT e.vec_id, c.cent_id, unnest(e.qv) AS x, unnest(c.cv) AS y
+                FROM qall e, c2 c),
+         dv AS (SELECT vec_id, cent_id, SUM(x*y) AS dot,
+                       SUM(x*x) AS na, SUM(y*y) AS nb
+                FROM pv GROUP BY vec_id, cent_id),
+         hit AS (SELECT vec_id,
+                   CAST(sum(CASE WHEN dot > 0 AND dot*dot*100 >= 4*na*nb
+                            THEN 1 ELSE 0 END) AS BIGINT) AS hits
+                 FROM dv GROUP BY vec_id)
+         SELECT l.label, count(*) AS n_vecs,
+                CAST(sum(CASE WHEN h.hits = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ood,
+                CAST(sum(CASE WHEN h.hits = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000 // count(*) AS ood_ppm
+         FROM hit h JOIN embeddings l ON h.vec_id = l.vec_id
+         GROUP BY l.label ORDER BY l.label""",
+    // same two k=20 serving paths, same (ri<=k AND rb<=k) hit rule per
+    // curve point, integer ppm
+    "sim_recall_curve" -> s"""WITH ivf AS (${ivfMultiOracleK(20)}),
+         brute AS (${annMultiOracleK(20)}),
+         nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),
+         j AS (SELECT i.q_id, i.vec_id, i.rnk AS ri, b.rnk AS rb
+               FROM ivf i JOIN brute b
+                 ON i.q_id = b.q_id AND i.vec_id = b.vec_id),
+         ks AS (SELECT unnest([1, 5, 10, 20]) AS k),
+         h AS (SELECT ks.k,
+                 CAST(sum(CASE WHEN j.ri <= ks.k AND j.rb <= ks.k THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+               FROM ks, j GROUP BY ks.k)
+         SELECT CAST(h.k AS BIGINT) AS k, nq.n_queries, h.n_hits,
+                h.n_hits * 1000000 // (nq.n_queries * h.k) AS recall_ppm
+         FROM h, nq ORDER BY k""",
     // same round(x·1000) milli quantization; `//` truncates toward zero
     // in DuckDB exactly like Spark's `div` (matters for negative sums)
     "sim_centroid_labels" ->

@@ -870,7 +870,49 @@ object Windows {
       .orderBy("lag")
   }
 
+  /** TIME-TO-CONVERT PERCENTILES — the funnel-latency summary behind
+    * every conversion SLA: per user, seconds from FIRST view to the
+    * first purchase strictly after it, then EXACT p50/p90/max over the
+    * converted population. Percentiles come off the latency DICTIONARY
+    * with the cross-multiplied ordinal rule (smallest latency whose
+    * cumulative count·100 ≥ n·p — no interpolation, no float), the
+    * [[graft.operators.Aggregations]] equi-depth contract.
+    *
+    * Scale: two filtered per-user min-aggregations and one equi-join on
+    * user_id; the percentile machinery runs on the distinct-seconds
+    * dictionary, never a sorted event stream. Complements
+    * `win_funnel_stages` (how many reach each stage) with how LONG
+    * conversion takes. */
+  def timeToConvert(spark: SparkSession, dir: String): DataFrame =
+    timeToConvertOf(Tables.events(spark, dir))
+
+  /** [[timeToConvert]] over any events-shaped frame (spec entry). */
+  private[graft] def timeToConvertOf(events: DataFrame): DataFrame = {
+    val firstView = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("t_view"))
+    val conv = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("t_p"))
+      .join(firstView, Seq("user_id"))
+      .filter(col("t_p") > col("t_view"))
+      .groupBy("user_id", "t_view")
+      .agg(min(col("t_p")).as("t_purchase"))
+    val dict = conv
+      .select(expr("(unix_micros(t_purchase) - unix_micros(t_view)) div 1000000").as("lat_s"))
+      .groupBy("lat_s").agg(count(lit(1)).as("c"))
+    val run = Window.orderBy("lat_s")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dict.agg(expr("CAST(sum(c) AS BIGINT)").as("n_converted"),
+      expr("CAST(max(lat_s) AS BIGINT)").as("max_s"))
+    dict.withColumn("cum", sum(col("c")).over(run))
+      .crossJoin(broadcast(tot))
+      .groupBy("n_converted", "max_s")
+      .agg(expr("CAST(min(CASE WHEN cum * 100 >= n_converted * 50 THEN lat_s END) AS BIGINT)").as("p50_s"),
+        expr("CAST(min(CASE WHEN cum * 100 >= n_converted * 90 THEN lat_s END) AS BIGINT)").as("p90_s"))
+      .select("n_converted", "p50_s", "p90_s", "max_s")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_time_to_convert"    -> timeToConvert _,
     "win_autocorr"           -> ((s: SparkSession, d: String) => autocorrDaily(s, d)),
     "win_max_drawdown"       -> maxDrawdown _,
     "win_seasonal_baseline"  -> seasonalBaseline _,
@@ -904,6 +946,31 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same first-view/first-after-purchase derivation, same dictionary
+    // percentile rule (cum*100 >= n*p)
+    "win_time_to_convert" ->
+      """WITH fv AS (SELECT user_id, min(ts) AS t_view
+                     FROM events WHERE event_type = 'view' GROUP BY 1),
+         cp AS (SELECT e.user_id, fv.t_view, min(e.ts) AS t_purchase
+                FROM events e JOIN fv ON e.user_id = fv.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > fv.t_view
+                GROUP BY e.user_id, fv.t_view),
+         l AS (SELECT (epoch_us(t_purchase) - epoch_us(t_view)) // 1000000 AS lat_s
+               FROM cp),
+         dict AS (SELECT lat_s, count(*) AS c FROM l GROUP BY 1),
+         cum AS (SELECT lat_s, c,
+                   CAST(SUM(c) OVER (ORDER BY lat_s
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM dict),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n_converted,
+                      CAST(max(lat_s) AS BIGINT) AS max_s FROM dict)
+         SELECT t.n_converted,
+                CAST(min(CASE WHEN cum.cum * 100 >= t.n_converted * 50
+                         THEN cum.lat_s END) AS BIGINT) AS p50_s,
+                CAST(min(CASE WHEN cum.cum * 100 >= t.n_converted * 90
+                         THEN cum.lat_s END) AS BIGINT) AS p90_s,
+                t.max_s
+         FROM cum, t GROUP BY t.n_converted, t.max_s""",
     // same daily collapse, same banded self-join, same exact moment
     // sums and pinned one-expression Pearson r
     "win_autocorr" ->

@@ -285,6 +285,69 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(key(0L) !== key(1L), "epoch 1 produced the identical batch composition")
   }
 
+  test("timeToConvertOf: exact dictionary percentiles on 1..10 second latencies") {
+    // 10 users, user i views at t0 and purchases i seconds later
+    val rows = (1 to 10).flatMap { i =>
+      Seq((i * 2L, "2024-01-01 00:00:00", i.toLong, "view", 1.0),
+        (i * 2 + 1L, s"2024-01-01 00:00:${"%02d".format(i)}", i.toLong, "purchase", 1.0))
+    }
+    val r = Windows.timeToConvertOf(eventsDf(rows)).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_converted") === 10L)
+    assert(r(0).getAs[Long]("p50_s") === 5L)  // cum>=ceil(10*0.5)=5 -> lat 5
+    assert(r(0).getAs[Long]("p90_s") === 9L)
+    assert(r(0).getAs[Long]("max_s") === 10L)
+  }
+
+  test("timeToConvertOf: purchases at-or-before the first view never convert") {
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 05:00:00", 1L, "purchase", 1.0), // before first view
+      (2L, "2024-01-01 06:00:00", 1L, "view", 1.0),
+      (3L, "2024-01-02 00:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-02 00:00:30", 2L, "purchase", 1.0)))
+    val r = Windows.timeToConvertOf(df).collect()
+    assert(r(0).getAs[Long]("n_converted") === 1L)
+    assert(r(0).getAs[Long]("max_s") === 30L)
+  }
+
+  test("recallCurve on testdata: hits nest and never exceed the budget") {
+    val rows = Similarity.recallCurve(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("k"))
+    assert(rows.map(_.getAs[Long]("k")).toSeq === Seq(1L, 5L, 10L, 20L))
+    val hits = rows.map(_.getAs[Long]("n_hits"))
+    assert(hits.zip(hits.tail).forall { case (a, b) => a <= b },
+      s"hit sets must nest: ${hits.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries") * r.getAs[Long]("k"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+  }
+
+  test("oodRate on testdata: label partition covers the corpus, rates in range") {
+    val dirSf = "/root/testdata/sf0.001"
+    val rows = Similarity.oodRate(spark, dirSf).collect()
+    val total = graft.sources.Tables.embeddings(spark, dirSf).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum === total)
+    rows.foreach { r =>
+      val (n, ood, ppm) = (r.getAs[Long]("n_vecs"), r.getAs[Long]("n_ood"),
+        r.getAs[Long]("ood_ppm"))
+      assert(ood >= 0L && ood <= n)
+      assert(ppm === ood * 1000000L / n)
+    }
+  }
+
+  test("memorizationRate on testdata: rates are valid ppm and grams counted") {
+    val rows = graft.functions.TextAnalysis.memorizationRate(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_grams") > 0L)
+      assert(r.getAs[Long]("n_memorized") <= r.getAs[Long]("n_grams"))
+      val ppm = r.getAs[Long]("memorized_ppm")
+      assert(ppm >= 0L && ppm <= 1000000L)
+    }
+  }
+
   test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
