@@ -969,7 +969,80 @@ object Aggregations {
       .limit(1)
   }
 
+  /** EXACT AUDIENCE OVERLAP — pairwise distinct-user intersection and
+    * Jaccard for every event-type pair (which behaviors share an
+    * audience — the segmentation question HLL-sketch intersections
+    * answer approximately, here exact). Shape: one distinct pass to
+    * (user, type), then each user's sorted type set explodes to its
+    * C(t,2) pairs IN-ARRAY (the co-purchase move — bounded by |types|²
+    * per user) and pair counts collapse in one agg; per-type distinct
+    * totals BROADCAST back onto the ≤|types|² result. Jaccard in
+    * integer ppm over the inclusion–exclusion union.
+    *
+    * Scale: the only data-sized shuffles are the (user,type) distinct
+    * and the per-user collapse — both partial-aggregated; no user×user
+    * or fact×fact join anywhere. */
+  def audienceOverlap(spark: SparkSession, dir: String): DataFrame =
+    audienceOverlapOf(Tables.events(spark, dir))
+
+  /** [[audienceOverlap]] over any events-shaped frame (spec entry). */
+  private[graft] def audienceOverlapOf(events: DataFrame): DataFrame = {
+    val ut = events.select("user_id", "event_type").distinct()
+    val perType = ut.groupBy("event_type")
+      .agg(count(lit(1)).as("n_users"))
+    val pairs = ut.groupBy("user_id")
+      .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      .filter(size(col("ts")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ts, (x, i) ->
+          |  transform(slice(ts, i + 2, size(ts)),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("type_a"), col("p.b").as("type_b"))
+      .groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n_both"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_users").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_users").as("n_b"))), Seq("type_b"))
+      .withColumn("jaccard_ppm",
+        expr("n_both * 1000000 div (n_a + n_b - n_both)"))
+      .select("type_a", "type_b", "n_a", "n_b", "n_both", "jaccard_ppm")
+      .orderBy("type_a", "type_b")
+  }
+
+  /** SMOOTHED TARGET ENCODING — the feature-engineering staple for
+    * high-cardinality categoricals: each nation's mean customer balance
+    * shrunk toward the global mean with pseudo-count m=20
+    * (enc = (Σ_cat + m·global_mean)/(n_cat + m)), so small categories
+    * don't memorize noise. All integer cents with floored divisions —
+    * the encoding table is reproducible bit-for-bit anywhere.
+    *
+    * Scale: one partial+final agg to the category table; the global
+    * mean is a 1-row broadcast. The encoding table itself then
+    * broadcasts onto any fact table that needs the feature. */
+  def targetEncode(spark: SparkSession, dir: String, m: Int = 20): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_nationkey"),
+        expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("cents"))
+    val glob = cust.agg(
+      expr("CAST(sum(cents) AS BIGINT)").as("g_sum"),
+      count(lit(1)).as("g_n"))
+      .select(expr("g_sum div g_n").as("g_mean_cents"))
+    cust.groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(sum(cents) AS BIGINT)").as("cat_sum"))
+      .crossJoin(broadcast(glob))
+      .select(col("c_nationkey"), col("n"),
+        expr("cat_sum div n").as("raw_mean_cents"),
+        col("g_mean_cents"),
+        expr(s"(cat_sum + ${m}L * g_mean_cents) div (n + ${m}L)").as("encoded_cents"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_audience_overlap"    -> audienceOverlap _,
+    "agg_target_encode"       -> ((s: SparkSession, d: String) => targetEncode(s, d)),
     "agg_ks_test"             -> ksTest _,
     "agg_auc_rank"            -> aucRank _,
     "agg_ab_significance"     -> abSignificance _,
@@ -1007,6 +1080,39 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same distinct (user,type) pass, same in-order pair derivation
+    // (a < b lexicographically), same inclusion-exclusion ppm
+    "agg_audience_overlap" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+         pt AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users
+                FROM ut GROUP BY 1),
+         pr AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                       CAST(count(*) AS BIGINT) AS n_both
+                FROM ut a JOIN ut b
+                  ON a.user_id = b.user_id AND a.event_type < b.event_type
+                GROUP BY 1, 2)
+         SELECT pr.type_a, pr.type_b, ta.n_users AS n_a, tb.n_users AS n_b,
+                pr.n_both,
+                pr.n_both * 1000000 // (ta.n_users + tb.n_users - pr.n_both) AS jaccard_ppm
+         FROM pr
+         JOIN pt ta ON pr.type_a = ta.event_type
+         JOIN pt tb ON pr.type_b = tb.event_type
+         ORDER BY type_a, type_b""",
+    // same integer-cents sums, same floored global mean and m=20 shrink
+    "agg_target_encode" ->
+      """WITH c AS (SELECT c_nationkey,
+                           CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                    FROM customer),
+         g AS (SELECT CAST(sum(cents) AS BIGINT) // count(*) AS g_mean_cents
+               FROM c),
+         k AS (SELECT c_nationkey, count(*) AS n,
+                      CAST(sum(cents) AS BIGINT) AS cat_sum
+               FROM c GROUP BY 1)
+         SELECT k.c_nationkey, k.n,
+                k.cat_sum // k.n AS raw_mean_cents,
+                g.g_mean_cents,
+                (k.cat_sum + 20 * g.g_mean_cents) // (k.n + 20) AS encoded_cents
+         FROM k, g ORDER BY k.c_nationkey""",
     // same value dictionary, same cross-multiplied sup, same
     // (d desc, cents asc) 1-row pick
     "agg_ks_test" ->

@@ -235,7 +235,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** IMAGE–TEXT PAIR CURATION — the LAION-style admission funnel for
+    * contrastive (CLIP-style) training pairs, composed from the
+    * engine's own gates: per pair, the TEXT side must pass the
+    * clean-corpus quality rule (≥10 tokens, stopword ratio ≤ 0.4), the
+    * IMAGE side the size/aspect rule (both dims ≥ 64, aspect ≤ 4:1 on
+    * the stubbed decode), and exact payload duplicates (same sha) keep
+    * only their lowest doc_id. Disposition is a priority cascade
+    * (text_fail → image_fail → dup → kept) so every pair lands in
+    * exactly one bucket; reported per language with kept_ppm.
+    *
+    * Scale: decode + both gates are one codegen'd projection; dedup
+    * ranks within sha over pairs that survived the gates (window keys
+    * are content hashes — high cardinality, no skew); the collapse is a
+    * |langs|-bounded agg. One corpus scan, one hash shuffle. */
+  def pairCuration(spark: SparkSession, dir: String): DataFrame =
+    pairCurationOf(Tables.documents(spark, dir))
+
+  /** [[pairCuration]] over any documents-shaped frame (spec entry). */
+  private[graft] def pairCurationOf(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val decoded = decode(docs
+      .withColumn("payload", encode(col("text"), "UTF-8"))
+      .withColumn("media_type", lit("text/plain")))
+      .withColumn("sha", sha2(col("payload"), 256))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .withColumn("stop_ok", expr(
+        """CAST(size(filter(split(lower(text), ' '), t -> t IN ('the','a','and'))) AS DOUBLE)
+           / size(split(text, ' ')) <= 0.4"""))
+      .withColumn("text_ok", col("n_tokens") >= 10 && col("stop_ok"))
+      .withColumn("image_ok", expr(
+        """decoded.width >= 64 AND decoded.height >= 64 AND
+           greatest(decoded.width, decoded.height) <=
+             4 * least(decoded.width, decoded.height)"""))
+    // rank only PASSING pairs within a sha (a failed pair sharing the
+    // hash must not displace the keeper): running count of passers
+    val rn = Window.partitionBy("sha").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    decoded
+      .withColumn("rn_pass",
+        sum(when(col("text_ok") && col("image_ok"), 1L).otherwise(0L)).over(rn))
+      .withColumn("disposition",
+        when(!col("text_ok"), lit("text_fail"))
+          .when(!col("image_ok"), lit("image_fail"))
+          .when(col("rn_pass") > 1, lit("dup"))
+          .otherwise(lit("kept")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("CAST(sum(CASE WHEN disposition = 'text_fail' THEN 1 ELSE 0 END) AS BIGINT)").as("n_text_fail"),
+        expr("CAST(sum(CASE WHEN disposition = 'image_fail' THEN 1 ELSE 0 END) AS BIGINT)").as("n_image_fail"),
+        expr("CAST(sum(CASE WHEN disposition = 'dup' THEN 1 ELSE 0 END) AS BIGINT)").as("n_dup"),
+        expr("CAST(sum(CASE WHEN disposition = 'kept' THEN 1 ELSE 0 END) AS BIGINT)").as("n_kept"))
+      .withColumn("kept_ppm", expr("n_kept * 1000000 div n_pairs"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pair_curation"  -> pairCuration _,
     "mm_binary_meta"    -> binaryMeta _,
     "mm_neardup_pairs"  -> byteNearDupPairs _,
     "mm_dedup_groups"   -> byteDedupGroups _,
@@ -243,6 +299,43 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5-branch decode, same gate expressions, same running
+    // passer count within sha256(text)
+    "mm_pair_curation" ->
+      """WITH b AS (SELECT doc_id, lang, text, md5(text) AS h,
+                           sha256(text) AS sha
+                    FROM documents),
+         dm AS (SELECT doc_id, lang, text, sha,
+                  16 + (CAST('0x' || substr(h, 1, 4) AS INTEGER) % 1024) AS width,
+                  16 + (CAST('0x' || substr(h, 5, 4) AS INTEGER) % 1024) AS height
+                FROM b),
+         g AS (SELECT doc_id, lang, sha,
+                 len(string_split(text, ' ')) >= 10 AND
+                 CAST(len(list_filter(string_split(lower(text), ' '),
+                      t -> t IN ('the','a','and'))) AS DOUBLE)
+                   / len(string_split(text, ' ')) <= 0.4 AS text_ok,
+                 width >= 64 AND height >= 64 AND
+                 greatest(width, height) <= 4 * least(width, height) AS image_ok
+               FROM dm),
+         r AS (SELECT doc_id, lang, text_ok, image_ok,
+                 SUM(CASE WHEN text_ok AND image_ok THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY sha ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rn_pass
+               FROM g),
+         d AS (SELECT lang,
+                 CASE WHEN NOT text_ok THEN 'text_fail'
+                      WHEN NOT image_ok THEN 'image_fail'
+                      WHEN rn_pass > 1 THEN 'dup'
+                      ELSE 'kept' END AS disposition
+               FROM r)
+         SELECT lang, count(*) AS n_pairs,
+                CAST(sum(CASE WHEN disposition = 'text_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_text_fail,
+                CAST(sum(CASE WHEN disposition = 'image_fail' THEN 1 ELSE 0 END) AS BIGINT) AS n_image_fail,
+                CAST(sum(CASE WHEN disposition = 'dup' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+                CAST(sum(CASE WHEN disposition = 'kept' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+                CAST(sum(CASE WHEN disposition = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+                  * 1000000 // count(*) AS kept_ppm
+         FROM d GROUP BY lang ORDER BY lang""",
     "mm_binary_meta" ->
       """SELECT doc_id,
            octet_length(encode(text)) AS n_bytes,

@@ -348,6 +348,59 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("audienceOverlapOf: exact Jaccard on a hand overlap") {
+    // u1 {click,view}, u2 {view}, u3 {click,view}: both=2, union=3
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "click", 1.0),
+      (2L, "2024-01-01 00:01:00", 1L, "view", 1.0),
+      (3L, "2024-01-01 00:02:00", 2L, "view", 1.0),
+      (4L, "2024-01-01 00:03:00", 3L, "click", 1.0),
+      (5L, "2024-01-01 00:04:00", 3L, "view", 1.0),
+      (6L, "2024-01-01 00:05:00", 3L, "view", 1.0))) // dup event, same set
+    val r = Aggregations.audienceOverlapOf(df).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[String]("type_a") === "click")
+    assert(r(0).getAs[String]("type_b") === "view")
+    assert(r(0).getAs[Long]("n_both") === 2L)
+    assert(r(0).getAs[Long]("n_a") === 2L && r(0).getAs[Long]("n_b") === 3L)
+    assert(r(0).getAs[Long]("jaccard_ppm") === 2000000L / 3L)
+  }
+
+  test("targetEncode on testdata: shrinkage lands between raw and global mean") {
+    val rows = Aggregations.targetEncode(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (raw, g, enc) = (r.getAs[Long]("raw_mean_cents"),
+        r.getAs[Long]("g_mean_cents"), r.getAs[Long]("encoded_cents"))
+      // encoded is a convex mix of raw and global (±1 cent floor slack)
+      assert(enc >= math.min(raw, g) - 1 && enc <= math.max(raw, g) + 1,
+        s"enc $enc outside [$raw, $g]")
+      assert(math.abs(enc - g) <= math.abs(raw - g) + 1)
+    }
+  }
+
+  test("pairCurationOf: dispositions partition the pairs; short text fails first") {
+    import spark.implicits._
+    // doc 10/11: identical long good text (sha dup candidates);
+    // doc 12: 3 tokens -> text_fail regardless of its image hash
+    val good = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, good, "en", "w", 0L), (11L, good, "en", "w", 0L),
+      (12L, "too short text", "en", "w", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = Multimodal.pairCurationOf(docs).collect()
+    assert(r.length === 1)
+    val row = r(0)
+    val parts = Seq("n_text_fail", "n_image_fail", "n_dup", "n_kept")
+      .map(row.getAs[Long](_))
+    assert(parts.sum === row.getAs[Long]("n_pairs") && row.getAs[Long]("n_pairs") === 3L)
+    assert(row.getAs[Long]("n_text_fail") === 1L)
+    // the twin good docs land together: both pass image (then 1 kept +
+    // 1 dup) or both fail it (2 image_fail) — never split
+    assert((row.getAs[Long]("n_kept") === 1L && row.getAs[Long]("n_dup") === 1L)
+      || row.getAs[Long]("n_image_fail") === 2L)
+  }
+
   test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
