@@ -1040,7 +1040,44 @@ object Aggregations {
       .orderBy("c_nationkey")
   }
 
+  /** WINSORIZED MEAN — the robust-mean companion to the outlier gates:
+    * order totals clamped at the EXACT p1/p99 dictionary percentiles
+    * (the cross-multiplied ordinal rule — smallest value whose
+    * cumulative count·100 ≥ n·p), then the mean over clamped values.
+    * Reported against the raw mean so the tail influence is the visible
+    * delta. All integer cents, floored divisions.
+    *
+    * Scale: the percentile pass runs on the distinct-cents dictionary
+    * (count-of-counts — no corpus sort), the two bounds BROADCAST as a
+    * 1-row stat, and the clamped mean is one more partial+final agg.
+    * Two scans of the fact column total. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame =
+    winsorizeOf(Tables.orders(spark, dir)
+      .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents")))
+
+  /** [[winsorize]] over any 1-column (`cents`) frame (spec entry). */
+  private[graft] def winsorizeOf(vals: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dict = vals.groupBy("cents").agg(count(lit(1)).as("c"))
+    val run = Window.orderBy("cents")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = dict.agg(expr("CAST(sum(c) AS BIGINT)").as("n"))
+    val bounds = dict.withColumn("cum", sum(col("c")).over(run))
+      .crossJoin(broadcast(tot))
+      .groupBy("n")
+      .agg(expr("CAST(min(CASE WHEN cum * 100 >= n * 1 THEN cents END) AS BIGINT)").as("p01_cents"),
+        expr("CAST(min(CASE WHEN cum * 100 >= n * 99 THEN cents END) AS BIGINT)").as("p99_cents"))
+    vals.crossJoin(broadcast(bounds))
+      .select(col("n"), col("p01_cents"), col("p99_cents"), col("cents"),
+        expr("greatest(p01_cents, least(p99_cents, cents))").as("w"))
+      .groupBy("n", "p01_cents", "p99_cents")
+      .agg(expr("CAST(sum(cents) AS BIGINT) div count(1)").as("mean_cents"),
+        expr("CAST(sum(w) AS BIGINT) div count(1)").as("winsorized_mean_cents"))
+      .select("n", "p01_cents", "p99_cents", "mean_cents", "winsorized_mean_cents")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_winsorize"           -> winsorize _,
     "agg_audience_overlap"    -> audienceOverlap _,
     "agg_target_encode"       -> ((s: SparkSession, d: String) => targetEncode(s, d)),
     "agg_ks_test"             -> ksTest _,
@@ -1080,6 +1117,25 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same dictionary percentile rule, same clamp, same floored means
+    "agg_winsorize" ->
+      """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+                    FROM orders),
+         dict AS (SELECT cents, count(*) AS c FROM v GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM dict),
+         cum AS (SELECT cents, c,
+                   CAST(SUM(c) OVER (ORDER BY cents
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                 FROM dict),
+         b AS (SELECT t.n,
+                 CAST(min(CASE WHEN cum.cum * 100 >= t.n * 1 THEN cum.cents END) AS BIGINT) AS p01_cents,
+                 CAST(min(CASE WHEN cum.cum * 100 >= t.n * 99 THEN cum.cents END) AS BIGINT) AS p99_cents
+               FROM cum, t GROUP BY t.n)
+         SELECT b.n, b.p01_cents, b.p99_cents,
+                CAST(sum(v.cents) AS BIGINT) // count(*) AS mean_cents,
+                CAST(sum(greatest(b.p01_cents, least(b.p99_cents, v.cents))) AS BIGINT)
+                  // count(*) AS winsorized_mean_cents
+         FROM v, b GROUP BY b.n, b.p01_cents, b.p99_cents""",
     // same distinct (user,type) pass, same in-order pair derivation
     // (a < b lexicographically), same inclusion-exclusion ppm
     "agg_audience_overlap" ->

@@ -1274,7 +1274,44 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** CLUSTER TOPIC LABELS — what each IVF cell is ABOUT: member
+    * documents' tokens ranked per cell by the tf·icf score (term count
+    * in the cell ÷ number of cells containing the term — the
+    * [[graft.functions.TextAnalysis.tfidfKeywords]] rarity ratio at
+    * cell granularity), top-3 per cell with the lexicographic
+    * tie-break. The human-readable face of the embedding clustering:
+    * SemDeDup/IVF cells stop being opaque ids and get topic labels —
+    * the cross-modal join the engine's 1:1 doc/vector ids exist for.
+    *
+    * Scale: assignment is the literal-centroid projection; tokens
+    * aggregate per (cell, token) in one shuffle, the cell-frequency
+    * dictionary is |vocab|-bounded and joins back on the token key, and
+    * the per-cell window ranks ≤|vocab| rows per cell. */
+  def clusterTopics(spark: SparkSession, dir: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
+    val cells = assignCells(Tables.embeddings(spark, dir), centsLit)
+      .select(col("vec_id"), col("cell"))
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(expr("filter(split(lower(text), ' '), x -> length(x) > 0)")).as("token"))
+      .join(cells, col("doc_id") === col("vec_id"))
+      .groupBy("cell", "token")
+      .agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("token")
+      .agg(count(lit(1)).as("n_cells_with"))
+    val w = Window.partitionBy("cell")
+      .orderBy(col("score_ppm").desc, col("token").asc)
+    tf.join(cf, Seq("token"))
+      .withColumn("score_ppm", expr("tf * 1000000 div n_cells_with"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select("cell", "rank", "token", "tf", "n_cells_with", "score_ppm")
+      .orderBy("cell", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_cluster_topics" -> ((s: SparkSession, d: String) => clusterTopics(s, d)),
     "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
     "sim_recall_curve"   -> ((s: SparkSession, d: String) => recallCurve(s, d)),
     "sim_kmeans_inertia" -> ((s: SparkSession, d: String) => kmeansInertia(s, d)),
@@ -1647,6 +1684,26 @@ object Similarity {
          ORDER BY q.q_id""",
     "sim_mmr_rerank" -> mmrOracle(),
     "sim_kmeans_inertia" -> kmeansInertiaOracle(),
+    // same fit replay + assignment, same tf·icf ratio and per-cell
+    // (score desc, token asc) top-3
+    "sim_cluster_topics" -> s"""${ivfFitCtes()}
+         tok AS (SELECT d.doc_id,
+                   unnest(list_filter(string_split(lower(d.text), ' '),
+                                      x -> len(x) > 0)) AS token
+                 FROM documents d),
+         tf AS (SELECT a.cell, t.token, CAST(count(*) AS BIGINT) AS tf
+                FROM tok t JOIN assigned a ON t.doc_id = a.vec_id
+                GROUP BY 1, 2),
+         cf AS (SELECT token, CAST(count(*) AS BIGINT) AS n_cells_with
+                FROM tf GROUP BY 1),
+         sc2 AS (SELECT tf.cell, tf.token, tf.tf, cf.n_cells_with,
+                   tf.tf * 1000000 // cf.n_cells_with AS score_ppm,
+                   CAST(row_number() OVER (PARTITION BY tf.cell
+                     ORDER BY tf.tf * 1000000 // cf.n_cells_with DESC,
+                              tf.token ASC) AS BIGINT) AS rank
+                 FROM tf JOIN cf ON tf.token = cf.token)
+         SELECT cell, rank, token, tf, n_cells_with, score_ppm
+         FROM sc2 WHERE rank <= 3 ORDER BY cell, rank""",
     // same fit replay, same exact integer tau predicate per centroid,
     // same per-label collapse
     "sim_ood_rate" -> s"""${ivfFitCtes()}

@@ -911,7 +911,43 @@ object Windows {
       .select("n_converted", "p50_s", "p90_s", "max_s")
   }
 
+  /** USER SURVIVAL CURVE — what fraction of users are still active k
+    * days after their first appearance (k = 0..14), the lifetime
+    * summary behind every churn model: per user the observed activity
+    * SPAN (last day − first day), then survival@k = |span ≥ k| / n in
+    * integer ppm. The curve complements `agg_retention_cohorts` (which
+    * slices by signup month); this is the population-level monotone
+    * decay. All integer; span dictionary keeps the per-k expansion off
+    * the user table.
+    *
+    * Scale: one per-user min/max collapse (partial+final), a
+    * |distinct spans|-bounded dictionary, and a 15-element map-side
+    * explode over it. No window over users, no per-k rescans. */
+  def survivalCurve(spark: SparkSession, dir: String, maxK: Int = 14): DataFrame =
+    survivalCurveOf(Tables.events(spark, dir), maxK)
+
+  /** [[survivalCurve]] over any events-shaped frame (spec entry). */
+  private[graft] def survivalCurveOf(events: DataFrame, maxK: Int = 14): DataFrame = {
+    val dict = events
+      .groupBy("user_id")
+      .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
+      .select(expr("CAST(datediff(d1, d0) AS BIGINT)").as("span"))
+      .groupBy("span").agg(count(lit(1)).as("c"))
+    val tot = dict.agg(expr("CAST(sum(c) AS BIGINT)").as("n_users"))
+    dict
+      .select(explode(sequence(lit(0), lit(maxK))).as("k"),
+        col("span"), col("c"))
+      .groupBy("k")
+      .agg(expr("CAST(sum(CASE WHEN span >= k THEN c ELSE 0 END) AS BIGINT)")
+        .as("n_surviving"))
+      .crossJoin(broadcast(tot))
+      .select(col("k").cast("long").as("k"), col("n_users"), col("n_surviving"),
+        expr("n_surviving * 1000000 div n_users").as("survival_ppm"))
+      .orderBy("k")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_survival_curve"     -> ((s: SparkSession, d: String) => survivalCurve(s, d)),
     "win_time_to_convert"    -> timeToConvert _,
     "win_autocorr"           -> ((s: SparkSession, d: String) => autocorrDaily(s, d)),
     "win_max_drawdown"       -> maxDrawdown _,
@@ -946,6 +982,21 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same span dictionary, same k-explosion and ppm
+    "win_survival_curve" ->
+      """WITH u AS (SELECT user_id,
+                      min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+                    FROM events GROUP BY 1),
+         dict AS (SELECT CAST(date_diff('day', d0, d1) AS BIGINT) AS span,
+                         count(*) AS c
+                  FROM u GROUP BY 1),
+         t AS (SELECT CAST(sum(c) AS BIGINT) AS n_users FROM dict),
+         ks AS (SELECT unnest(range(0, 15)) AS k)
+         SELECT CAST(ks.k AS BIGINT) AS k, t.n_users,
+                CAST(sum(CASE WHEN dict.span >= ks.k THEN dict.c ELSE 0 END) AS BIGINT) AS n_surviving,
+                CAST(sum(CASE WHEN dict.span >= ks.k THEN dict.c ELSE 0 END) AS BIGINT)
+                  * 1000000 // t.n_users AS survival_ppm
+         FROM ks, dict, t GROUP BY ks.k, t.n_users ORDER BY k""",
     // same first-view/first-after-purchase derivation, same dictionary
     // percentile rule (cum*100 >= n*p)
     "win_time_to_convert" ->

@@ -401,6 +401,45 @@ class Round9OpsSpec extends AnyFunSuite {
       || row.getAs[Long]("n_image_fail") === 2L)
   }
 
+  test("survivalCurveOf: step decay at the observed spans") {
+    // spans: u1 = 0 days, u2 = 5 days, u3 = 14 days
+    val df = eventsDf(Seq(
+      (1L, "2024-01-01 00:00:00", 1L, "view", 1.0),
+      (2L, "2024-01-01 00:00:00", 2L, "view", 1.0),
+      (3L, "2024-01-06 00:00:00", 2L, "view", 1.0),
+      (4L, "2024-01-01 00:00:00", 3L, "view", 1.0),
+      (5L, "2024-01-15 00:00:00", 3L, "view", 1.0)))
+    val r = Windows.survivalCurveOf(df).collect()
+      .map(x => x.getAs[Long]("k") -> x.getAs[Long]("n_surviving")).toMap
+    assert(r(0L) === 3L)
+    assert((1L to 5L).forall(r(_) === 2L))
+    assert((6L to 14L).forall(r(_) === 1L))
+  }
+
+  test("winsorizeOf: one outlier moves the raw mean, not the winsorized one") {
+    import spark.implicits._
+    val vals = ((1L to 99L) :+ 10000L).toDF("cents")
+    val r = Aggregations.winsorizeOf(vals).collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("p01_cents") === 1L)
+    assert(r(0).getAs[Long]("p99_cents") === 99L)
+    assert(r(0).getAs[Long]("mean_cents") === 149L)       // (4950+10000)/100
+    assert(r(0).getAs[Long]("winsorized_mean_cents") === 50L) // (4950+99)/100
+  }
+
+  test("clusterTopics on testdata: ranked 1..3 per cell, score matches ratio") {
+    val rows = Similarity.clusterTopics(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("cell")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.toSeq ===
+        (1L to rs.length).toSeq)
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("score_ppm") ===
+        r.getAs[Long]("tf") * 1000000L / r.getAs[Long]("n_cells_with"))
+    }
+  }
+
   test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
