@@ -1076,7 +1076,44 @@ object Aggregations {
       .select("n", "p01_cents", "p99_cents", "mean_cents", "winsorized_mean_cents")
   }
 
+  /** LARGEST-REMAINDER BUDGET ALLOCATION — proration done EXACTLY: a
+    * fixed budget (10⁶ units) split across nations proportional to
+    * order revenue, floor shares first, then the leftover units go to
+    * the largest fractional remainders (ties → lower nation key) — the
+    * Hamilton-method rule every finance/capacity allocator implements,
+    * and gets wrong with floats. Everything is BIGINT: floor =
+    * B·rev div R, remainder = B·rev mod R, and Σ alloc = B by
+    * construction. Revenue in whole currency units so B·rev holds in
+    * BIGINT to ~10¹²-unit totals.
+    *
+    * Scale: one broadcast-dim join + partial+final agg to the
+    * |nations|-row table; the ranking windows run on that tiny table.
+    * The allocation table then broadcasts wherever quotas are
+    * enforced. */
+  def allocBudget(spark: SparkSession, dir: String, budget: Long = 1000000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(expr("CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT)").as("rev"))
+    val tot = rev.agg(expr("CAST(sum(rev) AS BIGINT)").as("r_total"))
+    val byRem = Window.orderBy(col("rem").desc, col("c_nationkey").asc)
+    val all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    rev.crossJoin(broadcast(tot))
+      .withColumn("fl", expr(s"(${budget}L * rev) div r_total"))
+      .withColumn("rem", expr(s"(${budget}L * rev) % r_total"))
+      .withColumn("rnk", row_number().over(byRem).cast("long"))
+      .withColumn("leftover", lit(budget) - sum(col("fl")).over(all))
+      .withColumn("alloc_units",
+        col("fl") + when(col("rnk") <= col("leftover"), 1L).otherwise(0L))
+      .select("c_nationkey", "rev", "fl", "rem", "alloc_units")
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_alloc_budget"        -> ((s: SparkSession, d: String) => allocBudget(s, d)),
     "agg_winsorize"           -> winsorize _,
     "agg_audience_overlap"    -> audienceOverlap _,
     "agg_target_encode"       -> ((s: SparkSession, d: String) => targetEncode(s, d)),
@@ -1117,6 +1154,26 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same floor/mod split of B*rev, same (rem desc, key) leftover
+    // hand-out
+    "agg_alloc_budget" ->
+      """WITH rev AS (
+           SELECT c.c_nationkey,
+                  CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(rev) AS BIGINT) AS r_total FROM rev),
+         s AS (SELECT rev.c_nationkey, rev.rev,
+                 (1000000 * rev.rev) // t.r_total AS fl,
+                 (1000000 * rev.rev) % t.r_total AS rem
+               FROM rev, t),
+         r AS (SELECT c_nationkey, rev, fl, rem,
+                 CAST(row_number() OVER (ORDER BY rem DESC, c_nationkey ASC) AS BIGINT) AS rnk,
+                 1000000 - CAST(SUM(fl) OVER () AS BIGINT) AS leftover
+               FROM s)
+         SELECT c_nationkey, rev, fl, rem,
+                fl + CASE WHEN rnk <= leftover THEN 1 ELSE 0 END AS alloc_units
+         FROM r ORDER BY c_nationkey""",
     // same dictionary percentile rule, same clamp, same floored means
     "agg_winsorize" ->
       """WITH v AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents

@@ -946,7 +946,76 @@ object Windows {
       .orderBy("k")
   }
 
+  /** TOP USER PATHS — the behavior-flow report: each user's first 6
+    * event types in (ts, event_id) order joined into a path string
+    * ('view>click>purchase…'), ranked by how many users walk it, with
+    * the converting share (paths containing a purchase) alongside. The
+    * path-analysis staple between per-step transitions
+    * ([[eventTransitions]]) and stage counts ([[funnelStages]]): those
+    * lose ORDER BEYOND one step, this keeps the prefix sequence.
+    *
+    * Scale: one hash shuffle on user_id; the per-user fold is a bounded
+    * sorted collect (≤ the user's events, truncated to 6) inside the
+    * agg; path counting is a second partial+final agg on the path
+    * string; top-20 is TakeOrderedAndProject. */
+  def pathTopK(spark: SparkSession, dir: String,
+               prefixLen: Int = 6, k: Int = 20): DataFrame =
+    pathTopKOf(Tables.events(spark, dir), prefixLen, k)
+
+  /** [[pathTopK]] over any events-shaped frame (spec entry). */
+  private[graft] def pathTopKOf(events: DataFrame,
+                                prefixLen: Int = 6, k: Int = 20): DataFrame =
+    events
+      .groupBy("user_id")
+      .agg(expr(
+        s"""concat_ws('>', slice(transform(
+              array_sort(collect_list(struct(ts, event_id, event_type)),
+                (l, r) -> CASE WHEN l.ts < r.ts THEN -1 WHEN l.ts > r.ts THEN 1
+                               WHEN l.event_id < r.event_id THEN -1
+                               WHEN l.event_id > r.event_id THEN 1 ELSE 0 END),
+              s -> s.event_type), 1, $prefixLen))""").as("path"),
+        // conversion reads the user's FULL history, not the truncated prefix
+        expr("CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("conv"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_users"),
+        expr("CAST(sum(conv) AS BIGINT)").as("n_converted"))
+      .withColumn("conv_ppm", expr("n_converted * 1000000 div n_users"))
+      .orderBy(col("n_users").desc, col("path").asc)
+      .limit(k)
+
+  /** LOCAL PEAK DETECTION in the daily revenue series — days strictly
+    * above BOTH neighbors (the discrete local-maximum rule every
+    * spike-triage dashboard starts from; [[anomalySpikes]] flags
+    * deviation from a trailing mean, this finds the turning points
+    * themselves). Boundary days (no neighbor on one side) can't be
+    * peaks. Top-10 by height, ties → earlier day. All integer cents.
+    *
+    * Scale: the lag/lead window runs over the |days|-bounded daily
+    * aggregate, never events; the top-10 is TakeOrderedAndProject. */
+  def peakDetection(spark: SparkSession, dir: String, k: Int = 10): DataFrame =
+    peakDetectionOf(Tables.events(spark, dir), k)
+
+  /** [[peakDetection]] over any events-shaped frame (spec entry). */
+  private[graft] def peakDetectionOf(events: DataFrame, k: Int = 10): DataFrame = {
+    val byDay = Window.orderBy("d")
+    events
+      .select(to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("d").agg(expr("CAST(sum(cents) AS BIGINT)").as("v"))
+      .withColumn("prev_cents", lag(col("v"), 1).over(byDay))
+      .withColumn("next_cents", lead(col("v"), 1).over(byDay))
+      .filter(col("prev_cents").isNotNull && col("next_cents").isNotNull &&
+        col("v") > col("prev_cents") && col("v") > col("next_cents"))
+      .select(col("d"), col("v").as("peak_cents"),
+        col("prev_cents"), col("next_cents"))
+      .orderBy(col("peak_cents").desc, col("d").asc)
+      .limit(k)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_peak_detection"     -> ((s: SparkSession, d: String) => peakDetection(s, d)),
+    "win_path_topk"          -> ((s: SparkSession, d: String) => pathTopK(s, d)),
     "win_survival_curve"     -> ((s: SparkSession, d: String) => survivalCurve(s, d)),
     "win_time_to_convert"    -> timeToConvert _,
     "win_autocorr"           -> ((s: SparkSession, d: String) => autocorrDaily(s, d)),
@@ -982,6 +1051,36 @@ object Windows {
   )
 
   val oracles: Map[String, String] = Map(
+    // same daily collapse, same strict both-neighbor rule, same
+    // (height desc, day) top-10
+    "win_peak_detection" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         l AS (SELECT d, v,
+                 lag(v) OVER (ORDER BY d) AS prev_cents,
+                 lead(v) OVER (ORDER BY d) AS next_cents
+               FROM daily)
+         SELECT d, v AS peak_cents, prev_cents, next_cents
+         FROM l
+         WHERE prev_cents IS NOT NULL AND next_cents IS NOT NULL
+           AND v > prev_cents AND v > next_cents
+         ORDER BY peak_cents DESC, d ASC LIMIT 10""",
+    // same (ts, event_id)-ordered prefix join, same full-history
+    // conversion flag, same (users desc, path) top-20
+    "win_path_topk" ->
+      """WITH u AS (
+           SELECT user_id,
+                  array_to_string((list(event_type ORDER BY ts, event_id))[1:6], '>') AS path,
+                  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+           FROM events GROUP BY user_id),
+         p AS (SELECT path, count(*) AS n_users,
+                      CAST(sum(conv) AS BIGINT) AS n_converted
+               FROM u GROUP BY path)
+         SELECT path, n_users, n_converted,
+                n_converted * 1000000 // n_users AS conv_ppm
+         FROM p ORDER BY n_users DESC, path ASC LIMIT 20""",
     // same span dictionary, same k-explosion and ppm
     "win_survival_curve" ->
       """WITH u AS (SELECT user_id,
