@@ -636,7 +636,56 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** HELD-OUT LM SCORING — the eval-hygiene twin of
+    * [[bigramLmScore]] (which fits and scores on the same corpus): the
+    * bigram model fits on the TRAIN split only, then every split scores
+    * under that frozen model with Laplace smoothing
+    * ((c2+1)·10⁶ div (c1+V), V = train vocab size) so unseen bigrams
+    * and OOV contexts get finite, consistent mass instead of silently
+    * dropping out of the join. The train-vs-heldout score gap is the
+    * memorization signal a perplexity-filter deployment must calibrate
+    * on heldout data — filtering by train-fit scores overfits.
+    *
+    * Scale: one corpus scan builds the split-tagged bigram stream; the
+    * model is two vocabulary-bounded aggregates LEFT-joined back on
+    * token keys; V is a 1-row broadcast. Same shapes as the parent op
+    * plus the split tag. */
+  def heldoutPpl(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .withColumn("bucket", expr(
+        "pmod(cast(conv(substring(md5(cast(doc_id as string)), 1, 8), 16, 10) as bigint), 100)"))
+      .withColumn("split",
+        when(col("bucket") < 90, lit("train"))
+          .when(col("bucket") < 95, lit("val"))
+          .otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        expr("filter(split(lower(text), ' '), x -> length(x) > 0)").as("t"))
+    val bigrams = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("split"), explode(expr(
+        "transform(sequence(0, size(t) - 2), i -> named_struct('w1', t[i], 'w2', t[i + 1]))")).as("bg"))
+      .select(col("doc_id"), col("split"),
+        col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val trainUni = toks.filter(col("split") === "train")
+      .select(explode(col("t")).as("w1"))
+      .groupBy("w1").agg(count(lit(1)).as("c1"))
+    val trainBg = bigrams.filter(col("split") === "train")
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val v = trainUni.agg(count(lit(1)).as("vsize"))
+    bigrams
+      .join(trainBg, Seq("w1", "w2"), "left")
+      .join(trainUni, Seq("w1"), "left")
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"), col("split"),
+        expr("(coalesce(c2, 0) + 1) * 1000000 div (coalesce(c1, 0) + vsize)").as("ppm"))
+      .groupBy("split")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_bigrams"),
+        expr("CAST(sum(ppm) div count(1) AS BIGINT)").as("mean_ppm"))
+      .orderBy("split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_heldout_ppl"      -> heldoutPpl _,
     "ta_pmi_cooccur"      -> ((s: SparkSession, d: String) => pmiCooccur(s, d)),
     "ta_bpe_merges"       -> bpeMerges _,
     "ta_bpe_encode"       -> bpeEncode _,
@@ -713,6 +762,39 @@ object CorpusOps {
        GROUP BY 1 ORDER BY 1"""
 
   val oracles: Map[String, String] = Map(
+    // same md5 split, same train-only model with Laplace (c2+1)/(c1+V),
+    // same per-split collapse
+    "ta_heldout_ppl" ->
+      """WITH d AS (
+           SELECT doc_id, text,
+                  list_reduce([strpos('0123456789abcdef', c) - 1
+                               FOR c IN string_split(substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), '')],
+                              (a, v) -> a * 16 + v) % 100 AS bucket
+           FROM documents),
+         s AS (SELECT doc_id,
+                 CASE WHEN bucket < 90 THEN 'train'
+                      WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+                 list_filter(string_split(lower(text), ' '), x -> len(x) > 0) AS t
+               FROM d),
+         bg AS (SELECT doc_id, split, t[i] AS w1, t[i+1] AS w2
+                FROM (SELECT doc_id, split, t, unnest(range(1, len(t))) AS i
+                      FROM s WHERE len(t) >= 2)),
+         uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1
+                 FROM (SELECT unnest(t) AS w1 FROM s WHERE split = 'train')
+                 GROUP BY 1),
+         m AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+               FROM bg WHERE split = 'train' GROUP BY 1, 2),
+         v AS (SELECT CAST(count(*) AS BIGINT) AS vsize FROM uni),
+         sc AS (SELECT bg.doc_id, bg.split,
+                  (coalesce(m.c2, 0) + 1) * 1000000
+                    // (coalesce(uni.c1, 0) + v.vsize) AS ppm
+                FROM bg
+                LEFT JOIN m ON bg.w1 = m.w1 AND bg.w2 = m.w2
+                LEFT JOIN uni ON bg.w1 = uni.w1, v)
+         SELECT split, count(DISTINCT doc_id) AS n_docs,
+                count(*) AS n_bigrams,
+                CAST(sum(ppm) // count(*) AS BIGINT) AS mean_ppm
+         FROM sc GROUP BY split ORDER BY split""",
     // same per-doc distinct tokens, same (df desc, t) top-64 vocabulary,
     // same ppm lift and (lift desc, a, b) top-30
     "ta_pmi_cooccur" ->

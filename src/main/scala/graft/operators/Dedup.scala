@@ -913,6 +913,32 @@ object Dedup {
     summarizeKeepSet(Tables.documents(spark, dir),
       groupsTable(spark, dir))
 
+  /** DEDUP SELECTION-BIAS AUDIT — does the keep-set skew the corpus?
+    * Near-dedup preferentially removes boilerplate-heavy and templated
+    * documents, which silently shifts the surviving length/content
+    * distribution; this compares the kept vs dropped cohorts' document
+    * lengths (count, floored mean, min/max) in one result so the shift
+    * is visible before training on the survivors. Composes the shared
+    * group-label machinery ([[groupsTable]]) — the audit costs one
+    * extra |docs|-row join over what dedup already computed.
+    *
+    * Scale: the groups table is the persisted label index; the audit
+    * is one join + a 2-row collapse. */
+  def dedupBiasAudit(spark: SparkSession, dir: String): DataFrame =
+    dedupBiasAuditOf(Tables.documents(spark, dir), groupsTable(spark, dir))
+
+  /** [[dedupBiasAudit]] over any docs + groups frames (spec entry). */
+  private[graft] def dedupBiasAuditOf(docs: DataFrame, groups: DataFrame): DataFrame =
+    docs.join(groups.select("doc_id", "is_canonical"), Seq("doc_id"))
+      .withColumn("cohort",
+        when(col("is_canonical"), lit("kept")).otherwise(lit("dropped")))
+      .groupBy("cohort")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("CAST(sum(n_chars) AS BIGINT) div count(1)").as("mean_chars"),
+        expr("CAST(min(n_chars) AS BIGINT)").as("min_chars"),
+        expr("CAST(max(n_chars) AS BIGINT)").as("max_chars"))
+      .orderBy("cohort")
+
   /** [[dedupCorpusSummary]] over any (doc_id, text, lang, n_chars)
     * frame (spec entry point — derives the pair graph inline). */
   def dedupCorpusSummaryOf(docs: DataFrame): DataFrame =
@@ -1036,6 +1062,7 @@ object Dedup {
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
     "dd_dedup_groups"        -> dedupGroups _,
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
+    "dd_dedup_bias_audit"    -> dedupBiasAudit _,
     "dd_paragraph_dedup"     -> paragraphDedup _,
     "dd_span_dedup"          -> spanDedup _,
     "dd_span_dedup_persisted" -> spanDedupPersisted _,
@@ -1287,6 +1314,16 @@ object Dedup {
     "dd_span_dedup" -> spanDedupOracleSql,
     // identical semantics served from the persisted matched-span index
     "dd_span_dedup_persisted" -> spanDedupOracleSql,
+    // same group walk; cohorts split on doc_id = group_id
+    "dd_dedup_bias_audit" ->
+      s"""$dedupGroupsCtes
+         SELECT CASE WHEN g.doc_id = g.group_id THEN 'kept' ELSE 'dropped' END AS cohort,
+                count(*) AS n_docs,
+                CAST(sum(d.n_chars) AS BIGINT) // count(*) AS mean_chars,
+                CAST(min(d.n_chars) AS BIGINT) AS min_chars,
+                CAST(max(d.n_chars) AS BIGINT) AS max_chars
+         FROM g JOIN documents d ON g.doc_id = d.doc_id
+         GROUP BY 1 ORDER BY cohort""",
     "dd_dedup_corpus" ->
       s"""$dedupGroupsCtes
          SELECT d.lang, count(*) AS n_docs,

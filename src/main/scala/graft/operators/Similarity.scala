@@ -1310,7 +1310,39 @@ object Similarity {
       .orderBy("cell", "rank")
   }
 
+  /** FILTERED VECTOR SEARCH — top-k under a metadata predicate (here:
+    * same label as the query), the "filtered ANN" mode every vector
+    * store ships because plain top-k + post-filter silently returns
+    * FEWER than k when neighbors fail the predicate. Semantics are
+    * PRE-FILTER: the predicate restricts the candidate set before
+    * ranking, so the result is the exact top-k of the filtered corpus.
+    * Same pinned quantized cosine, (cos desc, vec_id) ties.
+    *
+    * Scale: the predicate joins the broadcast probe slab (label
+    * equality folded into the join condition — candidates never
+    * materialize for non-matching labels), then the bounded typed
+    * top-k. With a cell index the same predicate composes with cell
+    * pruning; the brute-force form here is the correctness contract. */
+  def annFiltered(spark: SparkSession, dir: String,
+                  probeBound: Long = 10L, k: Int = 5): DataFrame = {
+    import graft.functions.TopKByScore
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("na", quantNormSq(col("embedding")))
+    val probes = e.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("embedding").as("qe"), col("na").as("qna"))
+    val scored = e.join(broadcast(probes),
+        col("vec_id") =!= col("q_id") && col("label") === col("q_label"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+    TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"),
+        col("score").as("cos"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_ann_filtered"   -> ((s: SparkSession, d: String) => annFiltered(s, d)),
     "sim_cluster_topics" -> ((s: SparkSession, d: String) => clusterTopics(s, d)),
     "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
     "sim_recall_curve"   -> ((s: SparkSession, d: String) => recallCurve(s, d)),
@@ -1684,6 +1716,32 @@ object Similarity {
          ORDER BY q.q_id""",
     "sim_mmr_rerank" -> mmrOracle(),
     "sim_kmeans_inertia" -> kmeansInertiaOracle(),
+    // same label-equality pre-filter inside the probe join, same
+    // (cos desc, vec_id) per-query top-5
+    "sim_ann_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qe
+                    FROM embeddings WHERE vec_id < 10),
+         p AS (SELECT e.vec_id, q.q_id,
+                 unnest(e.embedding) AS x, unnest(q.qe) AS y
+               FROM embeddings e JOIN q
+                 ON e.vec_id <> q.q_id AND e.label = q.q_label),
+         d AS (SELECT q_id, vec_id,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                 SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                 SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                   * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+               FROM p GROUP BY 1, 2),
+         s AS (SELECT q_id, vec_id,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM d),
+         r AS (SELECT q_id, vec_id, cos,
+                 row_number() OVER (PARTITION BY q_id
+                   ORDER BY cos DESC, vec_id ASC) AS rnk
+               FROM s)
+         SELECT q_id, rnk, vec_id, cos FROM r WHERE rnk <= 5
+         ORDER BY q_id, rnk""",
     // same fit replay + assignment, same tf·icf ratio and per-cell
     // (score desc, token asc) top-3
     "sim_cluster_topics" -> s"""${ivfFitCtes()}

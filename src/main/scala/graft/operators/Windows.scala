@@ -933,14 +933,15 @@ object Windows {
       .agg(min(to_date(col("ts"))).as("d0"), max(to_date(col("ts"))).as("d1"))
       .select(expr("CAST(datediff(d1, d0) AS BIGINT)").as("span"))
       .groupBy("span").agg(count(lit(1)).as("c"))
-    val tot = dict.agg(expr("CAST(sum(c) AS BIGINT)").as("n_users"))
+    // every k row sees the whole dictionary, so the unconditional sum IS
+    // the user total — no second scan/branch for the denominator
     dict
       .select(explode(sequence(lit(0), lit(maxK))).as("k"),
         col("span"), col("c"))
       .groupBy("k")
-      .agg(expr("CAST(sum(CASE WHEN span >= k THEN c ELSE 0 END) AS BIGINT)")
-        .as("n_surviving"))
-      .crossJoin(broadcast(tot))
+      .agg(expr("CAST(sum(c) AS BIGINT)").as("n_users"),
+        expr("CAST(sum(CASE WHEN span >= k THEN c ELSE 0 END) AS BIGINT)")
+          .as("n_surviving"))
       .select(col("k").cast("long").as("k"), col("n_users"), col("n_surviving"),
         expr("n_surviving * 1000000 div n_users").as("survival_ppm"))
       .orderBy("k")

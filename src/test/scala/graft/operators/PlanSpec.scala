@@ -639,4 +639,52 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.contains("Scan ExistingRDD"),
       s"expected checkpointed vocab scans:\n${plan.take(3000)}")
   }
+
+  test("auc rank: the running-negatives window sorts the score DICTIONARY " +
+       "(window above the dict aggregate), never the corpus") {
+    val plan = planOf(Aggregations.aucRank(spark, dir))
+    // parent-first printing: BELOW the window (later in the string)
+    // there must be a HashAggregate — the (grp, score) dictionary — so
+    // the window never sorts raw document rows
+    val wIdx = plan.indexOf("Window [")
+    assert(wIdx >= 0, s"expected a window:\n${plan.take(3000)}")
+    assert(plan.indexOf("HashAggregate", wIdx) > 0,
+      s"window must consume the dictionary agg:\n${plan.take(3000)}")
+  }
+
+  test("ood rate: literal-centroid projection — no join anywhere, the only " +
+       "hash exchange is the per-label collapse") {
+    val plan = planOf(Similarity.oodRate(spark, dir))
+    assert(!plan.contains("Join"), s"assignment must be a projection:\n${plan.take(3000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected 1 hash exchange (label agg), got $exchanges:\n${plan.take(3000)}")
+  }
+
+  test("max drawdown: one user-key exchange feeds both running frames and " +
+       "the collapse; top-20 is TakeOrdered, not a global sort") {
+    val plan = planOf(Windows.maxDrawdown(spark, dir))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"windows and agg must share the user shuffle, got $exchanges:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"limit must be TakeOrdered:\n${plan.take(3000)}")
+  }
+
+  test("audience overlap: in-array pair derivation — no fact-side " +
+       "SortMergeJoin, per-type totals broadcast onto the pair table") {
+    val plan = planOf(Aggregations.audienceOverlap(spark, dir))
+    assert(!plan.contains("SortMergeJoin"),
+      s"pairs must come from the in-array explode:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"per-type totals must broadcast:\n${plan.take(3000)}")
+  }
+
+  test("survival curve: per-k expansion explodes the span dictionary — " +
+       "events are aggregated once, no per-k rescans") {
+    val plan = planOf(Windows.survivalCurve(spark, dir))
+    assert("events\\.parquet".r.findAllIn(plan).length <= 1,
+      s"events must be scanned once:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), "unexpected cartesian")
+  }
 }

@@ -490,6 +490,47 @@ class Round9OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedupBiasAuditOf: cohorts split on the canonical flag") {
+    import spark.implicits._
+    val docs = Seq((1L, "a", "en", "w", 100L), (2L, "a", "en", "w", 40L),
+      (3L, "b", "en", "w", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val groups = Seq((1L, 1L, 2L, true), (2L, 1L, 2L, false), (3L, 3L, 1L, true))
+      .toDF("doc_id", "group_id", "group_size", "is_canonical")
+    val r = Dedup.dedupBiasAuditOf(docs, groups).collect()
+      .map(x => x.getAs[String]("cohort") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("mean_chars"))).toMap
+    assert(r("kept") === ((2L, 55L)))    // (100+10)/2
+    assert(r("dropped") === ((1L, 40L)))
+  }
+
+  test("annFiltered: every neighbor carries the query's label (pre-filter)") {
+    val dirSf = "/root/testdata/sf0.001"
+    val labels = graft.sources.Tables.embeddings(spark, dirSf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = Similarity.annFiltered(spark, dirSf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q, v) = (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"))
+      assert(labels(v) === labels(q), s"neighbor $v label differs from query $q")
+      assert(v !== q)
+    }
+    // ranks are 1..k per query (rnk is the Int posexplode ordinal)
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rnk")).sorted.toSeq === (1 to rs.length).toSeq)
+    }
+  }
+
+  test("heldoutPpl on testdata: train scores above heldout under its own model") {
+    val r = graft.functions.CorpusOps.heldoutPpl(spark, "/root/testdata/sf0.01")
+      .collect().map(x => x.getAs[String]("split") -> x.getAs[Long]("mean_ppm")).toMap
+    assert(r.keySet === Set("train", "val", "test"))
+    // the model memorizes its own split: train mean must be the max
+    assert(r("train") >= r("val") && r("train") >= r("test"),
+      s"train ${r("train")} should dominate heldout ${r("val")}/${r("test")}")
+  }
+
   test("mmrRerankOf: rank 1 is the pure-relevance argmax with score 0.7*rel") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f), 1), (1L, Seq(1f, 0.2f), 1), (2L, Seq(0f, 1f), 1)))
