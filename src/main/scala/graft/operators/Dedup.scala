@@ -913,6 +913,40 @@ object Dedup {
     summarizeKeepSet(Tables.documents(spark, dir),
       groupsTable(spark, dir))
 
+  /** DEDUP THRESHOLD TUNING SWEEP — how many near-dup pairs would each
+    * verify threshold τ admit? Exact Jaccard is computed ONCE per LSH
+    * candidate pair, then counted against τ ∈ {40..80}% with the
+    * integer cross-multiplied boundary (inter·100 ≥ τ·union — no float
+    * decides membership). The τ-calibration curve a dedup deployment
+    * reads before committing to a threshold: too low merges topical
+    * neighbors, too high leaves templated spam. Counts are over the
+    * BAND candidate set (fixed 4×2 geometry) — the sweep tunes the
+    * verify knob at that recall envelope.
+    *
+    * Scale: candidates come from the persisted band table (bucket
+    * join, never all-pairs); Jaccard cost is paid once per candidate,
+    * the 5-way τ expansion is a map-side explode of the scored pairs. */
+  def thresholdSweep(spark: SparkSession, dir: String): DataFrame = {
+    val sh = withShingles(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("shingles"))
+    lshPairsFromBands(docBandsTable(spark, dir))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingles").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingles").as("sh_b")), Seq("doc_b"))
+      .withColumn("inter",
+        graft.functions.ArrayOps.intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("uni",
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long") - col("inter"))
+      .select(explode(array(Seq(40, 50, 60, 70, 80).map(lit): _*)).as("tau_pct"),
+        col("inter"), col("uni"))
+      .groupBy("tau_pct")
+      .agg(count(lit(1)).as("n_candidates"),
+        expr("CAST(sum(CASE WHEN inter * 100 >= tau_pct * uni THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_pairs"))
+      .select(col("tau_pct").cast("long").as("tau_pct"),
+        col("n_candidates"), col("n_pairs"))
+      .orderBy("tau_pct")
+  }
+
   /** DEDUP SELECTION-BIAS AUDIT — does the keep-set skew the corpus?
     * Near-dedup preferentially removes boilerplate-heavy and templated
     * documents, which silently shifts the surviving length/content
@@ -1063,6 +1097,7 @@ object Dedup {
     "dd_dedup_groups"        -> dedupGroups _,
     "dd_dedup_corpus"        -> dedupCorpusSummary _,
     "dd_dedup_bias_audit"    -> dedupBiasAudit _,
+    "dd_threshold_sweep"     -> thresholdSweep _,
     "dd_paragraph_dedup"     -> paragraphDedup _,
     "dd_span_dedup"          -> spanDedup _,
     "dd_span_dedup_persisted" -> spanDedupPersisted _,
@@ -1314,6 +1349,28 @@ object Dedup {
     "dd_span_dedup" -> spanDedupOracleSql,
     // identical semantics served from the persisted matched-span index
     "dd_span_dedup_persisted" -> spanDedupOracleSql,
+    // same band candidates, same exact intersections, same integer
+    // cross-multiplied tau boundary per curve point
+    "dd_threshold_sweep" ->
+      s"""WITH $shingleCte,
+         $minhashBandCtes,
+         pairs AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id),
+         sc AS (
+           SELECT CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS inter,
+                  CAST(len(sa.shingles) + len(sb.shingles)
+                       - len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS uni
+           FROM pairs p
+           JOIN sh sa ON p.doc_a = sa.doc_id
+           JOIN sh sb ON p.doc_b = sb.doc_id),
+         taus AS (SELECT unnest([40, 50, 60, 70, 80]) AS tau_pct)
+         SELECT CAST(t.tau_pct AS BIGINT) AS tau_pct,
+                count(*) AS n_candidates,
+                CAST(sum(CASE WHEN sc.inter * 100 >= t.tau_pct * sc.uni
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pairs
+         FROM taus t, sc GROUP BY t.tau_pct ORDER BY tau_pct""",
     // same group walk; cohorts split on doc_id = group_id
     "dd_dedup_bias_audit" ->
       s"""$dedupGroupsCtes

@@ -690,7 +690,45 @@ object Relational {
       .orderBy("check_name")
   }
 
+  /** QUOTA-GATED ADMISSION — enforce the
+    * [[graft.operators.Aggregations.allocBudget]] allocation as an
+    * actual admission policy: each nation's orders admit in
+    * (o_orderdate, o_orderkey) order until that nation's prorated quota
+    * (1000 admissions split by the largest-remainder rule) is
+    * exhausted; later orders reject. Reported per nation: quota, order
+    * count, admitted/rejected, and the first rejected day. The
+    * composition proves the allocation table is consumable — quotas
+    * that only ever print are not a policy.
+    *
+    * Scale: quota table is |nations| rows, BROADCAST twice (dim join +
+    * quota join); the admission ordinal is ONE per-nation window. The
+    * per-nation sort is inherent to ordered admission (the semantics
+    * are "first come first served") — partitions are bounded by the
+    * largest nation's orders, the same bound every per-entity window
+    * here carries. */
+  def quotaAdmission(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val quotas = Aggregations.allocBudget(spark, dir, 1000L)
+      .select(col("c_nationkey"), col("alloc_units").as("quota"))
+    val byArrival = Window.partitionBy("c_nationkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey"))),
+        col("o_custkey") === col("c_custkey"))
+      .withColumn("rn", row_number().over(byArrival).cast("long"))
+      .join(broadcast(quotas), Seq("c_nationkey"))
+      .withColumn("admitted", col("rn") <= col("quota"))
+      .groupBy("c_nationkey", "quota")
+      .agg(count(lit(1)).as("n_orders"),
+        expr("CAST(sum(CASE WHEN admitted THEN 1 ELSE 0 END) AS BIGINT)").as("n_admitted"),
+        expr("CAST(sum(CASE WHEN admitted THEN 0 ELSE 1 END) AS BIGINT)").as("n_rejected"),
+        min(when(!col("admitted"), col("o_orderdate"))).as("first_rejected_day"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_quota_admission"     -> quotaAdmission _,
     "rel_interval_overlap"    -> intervalOverlapJoin _,
     "rel_dq_audit"            -> dqAudit _,
     "rel_fuzzy_blocking_join" -> fuzzyBlockingJoin _,
@@ -738,6 +776,34 @@ object Relational {
        ORDER BY event_id"""
 
   val oracles: Map[String, String] = Map(
+    // same largest-remainder quota replica, same (orderdate, orderkey)
+    // arrival ordinal and quota cut
+    "rel_quota_admission" ->
+      """WITH rev AS (
+           SELECT c.c_nationkey,
+                  CAST(sum(CAST(round(o.o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+           FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+           GROUP BY 1),
+         t AS (SELECT CAST(sum(rev) AS BIGINT) AS r_total FROM rev),
+         s AS (SELECT rev.c_nationkey, rev.rev,
+                 (1000 * rev.rev) // t.r_total AS fl,
+                 (1000 * rev.rev) % t.r_total AS rem
+               FROM rev, t),
+         q AS (SELECT c_nationkey,
+                 fl + CASE WHEN CAST(row_number() OVER (ORDER BY rem DESC, c_nationkey ASC) AS BIGINT)
+                           <= 1000 - CAST(SUM(fl) OVER () AS BIGINT)
+                      THEN 1 ELSE 0 END AS quota
+               FROM s),
+         o AS (SELECT c.c_nationkey, o.o_orderdate,
+                 CAST(row_number() OVER (PARTITION BY c.c_nationkey
+                   ORDER BY o.o_orderdate, o.o_orderkey) AS BIGINT) AS rn
+               FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey)
+         SELECT o.c_nationkey, q.quota, count(*) AS n_orders,
+                CAST(sum(CASE WHEN o.rn <= q.quota THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+                CAST(sum(CASE WHEN o.rn <= q.quota THEN 0 ELSE 1 END) AS BIGINT) AS n_rejected,
+                min(CASE WHEN o.rn > q.quota THEN o.o_orderdate END) AS first_rejected_day
+         FROM o JOIN q ON o.c_nationkey = q.c_nationkey
+         GROUP BY o.c_nationkey, q.quota ORDER BY o.c_nationkey""",
     // INDEPENDENT derivation: the oracle joins on the raw quadratic
     // overlap predicate (no day banding) — a hash match proves the
     // Spark side's banding is lossless

@@ -524,6 +524,45 @@ object Streams {
   case class SpikeState(cents: Seq[Long]) // most recent first, <= 8 taps
   case class SpikeOut(user_id: Long, t: Long, v: Double, dev_pct: Long)
 
+  case class DdState(bal: Long, peak: Long, maxdd: Long, n: Long)
+  case class DdOut(user_id: Long, n_events: Long, final_cents: Long,
+                   max_peak_cents: Long, max_drawdown_cents: Long)
+
+  /** Streaming MAX-DRAWDOWN — the incremental mirror of the batch
+    * [[graft.operators.Windows.maxDrawdown]] ledger: state per user is
+    * FOUR longs (balance, running peak, max drawdown, event count) —
+    * O(1) forever, no history replay — updated by the identical signed
+    * cents rule (purchase/signup credit, error/click debit, view
+    * neutral). The peak starts at the FIRST balance, not zero, matching
+    * the batch running-max frame. Each batch emits the user's updated
+    * summary row; per-batch rows fold in event-time order, so for
+    * STRICTLY-INCREASING per-user timestamps the last emission per user
+    * equals the batch operator's row (equal-ts ties order by event_id
+    * in the batch query — [[Event]] carries no id). */
+  def drawdownStream(events: Dataset[Event])
+                    (implicit spark: SparkSession): Dataset[DdOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[DdState, DdOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[DdState]) =>
+          var s = state.getOption.getOrElse(DdState(0L, 0L, 0L, 0L))
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val delta = e.event_type match {
+              case "purchase" | "signup" => math.round(e.value * 100.0)
+              case "error" | "click"     => -math.round(e.value * 100.0)
+              case _                     => 0L
+            }
+            val bal = s.bal + delta
+            val peak = if (s.n == 0L) bal else math.max(s.peak, bal)
+            s = DdState(bal, peak, math.max(s.maxdd, peak - bal), s.n + 1)
+          }
+          state.update(s)
+          Iterator(DdOut(uid, s.n, s.bal, s.peak, s.maxdd))
+      }
+  }
+
   /** Streaming SPIKE DETECTION — the incremental mirror of the batch
     * [[graft.operators.Windows.anomalySpikes]]: flag a value deviating
     * more than 50% from the EWMA of the user's PREVIOUS values. State

@@ -201,4 +201,47 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(got.exists(_._1 == 1L) && got.exists(_._1 == 3L)) // both spikes caught
     assert(!got.exists(_._1 == 2L))                          // no-history user silent
   }
+
+  test("drawdownStream's final emission equals the batch ledger across " +
+    "batch boundaries (O(1) state: bal/peak/maxdd)") {
+    import spark.implicits._
+    val events = Seq(
+      // user 1: +1000, -300, -300, +100 -> peak 1000, dd 600, final 500
+      Streams.Event(1L, ts(1000), "purchase", 10.00),
+      Streams.Event(1L, ts(2000), "error", 3.00),
+      Streams.Event(1L, ts(3000), "error", 3.00),
+      Streams.Event(1L, ts(4000), "signup", 1.00),
+      // user 2: debit-first — peak must start at the first balance (-200)
+      Streams.Event(2L, ts(500), "error", 2.00),
+      Streams.Event(2L, ts(1500), "purchase", 10.00),
+      Streams.Event(2L, ts(2500), "error", 5.00),
+      // user 3: views only — all neutral
+      Streams.Event(3L, ts(100), "view", 9.00),
+      Streams.Event(3L, ts(200), "view", 9.00))
+    val (b1, b2) = events.sortBy(_.ts.getTime).splitAt(4)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.drawdownStream(in.toDS()).writeStream
+      .format("memory").queryName("dd_out").outputMode(OutputMode.Append()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    // the LAST emission per user (highest n_events) is the final summary
+    val got = spark.sql("SELECT * FROM dd_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .groupBy(_._1).view.mapValues(_.maxBy(_._2)).toMap
+    q.stop()
+    val batchDf = events.zipWithIndex.map { case (e, i) =>
+      (i.toLong, e.ts, e.user_id, e.event_type, e.value) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val expect = graft.operators.Windows.maxDrawdownOf(batchDf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("final_cents"),
+          r.getAs[Long]("max_peak_cents"), r.getAs[Long]("max_drawdown_cents"))).toMap
+    expect.foreach { case (u, (n, fin, peak, dd)) =>
+      val g = got(u)
+      assert((g._2, g._3, g._4, g._5) === ((n, fin, peak, dd)), s"user $u")
+    }
+    // user 2 balances: -200, 800, 300 -> peak 800 (started at -200, not 0)
+    assert(got(2L)._4 === 800L)
+    assert(got(2L)._5 === 500L)
+  }
 }
