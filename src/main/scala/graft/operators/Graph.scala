@@ -293,6 +293,110 @@ object Graph {
       .orderBy(desc("lift_ppm"), col("antecedent"), col("consequent"))
   }
 
+  /** Canonical (a < b) undirected edge list of the top-k sparsified
+    * co-purchase graph: keep each node's k strongest neighbors (support
+    * desc, neighbor asc — deterministic), an edge survives if EITHER
+    * endpoint kept it. Degree is then ≤ 2k, which is what makes wedge
+    * enumeration ([[triangleCountsOfPairs]], [[linkPredict]]) linear in
+    * nodes at any corpus size. localCheckpointed: every caller feeds it
+    * to 2-3 join legs. */
+  private def sparsifiedEdgesOf(pc: DataFrame, k: Int): DataFrame = {
+    val nbrs = pc.select(explode(array(
+        struct(col("part_a").as("u"), col("part_b").as("v"), col("n_orders").as("n")),
+        struct(col("part_b").as("u"), col("part_a").as("v"), col("n_orders").as("n")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.n").as("n_orders"))
+    val byStrength = Window.partitionBy("u").orderBy(desc("n_orders"), asc("v"))
+    nbrs
+      .withColumn("rn", row_number().over(byStrength))
+      .filter(col("rn") <= k)
+      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
+      .distinct()
+      .localCheckpoint()
+  }
+
+  /** LINK PREDICTION over the sparsified co-purchase graph — rank the
+    * NON-edges most likely to become edges by common-neighbor count and
+    * Jaccard overlap of neighborhoods (the two classic structural
+    * scores; integer ppm so the ranking is engine-exact). Candidates
+    * are the two-hop pairs: wedge-join the adjacency with itself on the
+    * shared midpoint, drop pairs already connected (anti-join on the
+    * edge list), score cn = #common neighbors and
+    * jacc = cn / (deg_a + deg_b − cn).
+    *
+    * Scale: degree ≤ 2k after sparsification bounds wedges at
+    * |V|·C(2k,2) — linear in nodes like [[triangleCountsOfPairs]]; the
+    * top-50 is TakeOrderedAndProject (per-partition top-k, no global
+    * sort). Degrees join co-partitioned on the node key. */
+  def linkPredict(spark: SparkSession, dir: String, k: Int = 8, topN: Int = 50): DataFrame =
+    linkPredictOfPairs(copurchaseCounts(spark, dir), k, topN)
+
+  /** [[linkPredict]] over any weighted (part_a, part_b, n_orders) pair
+    * table (spec entry). */
+  private[operators] def linkPredictOfPairs(pc: DataFrame, k: Int, topN: Int): DataFrame = {
+    val edges = sparsifiedEdgesOf(pc, k)
+    val adj = edges.select(col("a").as("w"), col("b").as("x"))
+      .unionAll(edges.select(col("b").as("w"), col("a").as("x")))
+    val deg = adj.groupBy(col("w")).agg(count(lit(1)).as("deg"))
+    val cand = adj.as("l").join(adj.as("r"), col("l.w") === col("r.w"))
+      .filter(col("l.x") < col("r.x"))
+      .select(col("l.x").as("part_a"), col("r.x").as("part_b"))
+      .groupBy("part_a", "part_b")
+      .agg(count(lit(1)).as("n_common"))
+      .join(edges, col("part_a") === col("a") && col("part_b") === col("b"), "left_anti")
+    cand
+      .join(deg.select(col("w").as("part_a"), col("deg").as("deg_a")), Seq("part_a"))
+      .join(deg.select(col("w").as("part_b"), col("deg").as("deg_b")), Seq("part_b"))
+      .select(col("part_a"), col("part_b"), col("n_common"), col("deg_a"), col("deg_b"),
+        expr("n_common * 1000000L div (deg_a + deg_b - n_common)").as("jaccard_ppm"))
+      .orderBy(desc("n_common"), desc("jaccard_ppm"), col("part_a"), col("part_b"))
+      .limit(topN)
+  }
+
+  /** LABEL PROPAGATION community detection (synchronous, deterministic)
+    * over the support-≥2 co-purchase graph: label₀ = node id; each round
+    * every node adopts the MODE of its neighbors' labels (count desc,
+    * label asc tie-break — no RNG, no visit order), run a fixed 4
+    * synchronous rounds; emit the community inventory (label, n_parts).
+    * Deliberately different machinery from
+    * [[copurchaseComponents]]' pointer jumping: mode-adoption splits
+    * dense regions into communities instead of flooding min-ids.
+    *
+    * Scale: each round is ONE adjacency⋈labels equi-join, a partial agg
+    * on (node, label), and a per-node window top-1 — all hash-partitioned
+    * on the node key; labels localCheckpoint per round so lineage stays
+    * flat at any round count (the [[pageRankConvergedOf]] cadence). */
+  def labelPropagation(spark: SparkSession, dir: String, iters: Int = 4,
+                       minSupport: Int = 2): DataFrame = {
+    val pairs = copurchaseCounts(spark, dir)
+      .filter(col("n_orders") >= minSupport)
+      .select(col("part_a"), col("part_b"))
+    labelPropagationOfPairs(pairs, iters)
+  }
+
+  /** [[labelPropagation]] core over an unweighted canonical pair list
+    * (spec entry): (community_id, n_parts), ordered. */
+  private[operators] def labelPropagationOfPairs(pairs: DataFrame, iters: Int): DataFrame = {
+    val adj = pairs
+      .select(col("part_a").as("src"), col("part_b").as("dst"))
+      .unionAll(pairs.select(col("part_b").as("src"), col("part_a").as("dst")))
+      .localCheckpoint()
+    val byMode = Window.partitionBy("dst").orderBy(desc("cnt"), asc("lbl"))
+    var labels = adj.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl")).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      labels = adj.join(labels, adj("src") === labels("node"))
+        .groupBy(col("dst"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(byMode))
+        .filter(col("rn") === 1)
+        .select(col("dst").as("node"), col("lbl"))
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community_id"))
+      .agg(count(lit(1)).as("n_parts"))
+      .orderBy("community_id")
+  }
+
   /** Triangle counting over the co-purchase graph, k-NN sparsified.
     *
     * The raw co-occurrence graph densifies as the corpus grows (every
@@ -318,20 +422,10 @@ object Graph {
     // sort — measured FASTER here than the typed bounded-top-k
     // aggregator (object-agg buffers lose to whole-stage codegen at
     // ~4M in-flight rows; the typed path wins when k ≪ group size AND
-    // rows ≫ memory, which the scale gate revisits at sf1)
-    val nbrs = pc.select(explode(array(
-        struct(col("part_a").as("u"), col("part_b").as("v"), col("n_orders").as("n")),
-        struct(col("part_b").as("u"), col("part_a").as("v"), col("n_orders").as("n")))).as("e"))
-      .select(col("e.u").as("u"), col("e.v").as("v"), col("e.n").as("n_orders"))
-    val byStrength = Window.partitionBy("u").orderBy(desc("n_orders"), asc("v"))
-    // the edge list feeds three join legs below; localCheckpoint computes
-    // the explode + window once (same pattern as pageRankOf)
-    val edges = nbrs
-      .withColumn("rn", row_number().over(byStrength))
-      .filter(col("rn") <= k)
-      .select(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b"))
-      .distinct()
-      .localCheckpoint()
+    // rows ≫ memory, which the scale gate revisits at sf1).
+    // The edge list feeds three join legs below; sparsifiedEdgesOf
+    // localCheckpoints so the explode + window run once.
+    val edges = sparsifiedEdgesOf(pc, k)
     val tri = edges.as("e1")
       .join(edges.as("e2"), col("e1.b") === col("e2.a"))
       .join(edges.as("e3"),
@@ -351,6 +445,8 @@ object Graph {
     "rel_triangle_count" -> ((s: SparkSession, d: String) => triangleCounts(s, d)),
     "rel_khop_reach" -> ((s: SparkSession, d: String) => khopReach(s, d)),
     "rel_connected_components" -> ((s: SparkSession, d: String) => copurchaseComponents(s, d)),
+    "rel_link_predict" -> ((s: SparkSession, d: String) => linkPredict(s, d)),
+    "rel_label_propagation" -> ((s: SparkSession, d: String) => labelPropagation(s, d)),
   )
 
   /** Oracle for the converged variant: the identical integer iteration
@@ -384,7 +480,72 @@ object Graph {
         WHERE a.node % 2 = 1 ORDER BY s_suppkey"""
   }
 
+  /** Oracle for label propagation: the identical synchronous mode
+    * iteration unrolled as one MATERIALIZED CTE per round (DuckDB
+    * inlines single-reference CTEs; chained inlines blow up its
+    * planner — the [[pagerankConvergedOracle]] lesson). */
+  private def labelPropagationOracle: String = {
+    val steps = (1 to 4).map { i =>
+      val prev = if (i == 1) "l0" else s"l${i - 1}"
+      s"""l$i AS MATERIALIZED (
+            SELECT dst AS node, lbl FROM (
+              SELECT a.dst, p.lbl, count(*) AS cnt,
+                     row_number() OVER (PARTITION BY a.dst
+                       ORDER BY count(*) DESC, p.lbl ASC) AS rn
+              FROM adj a JOIN $prev p ON a.src = p.node
+              GROUP BY a.dst, p.lbl) WHERE rn = 1)"""
+    }.mkString(",\n         ")
+    s"""WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        pc AS MATERIALIZED (
+          SELECT x.p AS part_a, y.p AS part_b
+          FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+          GROUP BY 1, 2 HAVING count(*) >= 2),
+        adj AS MATERIALIZED (SELECT part_a AS src, part_b AS dst FROM pc
+                             UNION ALL SELECT part_b, part_a FROM pc),
+        l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM adj),
+        $steps
+        SELECT lbl AS community_id, count(*) AS n_parts
+        FROM l4 GROUP BY 1 ORDER BY 1"""
+  }
+
   val oracles: Map[String, String] = Map(
+    // same sparsified graph as the triangle oracle; candidates from the
+    // wedge self-join, existing edges anti-joined out, integer ppm
+    "rel_link_predict" ->
+      """WITH b AS MATERIALIZED (
+           SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         pc AS MATERIALIZED (
+           SELECT x.p AS part_a, y.p AS part_b, count(*) AS n_orders
+           FROM b x JOIN b y ON x.o = y.o AND x.p < y.p
+           GROUP BY 1, 2),
+         nbrs AS (SELECT part_a AS u, part_b AS v, n_orders FROM pc
+                  UNION ALL SELECT part_b, part_a, n_orders FROM pc),
+         kept AS (SELECT u, v FROM (
+                    SELECT u, v, row_number() OVER
+                      (PARTITION BY u ORDER BY n_orders DESC, v ASC) AS rn
+                    FROM nbrs) WHERE rn <= 8),
+         e AS MATERIALIZED (
+           SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM kept),
+         adj AS MATERIALIZED (SELECT a AS w, b AS x FROM e
+                              UNION ALL SELECT b, a FROM e),
+         deg AS (SELECT w, count(*) AS deg FROM adj GROUP BY 1),
+         cand AS (
+           SELECT l.x AS part_a, r.x AS part_b, count(*) AS n_common
+           FROM adj l JOIN adj r ON l.w = r.w AND l.x < r.x
+           GROUP BY 1, 2),
+         nonedge AS (
+           SELECT c.* FROM cand c
+           WHERE NOT EXISTS (SELECT 1 FROM e
+                             WHERE e.a = c.part_a AND e.b = c.part_b))
+         SELECT n.part_a, n.part_b, n.n_common,
+                da.deg AS deg_a, db.deg AS deg_b,
+                CAST(n.n_common * 1000000 // (da.deg + db.deg - n.n_common)
+                     AS BIGINT) AS jaccard_ppm
+         FROM nonedge n JOIN deg da ON n.part_a = da.w
+                        JOIN deg db ON n.part_b = db.w
+         ORDER BY n_common DESC, jaccard_ppm DESC, part_a, part_b LIMIT 50""",
+    "rel_label_propagation" -> labelPropagationOracle,
     // the identical integer power iteration, unrolled as three CTEs
     "rel_pagerank" ->
       """WITH be AS (
