@@ -199,6 +199,76 @@ object Windows {
       .orderBy("o_custkey", "d", "o_orderkey")
   }
 
+  /** ROLLING MEDIAN — exact trailing-7-row median of the user's value
+    * series (cents), the robust-center counterpart of the mean frames in
+    * [[rollingFrames]]. The median is HOLISTIC (no partial-agg shortcut
+    * exists), so the frame is materialized per row via collect_list and
+    * sorted — cost bounded by the constant frame width, not the series
+    * length. Short leading frames use the rows available (the standard
+    * expanding-then-sliding convention). Even-width medians are the
+    * mean of the middles, emitted ×2 (`med_x2_cents`) so the value
+    * stays an exact integer — no .5-cent float ever exists to drift.
+    *
+    * Scale: one user_id shuffle; per-row work is O(w log w) with w=7.
+    * collect_list keeps the window out of whole-stage codegen — the
+    * price of any holistic statistic; the codegen'd alternative
+    * (percentile_approx) is approximate, which the oracle can't gate. */
+  def rollingMedian(spark: SparkSession, dir: String): DataFrame =
+    rollingMedianOf(Tables.events(spark, dir))
+
+  /** [[rollingMedian]] core over any events-shaped frame (spec entry). */
+  private[graft] def rollingMedianOf(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-6, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("fr", sort_array(collect_list(col("cents")).over(w)))
+      .withColumn("n", size(col("fr")))
+      .withColumn("med_x2_cents",
+        expr("""CASE WHEN n % 2 = 1 THEN 2 * element_at(fr, CAST((n + 1) div 2 AS INT))
+                ELSE element_at(fr, CAST(n div 2 AS INT))
+                   + element_at(fr, CAST(n div 2 + 1 AS INT)) END"""))
+      .select("user_id", "event_id", "cents", "n", "med_x2_cents")
+      .orderBy("user_id", "event_id")
+  }
+
+  /** BOLLINGER BREAKOUTS — flag events deviating more than 2σ from the
+    * trailing-20-row mean of the user's own series. The band test is
+    * pure BIGINT algebra: with S1=Σx, S2=Σx², |x−μ|>2σ is equivalent to
+    * (n·x−S1)² > 4·(n·S2−S1²) after multiplying through by n² — so no
+    * float mean or stddev ever decides membership and the row set is
+    * engine-exact (the [[anomalySpikes]] discipline, applied to the
+    * classic volatility band). Only full frames emit (bands over a
+    * 3-row history are noise, and the choice keeps the predicate's n
+    * constant). Emits the breakout rows with the deviation direction.
+    *
+    * Scale: the three frame sums share ONE user_id window sort and stay
+    * inside codegen (sum/count are partial-aggregable frame functions —
+    * unlike [[rollingMedian]]'s holistic frame); output is the sparse
+    * breakout set, not the series. */
+  def bollingerBreakouts(spark: SparkSession, dir: String): DataFrame =
+    bollingerBreakoutsOf(Tables.events(spark, dir), 20)
+
+  /** [[bollingerBreakouts]] core with a parameterized frame width
+    * (spec entry — small widths make the band hand-checkable). */
+  private[graft] def bollingerBreakoutsOf(events: DataFrame, width: Int): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-(width - 1), Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s1", sum(col("cents")).over(w))
+      .withColumn("s2", sum(col("cents") * col("cents")).over(w))
+      .filter(col("n") === width)
+      .withColumn("dev", col("n") * col("cents") - col("s1"))
+      .filter(col("dev") * col("dev") > lit(4L) * (col("n") * col("s2") - col("s1") * col("s1")))
+      .select(col("user_id"), col("event_id"), col("cents"),
+        when(col("dev") > 0, lit(1L)).otherwise(lit(-1L)).as("direction"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Analytic-function family in one pass: quartile (ntile), dense rank
     * and cumulative distribution of customer balances per market segment. */
   def analyticRanks(spark: SparkSession, dir: String): DataFrame = {
@@ -1039,6 +1109,8 @@ object Windows {
     "win_gap_fill"           -> gapFillDaily _,
     "win_sliding_distinct"   -> slidingDistinctUsers _,
     "win_rolling_frames"     -> rollingFrames _,
+    "win_rolling_median"     -> rollingMedian _,
+    "win_bollinger"          -> bollingerBreakouts _,
     "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
@@ -1535,6 +1607,39 @@ object Windows {
                 FROM ev, (SELECT unnest(range(0, 7)) AS o))
          SELECT win_day, count(DISTINCT user_id) AS u7
          FROM ex GROUP BY win_day ORDER BY win_day""",
+    // same frame, same sorted-list middle-element math; even medians ×2
+    // so the compared value is an exact integer on both engines
+    "win_rolling_median" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         w AS (SELECT user_id, event_id, cents,
+                 list_sort(list(cents) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS fr
+               FROM e)
+         SELECT user_id, event_id, cents, CAST(len(fr) AS INTEGER) AS n,
+           CAST(CASE WHEN len(fr) % 2 = 1 THEN 2 * fr[CAST((len(fr) + 1) // 2 AS INTEGER)]
+                ELSE fr[CAST(len(fr) // 2 AS INTEGER)] + fr[CAST(len(fr) // 2 + 1 AS INTEGER)]
+                END AS BIGINT) AS med_x2_cents
+         FROM w ORDER BY user_id, event_id""",
+    // the identical n²-multiplied integer band predicate (sums cast back
+    // to BIGINT — DuckDB windowed SUM(BIGINT) is HUGEINT)
+    "win_bollinger" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         w AS (SELECT user_id, event_id, cents,
+                 CAST(count(*) OVER fr AS BIGINT) AS n,
+                 CAST(sum(cents) OVER fr AS BIGINT) AS s1,
+                 CAST(sum(cents * cents) OVER fr AS BIGINT) AS s2
+               FROM e
+               WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, cents,
+                CAST(CASE WHEN n * cents - s1 > 0 THEN 1 ELSE -1 END AS BIGINT) AS direction
+         FROM w
+         WHERE n = 20
+           AND (n * cents - s1) * (n * cents - s1) > 4 * (n * s2 - s1 * s1)
+         ORDER BY user_id, event_id""",
     "win_rolling_frames" ->
       """WITH d AS (
            SELECT o_custkey, o_orderkey,
