@@ -842,7 +842,38 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  /** TOKENIZER FERTILITY — tokens produced per 100 characters of input,
+    * by (lang, source) cohort, for both tokenizers [[tokenCount]]
+    * exposes (whitespace vs BPE-ish regex pieces). Fertility is THE
+    * budgeting statistic for a multilingual training mix: a language
+    * whose regex fertility runs hot costs proportionally more sequence
+    * length per byte of corpus, and mixture weights set in bytes
+    * silently re-weight in tokens. Ratios in exact ppm-per-100-chars
+    * (tokens·1e8 div chars) so the cohort rows hash identically across
+    * engines.
+    *
+    * Scale: tokenize map-side, ONE partial-aggregated groupBy on a
+    * low-cardinality cohort key — the whole query is a scan + tiny
+    * shuffle at any corpus size. */
+  def fertility(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("lang"), col("source"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("ws"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("re"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("ws")).as("n_ws_tokens"),
+        sum(col("re")).as("n_re_tokens"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_chars"),
+        col("n_ws_tokens"), col("n_re_tokens"),
+        expr("n_ws_tokens * 100000000L div n_chars").as("ws_per_100c_ppm"),
+        expr("n_re_tokens * 100000000L div n_chars").as("re_per_100c_ppm"))
+      .orderBy("lang", "source")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_fertility" -> fertility _,
     "ta_blocklist_filter" -> ((s: SparkSession, d: String) => blocklistFilter(s, d)),
     "ta_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
     "ta_tfidf_keywords" -> ((s: SparkSession, d: String) => tfidfKeywords(s, d)),
@@ -894,6 +925,23 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same two tokenizers, same integer ppm-per-100-chars ratios
+    "ta_fertility" ->
+      """WITH t AS (
+           SELECT lang, source, n_chars,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re
+           FROM documents),
+         g AS (
+           SELECT lang, source, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS n_chars,
+             CAST(sum(ws) AS BIGINT) AS n_ws_tokens,
+             CAST(sum(re) AS BIGINT) AS n_re_tokens
+           FROM t GROUP BY 1, 2)
+         SELECT lang, source, n_docs, n_chars, n_ws_tokens, n_re_tokens,
+           n_ws_tokens * 100000000 // n_chars AS ws_per_100c_ppm,
+           n_re_tokens * 100000000 // n_chars AS re_per_100c_ppm
+         FROM g ORDER BY lang, source""",
     // same list-lambda shape: tokenize, count blocklist hits, ppm gate
     "ta_blocklist_filter" ->
       """WITH t AS (

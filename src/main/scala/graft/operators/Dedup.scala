@@ -1090,7 +1090,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — when multiple ingest sources
+    * carry the same documents, dedup must pick ONE keeper per content
+    * key and the drops redistribute the corpus across sources. The
+    * content key is the ORDER-INSENSITIVE bag-of-words fingerprint
+    * (md5 over the sorted distinct token set — [[graft.functions
+    * .TextAnalysis.fingerprint]]'s signature), which also catches the
+    * mirror-reshuffled copies byte-hashing misses. Keep rule: min
+    * (source, doc_id) struct — deterministic, no RNG. Output is the
+    * (source_kept, source_dup, n_dropped) matrix every multi-source
+    * merge reads to see WHO is duplicating WHOM (off-diagonal mass =
+    * cross-source collisions; diagonal = within-source dups).
+    *
+    * Scale: one shuffle on the content key (agg + the keeper join
+    * co-partitioned on it), matrix output is |sources|² rows. */
+  def crossSourceMatrix(spark: SparkSession, dir: String): DataFrame =
+    crossSourceMatrixOf(Tables.documents(spark, dir))
+
+  /** [[crossSourceMatrix]] core over any documents-shaped frame. */
+  private[graft] def crossSourceMatrixOf(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(md5(array_join(array_sort(array_distinct(
+          split(lower(col("text")), " "))), " ")).as("h"),
+        col("source"), col("doc_id"))
+    val keeper = docs.groupBy("h")
+      .agg(min(struct(col("source"), col("doc_id"))).as("k"),
+        count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("h"), col("k.source").as("source_kept"),
+        col("k.doc_id").as("keep_id"))
+    docs.join(keeper, "h")
+      .filter(col("doc_id") =!= col("keep_id"))
+      .groupBy(col("source_kept"), col("source").as("source_dup"))
+      .agg(count(lit(1)).as("n_dropped"))
+      .orderBy("source_kept", "source_dup")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_cross_source_matrix" -> crossSourceMatrix _,
     "dd_setsim_join"         -> setsimJoin _,
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
@@ -1218,6 +1255,21 @@ object Dedup {
     s"WITH RECURSIVE ${dedupGroupsCtesFrom("documents")}"
 
   val oracles: Map[String, String] = Map(
+    // same min-(source, doc_id) keeper rule via a window rank
+    "dd_cross_source_matrix" ->
+      """WITH d AS (SELECT
+             md5(array_to_string(list_sort(list_distinct(
+               string_split(lower(text), ' '))), ' ')) AS h,
+             source, doc_id FROM documents),
+         r AS (SELECT h, source, doc_id,
+                 row_number() OVER (PARTITION BY h ORDER BY source, doc_id) AS rn,
+                 count(*) OVER (PARTITION BY h) AS c
+               FROM d),
+         k AS (SELECT h, source AS source_kept FROM r WHERE rn = 1 AND c > 1)
+         SELECT k.source_kept, r.source AS source_dup, count(*) AS n_dropped
+         FROM r JOIN k ON r.h = k.h
+         WHERE r.rn > 1
+         GROUP BY 1, 2 ORDER BY 1, 2""",
     // the RAW quadratic definition the prefix filter provably equals:
     // every pair, exact intersection/union, same integer-ppm predicate
     "dd_setsim_join" ->

@@ -727,7 +727,46 @@ object Relational {
       .orderBy("c_nationkey")
   }
 
+  /** MUTUAL BEST MATCH — the reciprocal-top-1 join: keep (supplier,
+    * customer) pairs where the customer is that supplier's highest-
+    * revenue counterparty AND vice versa. The standard stable-pairing
+    * primitive for entity resolution / account mapping, where one-sided
+    * best-of is not evidence but RECIPROCAL best-of is. Revenue in
+    * integer units (per-line round, summed as BIGINT) with a full
+    * deterministic tie order (revenue desc, partner key asc).
+    *
+    * Scale: the pair aggregate is ONE fact shuffle; the two best-of
+    * windows partition it on each side's key (two small shuffles over
+    * the pair table, not the fact table); the reciprocal check is an
+    * equi-join of two top-1 tables on (supp, cust). */
+  def mutualBestMatch(spark: SparkSession, dir: String): DataFrame = {
+    val pair = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_extendedprice")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_suppkey").as("s_suppkey"), col("o_custkey").as("c_custkey"))
+      .agg(expr("CAST(sum(CAST(round(l_extendedprice) AS BIGINT)) AS BIGINT)").as("rev_units"))
+    mutualBestMatchOfPairs(pair)
+  }
+
+  /** [[mutualBestMatch]] reciprocal-top-1 core over any
+    * (s_suppkey, c_custkey, rev_units) pair table (spec entry). */
+  private[graft] def mutualBestMatchOfPairs(pair: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bySupp = Window.partitionBy("s_suppkey")
+      .orderBy(desc("rev_units"), asc("c_custkey"))
+    val byCust = Window.partitionBy("c_custkey")
+      .orderBy(desc("rev_units"), asc("s_suppkey"))
+    val bestC = pair.withColumn("rn", row_number().over(bySupp))
+      .filter(col("rn") === 1).drop("rn")
+    val bestS = pair.withColumn("rn", row_number().over(byCust))
+      .filter(col("rn") === 1).drop("rn")
+    bestC.join(bestS, Seq("s_suppkey", "c_custkey", "rev_units"))
+      .orderBy("s_suppkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rel_mutual_best_match"   -> mutualBestMatch _,
     "rel_quota_admission"     -> quotaAdmission _,
     "rel_interval_overlap"    -> intervalOverlapJoin _,
     "rel_dq_audit"            -> dqAudit _,
@@ -776,6 +815,26 @@ object Relational {
        ORDER BY event_id"""
 
   val oracles: Map[String, String] = Map(
+    // same reciprocal-top-1 with the same deterministic tie order
+    "rel_mutual_best_match" ->
+      """WITH pair AS (
+           SELECT l.l_suppkey AS s_suppkey, o.o_custkey AS c_custkey,
+                  CAST(sum(CAST(round(l.l_extendedprice) AS BIGINT)) AS BIGINT) AS rev_units
+           FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+           GROUP BY 1, 2),
+         bc AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY s_suppkey
+                    ORDER BY rev_units DESC, c_custkey ASC) AS rn FROM pair)
+                WHERE rn = 1),
+         bs AS (SELECT * FROM (
+                  SELECT *, row_number() OVER (PARTITION BY c_custkey
+                    ORDER BY rev_units DESC, s_suppkey ASC) AS rn FROM pair)
+                WHERE rn = 1)
+         SELECT bc.s_suppkey, bc.c_custkey, bc.rev_units
+         FROM bc JOIN bs ON bc.s_suppkey = bs.s_suppkey
+                        AND bc.c_custkey = bs.c_custkey
+                        AND bc.rev_units = bs.rev_units
+         ORDER BY bc.s_suppkey""",
     // same largest-remainder quota replica, same (orderdate, orderkey)
     // arrival ordinal and quota cut
     "rel_quota_admission" ->

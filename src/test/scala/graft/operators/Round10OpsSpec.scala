@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-built cases for the round-10 batch: cross-source duplication
+  * matrix, reciprocal best-match join, and tokenizer fertility (checked
+  * for consistency against the per-doc token counts it aggregates). */
+class Round10OpsSpec extends AnyFunSuite {
+  lazy val spark = graft.Sessions.local("4", "graft-round10-test")
+
+  test("crossSourceMatrixOf: keeper by (source, doc_id), reshuffles collide") {
+    import spark.implicits._
+    // same bag of words in docs 1/2/3 ("a b" reshuffled — order must not
+    // matter), kept by srcA (lowest source, lowest id); doc 4 unique.
+    val docs = Seq(
+      (1L, "a b", "srcB"), (2L, "b a", "srcA"), (3L, "a b a", "srcB"),
+      (4L, "c d", "srcA"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceMatrixOf(docs).collect()
+      .map(r => (r.getAs[String]("source_kept"), r.getAs[String]("source_dup"),
+        r.getAs[Long]("n_dropped"))).toSet
+    // keeper = (srcA, 2); dropped: doc 1 (srcB), doc 3 (srcB)
+    assert(got === Set(("srcA", "srcB", 2L)))
+  }
+
+  test("crossSourceMatrixOf: diagonal counts within-source dups") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x y", "s1"), (2L, "y x", "s1"), (3L, "x y", "s2"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.crossSourceMatrixOf(docs).collect()
+      .map(r => (r.getAs[String]("source_kept"), r.getAs[String]("source_dup"),
+        r.getAs[Long]("n_dropped"))).toSet
+    assert(got === Set(("s1", "s1", 1L), ("s1", "s2", 1L)))
+  }
+
+  test("mutualBestMatchOfPairs keeps only reciprocal top-1 pairs") {
+    import spark.implicits._
+    // s1's best is c1 (100) and c1's best is s1 -> kept.
+    // s2's best is c1 (90) but c1's best is s1 -> dropped.
+    // s3's best is c2 (50); c2's best is s3 -> kept.
+    val pair = Seq(
+      (1L, 1L, 100L), (2L, 1L, 90L), (2L, 2L, 40L), (3L, 2L, 50L))
+      .toDF("s_suppkey", "c_custkey", "rev_units")
+    val got = Relational.mutualBestMatchOfPairs(pair).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set((1L, 1L, 100L), (3L, 2L, 50L)))
+  }
+
+  test("mutualBestMatchOfPairs breaks revenue ties deterministically (asc key)") {
+    import spark.implicits._
+    // c1 ties between s1 and s2 at 70: best supplier = s1 (asc). s1's
+    // best customer ties between c1 and c2 at 70: best = c1 (asc).
+    val pair = Seq((1L, 1L, 70L), (2L, 1L, 70L), (1L, 2L, 70L))
+      .toDF("s_suppkey", "c_custkey", "rev_units")
+    val got = Relational.mutualBestMatchOfPairs(pair).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 1L)))
+  }
+
+  test("fertility cohort sums equal the per-doc tokenCount rollup") {
+    val dir = "/root/testdata/sf0.001"
+    val viaDoc = graft.functions.TextAnalysis.tokenCount(spark, dir)
+      .join(graft.sources.Tables.documents(spark, dir).select("doc_id", "lang", "source"),
+        "doc_id")
+      .groupBy("lang", "source")
+      .agg(org.apache.spark.sql.functions.sum("n_re_tokens").as("re"),
+        org.apache.spark.sql.functions.sum("n_chars").as("ch"))
+      .collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        (r.getAs[Long]("re"), r.getAs[Long]("ch"))).toMap
+    val got = graft.functions.TextAnalysis.fertility(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val k = (r.getAs[String]("lang"), r.getAs[String]("source"))
+      assert((r.getAs[Long]("n_re_tokens"), r.getAs[Long]("n_chars")) === viaDoc(k))
+      assert(r.getAs[Long]("re_per_100c_ppm") ===
+        r.getAs[Long]("n_re_tokens") * 100000000L / r.getAs[Long]("n_chars"))
+    }
+  }
+}
