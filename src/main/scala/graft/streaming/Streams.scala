@@ -599,6 +599,57 @@ object Streams {
       }
   }
 
+  case class SsCounter(item: Long, est: Long, err: Long)
+  case class SsState(counters: Seq[SsCounter])
+  case class SsOut(event_type: String, item: Long, est: Long, err: Long)
+
+  /** Streaming TOP-K HEAVY HITTERS — SpaceSaving with `m` counters per
+    * key (the streaming dual of the batch Misra–Gries sketch behind
+    * `agg_heavy_hitters`): per event_type, track the heaviest user_ids
+    * in O(m) state forever. Seen item → est+1; room → insert (1, 0);
+    * full → evict the min-est counter (tie: smallest item — stated so
+    * the fold is deterministic) and adopt its est as the newcomer's est
+    * and err. Classic guarantees hold per key: est ≥ true ≥ est − err,
+    * and any item with true count > N/m is in the sketch. Each batch
+    * folds rows in event-time order and emits the key's full sketch,
+    * sorted (est desc, item asc); when distinct items per key ≤ m no
+    * eviction ever fires, err stays 0, and the sketch IS the exact
+    * count table (the spec's differential).
+    *
+    * Scale: keyed by event_type so state shards across executors; per
+    * key the sketch is a fixed m counters — no per-item state, the
+    * whole point of SpaceSaving over a counting dedup. A single
+    * pathologically-hot key serializes through one executor — the same
+    * trade every keyed sketch makes; shard-salt the key and merge
+    * sketches downstream when that key dominates. */
+  def topkStream(events: Dataset[Event], m: Int = 8)
+                (implicit spark: SparkSession): Dataset[SsOut] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[SsState, SsOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[Event], state: GroupState[SsState]) =>
+          var cs = state.getOption.map(_.counters).getOrElse(Seq.empty)
+          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+            val item = e.user_id
+            cs.indexWhere(_.item == item) match {
+              case i if i >= 0 =>
+                cs = cs.updated(i, cs(i).copy(est = cs(i).est + 1))
+              case _ if cs.length < m =>
+                cs = cs :+ SsCounter(item, 1L, 0L)
+              case _ =>
+                val victim = cs.minBy(c => (c.est, c.item))
+                cs = cs.filterNot(c => c.item == victim.item) :+
+                  SsCounter(item, victim.est + 1, victim.est)
+            }
+          }
+          state.update(SsState(cs))
+          cs.sortBy(c => (-c.est, c.item))
+            .map(c => SsOut(key, c.item, c.est, c.err)).iterator
+      }
+  }
+
   /** File-source stream over the driver's `events.parquet` (TESTDATA).
     * File streams must declare a schema up front; we take it from the
     * BATCH reader's parquet footer scan and then apply the same

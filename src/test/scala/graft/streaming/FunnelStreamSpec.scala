@@ -244,4 +244,45 @@ class FunnelStreamSpec extends AnyFunSuite {
     assert(got(2L)._4 === 800L)
     assert(got(2L)._5 === 500L)
   }
+
+  test("topkStream is exact (err=0) while distinct items fit the sketch, " +
+    "across batch boundaries") {
+    import spark.implicits._
+    val events = Seq(
+      Streams.Event(1L, ts(1000), "view", 0.0), Streams.Event(1L, ts(2000), "view", 0.0),
+      Streams.Event(2L, ts(3000), "view", 0.0), Streams.Event(1L, ts(4000), "view", 0.0),
+      Streams.Event(3L, ts(5000), "click", 0.0), Streams.Event(3L, ts(6000), "click", 0.0),
+      Streams.Event(2L, ts(7000), "view", 0.0))
+    val (b1, b2) = events.splitAt(4)
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.topkStream(in.toDS(), m = 8).writeStream
+      .format("memory").queryName("ss_out").outputMode(OutputMode.Append()).start()
+    in.addData(b1); q.processAllAvailable()
+    in.addData(b2); q.processAllAvailable()
+    val rows = spark.sql("SELECT * FROM ss_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    q.stop()
+    // the LAST emission per (key, item) = highest est
+    val fin = rows.groupBy(r => (r._1, r._2)).view.mapValues(_.maxBy(_._3)).values.toSet
+    assert(fin === Set(("view", 1L, 3L, 0L), ("view", 2L, 2L, 0L),
+      ("click", 3L, 2L, 0L)))
+  }
+
+  test("topkStream eviction keeps SpaceSaving bounds (est >= true >= est - err)") {
+    import spark.implicits._
+    // key "view", m=2: a,a,a then b then c -> c evicts b: est 2, err 1
+    val events = Seq(
+      Streams.Event(10L, ts(1000), "view", 0.0), Streams.Event(10L, ts(2000), "view", 0.0),
+      Streams.Event(10L, ts(3000), "view", 0.0), Streams.Event(20L, ts(4000), "view", 0.0),
+      Streams.Event(30L, ts(5000), "view", 0.0))
+    val in = MemoryStream[Streams.Event]
+    val q = Streams.topkStream(in.toDS(), m = 2).writeStream
+      .format("memory").queryName("ss_ev").outputMode(OutputMode.Append()).start()
+    in.addData(events); q.processAllAvailable()
+    val fin = spark.sql("SELECT * FROM ss_ev").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    q.stop()
+    assert(fin === Set((10L, 3L, 0L), (30L, 2L, 1L)))
+    // bounds: item 30 true count 1; est 2 >= 1 >= est - err = 1
+  }
 }
