@@ -1090,6 +1090,52 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** LSH RECALL EVALUATION — what fraction of the TRUE near-dup pairs
+    * (exact Jaccard ≥ τ) does the fixed 4×2 band geometry actually
+    * catch? [[thresholdSweep]] tunes the verify knob over the
+    * candidate set; this measures the candidate set itself against
+    * ground truth — the other half of calibrating an LSH deployment.
+    * Ground truth runs on a pinned 500-doc prefix (doc_id < 500, the
+    * same audit scale as `dd_setsim_join`'s quadratic proof) so the
+    * exact side stays enumerable at ANY corpus size: the filter pushes
+    * to the scan and the audit cost is constant while the corpus grows.
+    * Exact intersections come from a shared-shingle inverted-index join
+    * (count of co-occurring distinct shingles — never a quadratic
+    * array-intersect pass); τ membership and recall are integer
+    * (cross-multiplied boundary, ppm floor division).
+    *
+    * A pair with NO shared shingle has J = 0 and cannot reach any
+    * τ ≥ 50%, so the inverted-index join loses no true pair. */
+  def lshRecallEval(spark: SparkSession, dir: String): DataFrame = {
+    val subset = Tables.documents(spark, dir).filter(col("doc_id") < 500)
+    val sh = withShingles(subset).select(col("doc_id"), col("shingles"))
+      .localCheckpoint() // feeds the exact side twice + the band side
+    val sizes = sh.select(col("doc_id"), size(col("shingles")).cast("long").as("n"))
+    val inter = sh.select(col("doc_id"), explode(col("shingles")).as("s"))
+      .as("l").join(sh.select(col("doc_id"), explode(col("shingles")).as("s")).as("r"),
+        col("l.s") === col("r.s") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    val cand = lshPairsFromBands(minhashBandsOf(subset))
+      .withColumn("caught", lit(true))
+    val scored = inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("uni", col("na") + col("nb") - col("inter"))
+      .join(cand, Seq("doc_a", "doc_b"), "left")
+      .withColumn("caught", coalesce(col("caught"), lit(false)))
+    scored
+      .select(explode(array(Seq(50, 60, 70, 80).map(lit): _*)).as("tau_pct"),
+        col("inter"), col("uni"), col("caught"))
+      .filter(col("inter") * 100 >= col("tau_pct") * col("uni"))
+      .groupBy("tau_pct")
+      .agg(count(lit(1)).as("n_true"),
+        expr("CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)").as("n_caught"))
+      .select(col("tau_pct").cast("long").as("tau_pct"), col("n_true"), col("n_caught"),
+        expr("n_caught * 1000000L div n_true").as("recall_ppm"))
+      .orderBy("tau_pct")
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — when multiple ingest sources
     * carry the same documents, dedup must pick ONE keeper per content
     * key and the drops redistribute the corpus across sources. The
@@ -1128,6 +1174,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cross_source_matrix" -> crossSourceMatrix _,
+    "dd_lsh_recall_eval"     -> lshRecallEval _,
     "dd_setsim_join"         -> setsimJoin _,
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
@@ -1255,6 +1302,34 @@ object Dedup {
     s"WITH RECURSIVE ${dedupGroupsCtesFrom("documents")}"
 
   val oracles: Map[String, String] = Map(
+    // exact side from the quadratic list_intersect definition (the
+    // engine's inverted-index count must equal it), same bands, same
+    // integer tau boundary and ppm recall
+    "dd_lsh_recall_eval" ->
+      s"""WITH ${shingleCteFrom("(SELECT * FROM documents WHERE doc_id < 500)")},
+         $minhashBandCtes,
+         cand AS (
+           SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+           WHERE a.doc_id < b.doc_id),
+         p AS (
+           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS i,
+             CAST(len(a.shingles) + len(b.shingles)
+                  - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS u
+           FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+         pc AS (
+           SELECT p.i, p.u, (c.doc_a IS NOT NULL) AS caught
+           FROM p LEFT JOIN cand c ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b),
+         g AS (
+           SELECT CAST(t.tau AS BIGINT) AS tau_pct,
+             CAST(sum(CASE WHEN i * 100 >= t.tau * u THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN i * 100 >= t.tau * u AND caught THEN 1 ELSE 0 END) AS BIGINT) AS n_caught
+           FROM (SELECT unnest([50, 60, 70, 80]) AS tau) t, pc
+           GROUP BY 1)
+         SELECT tau_pct, n_true, n_caught,
+                n_caught * 1000000 // n_true AS recall_ppm
+         FROM g ORDER BY tau_pct""",
     // same min-(source, doc_id) keeper rule via a window rank
     "dd_cross_source_matrix" ->
       """WITH d AS (SELECT

@@ -290,7 +290,38 @@ object Multimodal {
       .orderBy("lang")
   }
 
+  /** FRAME-LEVEL DEDUP AUDIT — cross-video duplicate frame detection:
+    * sample every frame ([[frameSample]] k=1 over the stubbed
+    * [[decode]]), bucket each frame by a perceptual-hash stand-in (a
+    * 9-bit truncation of the frame content hash — real pipelines use
+    * pHash/videohash bucketing exactly this way, the truncation width
+    * just mimics perceptual collision rates on synthetic payloads; the
+    * `% 8` folds model a video's looped frames), and report the
+    * buckets shared by ≥2 videos: the candidate set a frame-dedup pass
+    * would verify. Top 50 by frame mass with a full deterministic tie
+    * order.
+    *
+    * Scale: decode + frame explode + bucket hash are all map-side
+    * (explode bounded by n_frames ≤ 32); ONE groupBy on the bucket key;
+    * TakeOrderedAndProject for the limit. The Spark-side plumbing —
+    * schema, explode shape, partitioning — is the real deliverable; the
+    * perceptual hash is the clearly-marked stub this container imposes
+    * (no codec libraries). */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frameSample(decode(binaryized(spark, dir)), everyK = 1)
+      .select(col("doc_id"),
+        expr("""CAST(conv(substring(md5(concat(md5(payload), '-',
+                 CAST(frame_idx % 8 AS STRING))), 1, 4), 16, 10) AS BIGINT) % 512""")
+          .as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_frames"),
+        countDistinct(col("doc_id")).as("n_videos"))
+      .filter(col("n_videos") >= 2)
+      .orderBy(desc("n_frames"), col("bucket"))
+      .limit(50)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_frame_dedup"    -> frameDedup _,
     "mm_pair_curation"  -> pairCuration _,
     "mm_binary_meta"    -> binaryMeta _,
     "mm_neardup_pairs"  -> byteNearDupPairs _,
@@ -299,6 +330,21 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // same synthetic n_frames branch, same truncated-hash bucketing
+    "mm_frame_dedup" ->
+      """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),
+         f AS (SELECT doc_id, h,
+                 unnest(range(0, 1 + (CAST('0x' || substr(h, 9, 2) AS INTEGER) % 32)))
+                   AS frame_idx
+               FROM d),
+         b AS (SELECT doc_id,
+                 CAST('0x' || substr(md5(h || '-' || CAST(frame_idx % 8 AS VARCHAR)),
+                   1, 4) AS BIGINT) % 512 AS bucket
+               FROM f)
+         SELECT bucket, count(*) AS n_frames,
+                count(DISTINCT doc_id) AS n_videos
+         FROM b GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+         ORDER BY n_frames DESC, bucket LIMIT 50""",
     // same md5-branch decode, same gate expressions, same running
     // passer count within sha256(text)
     "mm_pair_curation" ->

@@ -269,6 +269,39 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** RSI (Relative Strength Index, Cutler's simple-average variant) —
+    * per user, over the trailing 14 one-step differences of the value
+    * series: RSI = 100 · gains / (gains + losses). Entirely integer:
+    * diffs in cents, gain/loss sums as BIGINT frame sums, the index in
+    * ppm via floor division — no float smoothing constant (Wilder's
+    * EWMA variant trades that away for recursive float state). Emits
+    * only full 14-diff frames with movement (gains + losses > 0): a
+    * flat frame has no defined relative strength.
+    *
+    * Scale: the lag and the two frame sums share ONE user_id window
+    * sort; everything stays in whole-stage codegen. */
+  def rsiPerUser(spark: SparkSession, dir: String): DataFrame =
+    rsiOf(Tables.events(spark, dir))
+
+  /** [[rsiPerUser]] core over any events-shaped frame (spec entry). */
+  private[graft] def rsiOf(events: DataFrame): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val w14 = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(-13, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("diff", col("cents") - lag(col("cents"), 1).over(byTime))
+      .filter(col("diff").isNotNull)
+      .withColumn("gains", sum(greatest(col("diff"), lit(0L))).over(w14))
+      .withColumn("losses", sum(greatest(-col("diff"), lit(0L))).over(w14))
+      .withColumn("nd", count(lit(1)).over(w14))
+      .filter(col("nd") === 14 && col("gains") + col("losses") > 0)
+      .select(col("user_id"), col("event_id"), col("gains"), col("losses"),
+        expr("gains * 1000000L div (gains + losses)").as("rsi_ppm"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** Analytic-function family in one pass: quartile (ntile), dense rank
     * and cumulative distribution of customer balances per market segment. */
   def analyticRanks(spark: SparkSession, dir: String): DataFrame = {
@@ -1111,6 +1144,7 @@ object Windows {
     "win_rolling_frames"     -> rollingFrames _,
     "win_rolling_median"     -> rollingMedian _,
     "win_bollinger"          -> bollingerBreakouts _,
+    "win_rsi"                -> rsiPerUser _,
     "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
@@ -1622,6 +1656,25 @@ object Windows {
                 ELSE fr[CAST(len(fr) // 2 AS INTEGER)] + fr[CAST(len(fr) // 2 + 1 AS INTEGER)]
                 END AS BIGINT) AS med_x2_cents
          FROM w ORDER BY user_id, event_id""",
+    // same lag-diff, same integer frame sums and ppm floor division
+    "win_rsi" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+                    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+         d AS (SELECT user_id, event_id, ts,
+                 cents - lag(cents, 1) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id) AS diff
+               FROM e),
+         f AS (SELECT user_id, event_id,
+                 CAST(sum(greatest(diff, 0)) OVER fr AS BIGINT) AS gains,
+                 CAST(sum(greatest(-diff, 0)) OVER fr AS BIGINT) AS losses,
+                 count(*) OVER fr AS nd
+               FROM d WHERE diff IS NOT NULL
+               WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+         SELECT user_id, event_id, gains, losses,
+                gains * 1000000 // (gains + losses) AS rsi_ppm
+         FROM f WHERE nd = 14 AND gains + losses > 0
+         ORDER BY user_id, event_id""",
     // the identical n²-multiplied integer band predicate (sums cast back
     // to BIGINT — DuckDB windowed SUM(BIGINT) is HUGEINT)
     "win_bollinger" ->

@@ -58,6 +58,47 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(got === Set((1L, 1L)))
   }
 
+  test("rsiOf: all-gain frame pegs at 1e6 ppm; a loss rebalances exactly") {
+    import spark.implicits._
+    // 15 rising values (14 gains of 10c) then one 70c drop: the 16th
+    // frame holds 13 gains (130c) + 1 loss (70c) -> 650000 ppm
+    val vals = (0 to 14).map(i => 1.00 + i * 0.10) :+ (1.00 + 14 * 0.10 - 0.70)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1, new java.sql.Timestamp(1000L * (i + 1)), 1L, "view", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = Windows.rsiOf(df).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        (r.getAs[Long]("gains"), r.getAs[Long]("losses"), r.getAs[Long]("rsi_ppm")))
+      .toMap
+    assert(got.keySet === Set(15L, 16L)) // only full 14-diff frames
+    assert(got(15L) === ((140L, 0L, 1000000L)))
+    assert(got(16L) === ((130L, 70L, 650000L)))
+  }
+
+  test("lshRecallEval: caught <= true, true non-increasing in tau, recall sane") {
+    val rows = Dedup.lshRecallEval(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("tau_pct")).toSeq === Seq(50L, 60L, 70L, 80L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_caught") <= r.getAs[Long]("n_true"))
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+      assert(r.getAs[Long]("recall_ppm") ===
+        r.getAs[Long]("n_caught") * 1000000L / r.getAs[Long]("n_true"))
+    }
+    val trues = rows.map(_.getAs[Long]("n_true")).toSeq
+    assert(trues === trues.sorted.reverse) // tighter tau admits fewer pairs
+  }
+
+  test("frameDedup buckets: 9-bit range, n_frames >= n_videos >= 2") {
+    val rows = Multimodal.frameDedup(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 0L && b < 512L)
+      assert(r.getAs[Long]("n_frames") >= r.getAs[Long]("n_videos"))
+      assert(r.getAs[Long]("n_videos") >= 2L)
+    }
+  }
+
   test("fertility cohort sums equal the per-doc tokenCount rollup") {
     val dir = "/root/testdata/sf0.001"
     val viaDoc = graft.functions.TextAnalysis.tokenCount(spark, dir)
