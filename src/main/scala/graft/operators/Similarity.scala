@@ -1243,6 +1243,54 @@ object Similarity {
       .orderBy("k")
   }
 
+  /** MATRYOSHKA TRUNCATION RECALL — retrieval quality of PREFIX
+    * sub-vectors against the full-dimension ranking: top-k per query
+    * using only the first d ∈ {8,16,32} of 64 components (prefix-
+    * renormalized cosine, the MRL serving convention), scored as
+    * recall@k against the full-width brute-force top-k. The curve a
+    * deployment reads to pick how many dims the ANN tier can drop —
+    * the same storage/recall trade PQ and SQ8 make, measured for plain
+    * truncation. Arithmetic follows the family discipline: quantized
+    * integer dots/norms, cosine ranking with a vec_id tie-break, ppm
+    * recall.
+    *
+    * Scale: each prefix pass is the same broadcast-queries ×
+    * corpus-scan shape as [[annMultiQueryTopK]] with per-partition
+    * bounded top-k serving ([[graft.functions.TopKByScore]]) — never a
+    * global sort; the three passes scan once each (a fused single-scan
+    * variant would trade clarity for one scan, the win the PQ/SQ8
+    * serving paths already demonstrate). */
+  def matryoshkaRecall(spark: SparkSession, dir: String,
+                       probeBound: Long = 20L, k: Int = 10): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+    def prefixTopK(d: Int): DataFrame = {
+      val ep = e.withColumn("pe", slice(col("embedding"), 1, d))
+        .withColumn("na", quantNormSq(col("pe")))
+      val queries = ep.filter(col("vec_id") < probeBound)
+        .select(col("vec_id").as("q_id"), col("pe").as("qe"), col("na").as("qna"))
+      val scored = ep.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+        .withColumn("cos",
+          quantDot(col("pe"), col("qe")).cast("double")
+            / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+      graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
+        .select(col("q_id"), col("key").as("vec_id"))
+    }
+    val full = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id"), col("vec_id"))
+    val nQueries = e.filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    Seq(8, 16, 32)
+      .map(d => prefixTopK(d).withColumn("dims", lit(d)))
+      .reduce(_ unionAll _)
+      .join(full, Seq("q_id", "vec_id"))
+      .groupBy("dims")
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("dims").cast("long").as("dims"), col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+      .orderBy("dims")
+  }
+
   /** OUT-OF-DISTRIBUTION RATE per label — embedding-drift monitoring
     * against the fitted cell structure: a vector is OOD when NO fitted
     * centroid reaches cosine ≥ τ (= it lives between the cells the
@@ -1346,6 +1394,7 @@ object Similarity {
     "sim_cluster_topics" -> ((s: SparkSession, d: String) => clusterTopics(s, d)),
     "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
     "sim_recall_curve"   -> ((s: SparkSession, d: String) => recallCurve(s, d)),
+    "sim_matryoshka_recall" -> ((s: SparkSession, d: String) => matryoshkaRecall(s, d)),
     "sim_kmeans_inertia" -> ((s: SparkSession, d: String) => kmeansInertia(s, d)),
     "sim_triplet_mining" -> ((s: SparkSession, d: String) => tripletMining(s, d)),
     "sim_mmr_rerank"     -> ((s: SparkSession, d: String) => mmrRerank(s, d)),
@@ -1782,6 +1831,45 @@ object Similarity {
          GROUP BY l.label ORDER BY l.label""",
     // same two k=20 serving paths, same (ri<=k AND rb<=k) hit rule per
     // curve point, integer ppm
+    // same quantized prefix dots (list slice), same cosine/vec_id
+    // ranking, same ppm recall against the full-width top-10
+    "sim_matryoshka_recall" -> {
+      // same zipped-unnest dot shape as annMultiVecCtes, over the
+      // d-element list slice
+      def pCte(d: Int): String =
+        s"""p$d AS (
+             SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id ASC) AS rnk
+             FROM (
+               SELECT q_id, vec_id,
+                 CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+               FROM (
+                 SELECT q_id, vec_id,
+                   SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                     * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS dot,
+                   SUM(CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)
+                     * CAST(round(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS na,
+                   SUM(CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)
+                     * CAST(round(CAST(y AS DOUBLE) * 1000.0) AS BIGINT)) AS nb
+                 FROM (SELECT q.q_id, e.vec_id,
+                         unnest(e.embedding[1:$d]) AS x, unnest(q.qe) AS y
+                       FROM embeddings e,
+                            (SELECT vec_id AS q_id, embedding[1:$d] AS qe
+                             FROM embeddings WHERE vec_id < 20) q
+                       WHERE e.vec_id <> q.q_id)
+                 GROUP BY q_id, vec_id)))"""
+      s"""WITH ${pCte(8)}, ${pCte(16)}, ${pCte(32)},
+           full64 AS (${annMultiOracleK(10)}),
+           nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),
+           tr AS (SELECT 8 AS dims, q_id, vec_id FROM p8 WHERE rnk <= 10
+                  UNION ALL SELECT 16, q_id, vec_id FROM p16 WHERE rnk <= 10
+                  UNION ALL SELECT 32, q_id, vec_id FROM p32 WHERE rnk <= 10)
+         SELECT CAST(t.dims AS BIGINT) AS dims, nq.n_queries,
+                count(*) AS n_hits,
+                count(*) * 1000000 // (nq.n_queries * 10) AS recall_ppm
+         FROM tr t JOIN full64 f ON t.q_id = f.q_id AND t.vec_id = f.vec_id, nq
+         GROUP BY t.dims, nq.n_queries ORDER BY dims"""
+    },
     "sim_recall_curve" -> s"""WITH ivf AS (${ivfMultiOracleK(20)}),
          brute AS (${annMultiOracleK(20)}),
          nq AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20),

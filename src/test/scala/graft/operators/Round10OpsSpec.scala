@@ -99,6 +99,20 @@ class Round10OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("matryoshkaRecall: wider prefixes never hurt recall; bounds hold") {
+    val rows = Similarity.matryoshkaRecall(spark, "/root/testdata/sf0.001").collect()
+    assert(rows.map(_.getAs[Long]("dims")).toSeq === Seq(8L, 16L, 32L))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= r.getAs[Long]("n_queries") * 10)
+      assert(r.getAs[Long]("recall_ppm") <= 1000000L)
+    }
+    // monotonicity is a property of THIS corpus, not a theorem (prefix
+    // rankings can reshuffle) — assert the weaker sane-curve bound: the
+    // widest prefix is at least as good as the narrowest
+    val byDims = rows.map(r => r.getAs[Long]("dims") -> r.getAs[Long]("n_hits")).toMap
+    assert(byDims(32L) >= byDims(8L))
+  }
+
   test("fertility cohort sums equal the per-doc tokenCount rollup") {
     val dir = "/root/testdata/sf0.001"
     val viaDoc = graft.functions.TextAnalysis.tokenCount(spark, dir)
