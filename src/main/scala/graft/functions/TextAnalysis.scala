@@ -872,7 +872,50 @@ object TextAnalysis {
         expr("n_re_tokens * 100000000L div n_chars").as("re_per_100c_ppm"))
       .orderBy("lang", "source")
 
+  /** DATA-MIX REBALANCING — temperature-flattened multilingual token
+    * targets (the mT5/XLM-R α=0.5 convention: sample weights ∝
+    * √(corpus share), so head languages shrink and tail languages
+    * grow) converted into per-language sampling rates. Weights are
+    * `floor(√n_tokens)` — IEEE sqrt is correctly rounded, so the floor
+    * is engine-deterministic (exact on perfect squares, never
+    * integer-adjacent otherwise); targets split the corpus total over
+    * the weights by Hamilton largest remainder (sums EXACTLY to total —
+    * [[graft.operators.Aggregations.allocBudget]]'s rule in token
+    * space); keep_ppm = min(1, target/current). Languages under their
+    * flattened share keep everything — up-sampling is a repetition
+    * policy, not a filter, and the surplus stays visible as
+    * target > kept.
+    *
+    * Scale: tokenize map-side, ONE low-cardinality groupBy; the
+    * largest-remainder windows run over |languages| rows. */
+  def mixRebalance(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cur = Tables.documents(spark, dir)
+      .select(col("lang"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+          .cast("long").as("tk"))
+      .groupBy("lang").agg(sum(col("tk")).as("n_tokens"))
+      .withColumn("w", expr("CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)"))
+    val withTotal = cur
+      .withColumn("total", sum(col("n_tokens")).over(Window.partitionBy()))
+      .withColumn("wt", sum(col("w")).over(Window.partitionBy()))
+    val byRem = Window.orderBy(desc("rem"), asc("lang"))
+    withTotal
+      .withColumn("fl", expr("total * w div wt"))
+      .withColumn("rem", expr("(total * w) % wt"))
+      .withColumn("rk", row_number().over(byRem).cast("long"))
+      .withColumn("target_tokens",
+        col("fl") + when(col("rk") <= col("total") - expr("CAST(sum(fl) OVER () AS BIGINT)"),
+          1L).otherwise(0L))
+      .withColumn("keep_ppm",
+        least(lit(1000000L), expr("target_tokens * 1000000L div n_tokens")))
+      .select(col("lang"), col("n_tokens"), col("target_tokens"), col("keep_ppm"),
+        expr("n_tokens * keep_ppm div 1000000L").as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ta_mix_rebalance" -> mixRebalance _,
     "ta_fertility" -> fertility _,
     "ta_blocklist_filter" -> ((s: SparkSession, d: String) => blocklistFilter(s, d)),
     "ta_k_anonymity" -> ((s: SparkSession, d: String) => kAnonymity(s, d)),
@@ -925,6 +968,33 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same sqrt-flattened weights, same largest-remainder hand-out
+    "ta_mix_rebalance" ->
+      """WITH cur AS (
+           SELECT lang,
+             CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+               AS n_tokens
+           FROM documents GROUP BY 1),
+         w AS (SELECT lang, n_tokens,
+                 CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+               FROM cur),
+         t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                      CAST(sum(w) AS BIGINT) AS wt FROM w),
+         s AS (SELECT w.lang, w.n_tokens,
+                 (t.total * w.w) // t.wt AS fl,
+                 (t.total * w.w) % t.wt AS rem,
+                 t.total
+               FROM w, t),
+         q AS (SELECT lang, n_tokens,
+                 fl + CASE WHEN CAST(row_number() OVER (ORDER BY rem DESC, lang ASC) AS BIGINT)
+                           <= total - CAST(sum(fl) OVER () AS BIGINT)
+                      THEN 1 ELSE 0 END AS target_tokens
+               FROM s)
+         SELECT lang, n_tokens, target_tokens,
+                least(1000000, target_tokens * 1000000 // n_tokens) AS keep_ppm,
+                n_tokens * least(1000000, target_tokens * 1000000 // n_tokens)
+                  // 1000000 AS kept_tokens
+         FROM q ORDER BY lang""",
     // same two tokenizers, same integer ppm-per-100-chars ratios
     "ta_fertility" ->
       """WITH t AS (

@@ -1112,7 +1112,51 @@ object Aggregations {
       .orderBy("c_nationkey")
   }
 
+  /** DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL — the percentile-
+    * method 95% CI for total daily revenue, with the resampling RNG
+    * replaced by an md5-derived index stream (draw (b, j) picks day
+    * `md5("b_j") % n`): every engine and every re-run draws the SAME
+    * resamples, so the interval is hash-gateable — seeded-RNG
+    * reproducibility taken to its logical end, the same discipline as
+    * [[graft.functions.TextAnalysis.epochShuffle]]. B = 200 resample
+    * sums over the daily-revenue dictionary; bounds are the exact 5th
+    * and 196th order statistics (2.5% / 98%, bi tie-break), in integer
+    * cents end to end.
+    *
+    * Scale: the dictionary is calendar-bounded (days, not events), so
+    * the B×n draw table is a map-side explode off a BROADCAST
+    * dictionary — the corpus-sized work is only the one daily groupBy;
+    * the global windows run over ≤ max(B, days) rows. */
+  def bootstrapCi(spark: SparkSession, dir: String, b: Int = 200): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(to_date(col("ts")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+      .groupBy("d").agg(sum(col("vc")).as("v"))
+    val idx = daily
+      .withColumn("i", row_number().over(Window.orderBy("d")).cast("long") - 1)
+      .select("i", "v")
+    val stats = idx.agg(count(lit(1)).as("n"), sum(col("v")).as("observed"))
+    val draws = spark.range(b.toLong).select(col("id").as("bi"))
+      .crossJoin(broadcast(stats.select(col("n"))))
+      .select(col("bi"), explode(expr("sequence(0L, n - 1)")).as("j"), col("n"))
+      .withColumn("pick", expr(
+        """CAST(conv(substring(md5(concat(CAST(bi AS STRING), '_',
+          |CAST(j AS STRING))), 1, 8), 16, 10) AS BIGINT) % n""".stripMargin))
+      .join(broadcast(idx), col("pick") === col("i"))
+      .groupBy("bi").agg(sum(col("v")).as("rs"))
+    val ranked = draws
+      .withColumn("rk", row_number().over(Window.orderBy(col("rs"), col("bi"))))
+    ranked.filter(col("rk") === 5 || col("rk") === b - 4)
+      .agg(min(col("rs")).as("lo_sum_cents"), max(col("rs")).as("hi_sum_cents"))
+      .crossJoin(broadcast(stats))
+      .select(col("n").as("n_days"), lit(b.toLong).as("n_resamples"),
+        col("observed").as("observed_sum_cents"),
+        col("lo_sum_cents"), col("hi_sum_cents"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "agg_bootstrap_ci"        -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
     "agg_alloc_budget"        -> ((s: SparkSession, d: String) => allocBudget(s, d)),
     "agg_winsorize"           -> winsorize _,
     "agg_audience_overlap"    -> audienceOverlap _,
@@ -1154,6 +1198,30 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same md5-indexed draws over the same day dictionary, same exact
+    // order statistics
+    "agg_bootstrap_ci" ->
+      """WITH daily AS (
+           SELECT CAST(ts AS DATE) AS d,
+                  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v
+           FROM events GROUP BY 1),
+         idx AS (SELECT row_number() OVER (ORDER BY d) - 1 AS i, v FROM daily),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(v) AS BIGINT) AS observed FROM idx),
+         draws AS (
+           SELECT b.bi, CAST('0x' || substr(md5(CAST(b.bi AS VARCHAR) || '_'
+                    || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT) % st.n AS pick
+           FROM (SELECT unnest(range(200)) AS bi) b,
+                (SELECT unnest(range((SELECT n FROM st))) AS j) j,
+                st),
+         rs AS (SELECT d.bi, CAST(sum(i.v) AS BIGINT) AS rs
+                FROM draws d JOIN idx i ON d.pick = i.i GROUP BY 1),
+         rk AS (SELECT rs, row_number() OVER (ORDER BY rs, bi) AS rk FROM rs)
+         SELECT st.n AS n_days, CAST(200 AS BIGINT) AS n_resamples,
+                st.observed AS observed_sum_cents,
+                (SELECT rs FROM rk WHERE rk = 5) AS lo_sum_cents,
+                (SELECT rs FROM rk WHERE rk = 196) AS hi_sum_cents
+         FROM st""",
     // same floor/mod split of B*rev, same (rem desc, key) leftover
     // hand-out
     "agg_alloc_budget" ->

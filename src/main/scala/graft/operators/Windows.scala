@@ -269,6 +269,45 @@ object Windows {
       .orderBy("user_id", "event_id")
   }
 
+  /** INTERVAL COVERAGE (union length) — per user, the total time
+    * covered by the union of their activity intervals and the count of
+    * merged islands: the other half of the sweep-line family
+    * ([[maxConcurrencyOf]] measures overlap DEPTH; this measures
+    * covered EXTENT, the dedup rule billing/SLA math needs so double-
+    * booked time never counts twice). Interval = [t, t + cents·10ms]
+    * (value-proportional duration, exact micros). Island detection is
+    * the classic running-max sweep: an interval opens a new island iff
+    * its start exceeds the max end among all earlier intervals; island
+    * extent = max(end) − min(start). All BIGINT.
+    *
+    * Scale: ONE user_id shuffle; the running-max window, the island
+    * prefix-sum, and both aggregates all ride the same partitioning —
+    * per-user sort bounded by the user's own event count. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    intervalCoverageOf(Tables.events(spark, dir).select(col("user_id"),
+      expr("ts_ns div 1000").as("s"),
+      (expr("ts_ns div 1000")
+        + expr("CAST(round(value * 100) AS BIGINT)") * lit(10000L)).as("e")))
+
+  /** [[intervalCoverage]] core over any (user_id, s, e) micros frame
+    * (spec entry). */
+  private[graft] def intervalCoverageOf(iv: DataFrame): DataFrame = {
+    val byStart = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+    val prevMax = Window.partitionBy("user_id").orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    iv
+      .withColumn("pmax", max(col("e")).over(prevMax))
+      .withColumn("new_isl",
+        when(col("pmax").isNull || col("s") > col("pmax"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("new_isl")).over(byStart))
+      .groupBy("user_id", "isl")
+      .agg(min(col("s")).as("i_s"), max(col("e")).as("i_e"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("i_e") - col("i_s")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
   /** RSI (Relative Strength Index, Cutler's simple-average variant) —
     * per user, over the trailing 14 one-step differences of the value
     * series: RSI = 100 · gains / (gains + losses). Entirely integer:
@@ -1145,6 +1184,7 @@ object Windows {
     "win_rolling_median"     -> rollingMedian _,
     "win_bollinger"          -> bollingerBreakouts _,
     "win_rsi"                -> rsiPerUser _,
+    "win_interval_coverage"  -> intervalCoverage _,
     "win_analytic_ranks"     -> analyticRanks _,
     "win_sessionize"         -> sessionizeEvents _,
     "win_topk_per_customer"  -> topkOrdersPerCustomer _,
@@ -1656,6 +1696,29 @@ object Windows {
                 ELSE fr[CAST(len(fr) // 2 AS INTEGER)] + fr[CAST(len(fr) // 2 + 1 AS INTEGER)]
                 END AS BIGINT) AS med_x2_cents
          FROM w ORDER BY user_id, event_id""",
+    // same running-max sweep: island opens when start exceeds the max
+    // prior end; extents summed per user
+    "win_interval_coverage" ->
+      """WITH iv AS (SELECT user_id,
+                    epoch_us(ts) AS s,
+                    epoch_us(ts) + CAST(round(value * 100) AS BIGINT) * 10000 AS e
+                  FROM events),
+         sw AS (SELECT user_id, s, e,
+                 max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM iv),
+         fl AS (SELECT user_id, s, e,
+                 CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END AS new_isl
+               FROM sw),
+         il AS (SELECT user_id, s, e,
+                 CAST(sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS isl
+               FROM fl),
+         ext AS (SELECT user_id, isl, min(s) AS i_s, max(e) AS i_e
+                 FROM il GROUP BY 1, 2)
+         SELECT user_id, count(*) AS n_islands,
+                CAST(sum(i_e - i_s) AS BIGINT) AS covered_us
+         FROM ext GROUP BY 1 ORDER BY 1""",
     // same lag-diff, same integer frame sums and ppm floor division
     "win_rsi" ->
       """WITH e AS (SELECT user_id, event_id, ts,

@@ -113,6 +113,59 @@ class Round10OpsSpec extends AnyFunSuite {
     assert(byDims(32L) >= byDims(8L))
   }
 
+  test("intervalCoverageOf: overlaps merge, gaps split, zero-length islands count") {
+    import spark.implicits._
+    // user 1: [0,10] + [5,20] merge (covered 20), [30,35] separate
+    // user 2: [0,0] zero-length island + [10,15]
+    val iv = Seq(
+      (1L, 0L, 10L), (1L, 5L, 20L), (1L, 30L, 35L),
+      (2L, 0L, 0L), (2L, 10L, 15L))
+      .toDF("user_id", "s", "e")
+    val got = Windows.intervalCoverageOf(iv).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_islands"), r.getAs[Long]("covered_us"))).toMap
+    assert(got(1L) === ((2L, 25L)))
+    assert(got(2L) === ((2L, 5L)))
+  }
+
+  test("intervalCoverageOf: touching endpoints merge (start == prior max end)") {
+    import spark.implicits._
+    val iv = Seq((1L, 0L, 10L), (1L, 10L, 20L)).toDF("user_id", "s", "e")
+    val got = Windows.intervalCoverageOf(iv).collect()
+    assert(got.length === 1)
+    assert(got(0).getAs[Long]("n_islands") === 1L)
+    assert(got(0).getAs[Long]("covered_us") === 20L)
+  }
+
+  test("bootstrapCi: interval brackets the observed total and is reproducible") {
+    val a = Aggregations.bootstrapCi(spark, "/root/testdata/sf0.001").collect()(0)
+    val b = Aggregations.bootstrapCi(spark, "/root/testdata/sf0.001").collect()(0)
+    assert(a.toSeq === b.toSeq) // md5-indexed draws: bit-identical re-runs
+    val (lo, hi, obs) = (a.getAs[Long]("lo_sum_cents"), a.getAs[Long]("hi_sum_cents"),
+      a.getAs[Long]("observed_sum_cents"))
+    assert(lo <= hi)
+    // percentile-bootstrap CIs bracket the point estimate on any
+    // non-degenerate sample (the resample distribution is centered on it)
+    assert(lo <= obs && obs <= hi)
+    assert(a.getAs[Long]("n_resamples") === 200L)
+  }
+
+  test("mixRebalance: targets conserve the corpus total; head shrinks, tail grows") {
+    val rows = graft.functions.TextAnalysis.mixRebalance(spark, "/root/testdata/sf0.001")
+      .collect()
+    val total = rows.map(_.getAs[Long]("n_tokens")).sum
+    assert(rows.map(_.getAs[Long]("target_tokens")).sum === total) // exact Hamilton
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_ppm") <= 1000000L)
+      assert(r.getAs[Long]("kept_tokens") <= r.getAs[Long]("n_tokens"))
+    }
+    // sqrt flattening: the LARGEST language is cut below its natural
+    // share, the SMALLEST keeps everything (target >= current)
+    val byTokens = rows.sortBy(_.getAs[Long]("n_tokens"))
+    assert(byTokens.last.getAs[Long]("target_tokens") < byTokens.last.getAs[Long]("n_tokens"))
+    assert(byTokens.head.getAs[Long]("target_tokens") >= byTokens.head.getAs[Long]("n_tokens"))
+  }
+
   test("fertility cohort sums equal the per-doc tokenCount rollup") {
     val dir = "/root/testdata/sf0.001"
     val viaDoc = graft.functions.TextAnalysis.tokenCount(spark, dir)
