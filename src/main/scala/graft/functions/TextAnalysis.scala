@@ -431,6 +431,66 @@ object TextAnalysis {
         col("score").cast("long").as("score_micro"))
   }
 
+  /** PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION (Rocchio) — the classic
+    * two-round retrieval loop: BM25 top-5 per query, then the feedback
+    * docs nominate expansion terms (highest integer rarity score
+    * tf_fb·10⁶ div df among tokens NOT already in the query, top-3,
+    * token-asc ties), then BM25 re-runs with the expanded term set and
+    * the final ranking is emitted. Shares [[bm25ScoreMicroSql]] and the
+    * exact (score desc, doc_id asc) serving rule with the other BM25
+    * variants, so both rounds stay hash-gateable.
+    *
+    * Scale: both rounds are the [[bm25TopKOf]] shape — the corpus-
+    * sized tf table is filtered by a BROADCAST term set before
+    * anything joins, and top-k serving is per-partition bounded. The
+    * price of expansion is one extra pass over tf for the round-2 df;
+    * the feedback/expansion tables between rounds are query-bounded
+    * (≤ queries × 5 docs × doc length) and broadcast. */
+  def queryExpansion(spark: SparkSession, dir: String,
+                     k: Int = 5, nExp: Int = 3): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
+      .toDF("q_id", "token")
+    def score(qt: DataFrame): DataFrame = {
+      val tfq = tf.join(broadcast(qt.select("token").distinct()), "token")
+      val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+      tfq.join(broadcast(qt), "token")
+        .join(broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("score_micro", expr(bm25ScoreMicroSql))
+        .groupBy("q_id", "doc_id")
+        .agg(sum(col("score_micro")).as("score"))
+    }
+    val round1 = graft.functions.TopKByScore
+      .serveTopK(score(qtok), "q_id", col("score").cast("double"), col("doc_id"), k)
+      .select(col("q_id"), col("key").as("doc_id"))
+    val fbTf = tf.join(broadcast(round1), "doc_id")
+      .groupBy("q_id", "token").agg(sum(col("tf")).as("tf_fb"))
+      .join(qtok, Seq("q_id", "token"), "left_anti")
+    val dfCand = tf.join(broadcast(fbTf.select("token").distinct()), "token")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy("q_id").orderBy(desc("exp_score"), asc("token"))
+    val expansion = fbTf.join(broadcast(dfCand), "token")
+      .withColumn("exp_score", expr("tf_fb * 1000000L div df"))
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= nExp)
+      .select("q_id", "token")
+    val qtok2 = qtok.unionByName(expansion).distinct()
+    graft.functions.TopKByScore
+      .serveTopK(score(broadcast(qtok2)), "q_id", col("score").cast("double"), col("doc_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
+        col("score").cast("long").as("score_micro"))
+  }
+
   /** PERSISTED BM25 postings index: the corpus side of [[bm25TopKOf]]
     * built ONCE — `(doc_id, token, tf, dl)` written token-bucketed
     * ([[graft.sources.Bucketing.writeBucketed]]) plus a 1-row corpus
@@ -941,6 +1001,7 @@ object TextAnalysis {
     "ta_bm25_persisted" -> ((s: SparkSession, d: String) => bm25Persisted(s, d)),
     "ta_bm25_incremental" -> ((s: SparkSession, d: String) => bm25Incremental(s, d)),
     "ta_hybrid_rrf" -> ((s: SparkSession, d: String) => hybridRrf(s, d)),
+    "ta_query_expansion" -> ((s: SparkSession, d: String) => queryExpansion(s, d)),
     "ta_quality_classifier" -> qualityClassifier _,
   )
 
@@ -1337,6 +1398,7 @@ object TextAnalysis {
     // (same tf/dl/df/stats arithmetic), so it shares the oracle verbatim
     "ta_bm25_incremental" -> bm25Oracle,
     "ta_bm25_topk" -> bm25Oracle,
+    "ta_query_expansion" -> queryExpansionOracle,
     "ta_hybrid_rrf" -> hybridRrfOracle,
     // hashed linear classifier: the md5-hex→int bucket is the same
     // list_reduce pattern as ta_split_assign; bigrams are t[i]||' '||
@@ -1400,6 +1462,46 @@ object TextAnalysis {
   private lazy val bm25Oracle: String =
     s"""WITH $bm25Ctes
          SELECT q_id, rnk, doc_id, score AS score_micro FROM r
+         WHERE rnk <= 5 ORDER BY q_id, rnk"""
+
+  /** Rocchio oracle: round-1 CTEs verbatim, the same rarity-ranked
+    * expansion pick, then the scoring chain replayed over qt ∪ ex. */
+  private lazy val queryExpansionOracle: String =
+    s"""WITH $bm25Ctes,
+         fb AS (SELECT q_id, doc_id FROM r WHERE rnk <= 5),
+         fbtf AS (
+           SELECT f.q_id, t.token, CAST(sum(t.tf) AS BIGINT) AS tf_fb
+           FROM fb f JOIN tf t ON f.doc_id = t.doc_id
+           LEFT JOIN qt q2 ON q2.q_id = f.q_id AND q2.token = t.token
+           WHERE q2.token IS NULL
+           GROUP BY 1, 2),
+         dfall AS (SELECT token, count(*) AS df FROM tf
+                   WHERE token IN (SELECT DISTINCT token FROM fbtf) GROUP BY 1),
+         ex AS (SELECT q_id, token FROM (
+                  SELECT f.q_id, f.token,
+                    row_number() OVER (PARTITION BY f.q_id
+                      ORDER BY f.tf_fb * 1000000 // d.df DESC, f.token ASC) AS rn
+                  FROM fbtf f JOIN dfall d ON f.token = d.token) WHERE rn <= 3),
+         qt2 AS (SELECT q_id, token FROM qt UNION SELECT q_id, token FROM ex),
+         dfq2 AS (SELECT token, count(*) AS df FROM tf
+                  WHERE token IN (SELECT DISTINCT token FROM qt2) GROUP BY 1),
+         sc2 AS (SELECT q.q_id, t.doc_id,
+                  CAST(round(((CAST(st.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                      / (CAST(d.df AS DOUBLE) + 0.5))
+                    * (CAST(t.tf AS DOUBLE) / (CAST(t.tf AS DOUBLE)
+                      + 1.2 * (0.25 + 0.75 * (CAST(l.dl AS DOUBLE)
+                        / (CAST(st.total_len AS DOUBLE) / CAST(st.n_docs AS DOUBLE))))))
+                    * 1000000.0) AS BIGINT) AS score_micro
+                FROM tf t JOIN qt2 q ON t.token = q.token
+                JOIN dfq2 d ON t.token = d.token
+                JOIN dl l ON t.doc_id = l.doc_id
+                CROSS JOIN st),
+         agg2 AS (SELECT q_id, doc_id, CAST(sum(score_micro) AS BIGINT) AS score
+                  FROM sc2 GROUP BY 1, 2),
+         r2 AS (SELECT q_id, doc_id, score,
+                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id ASC) AS rnk
+                FROM agg2)
+         SELECT q_id, rnk, doc_id, score AS score_micro FROM r2
          WHERE rnk <= 5 ORDER BY q_id, rnk"""
 
   /** Hybrid-retrieval fusion oracle: the shared BM25 CTEs (lexical

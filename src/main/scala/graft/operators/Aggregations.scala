@@ -1112,6 +1112,77 @@ object Aggregations {
       .orderBy("c_nationkey")
   }
 
+  /** LOG2 VALUE HISTOGRAM — order-of-magnitude profiling of the event
+    * value distribution (the long-tail shape check): bucket =
+    * floor(log2(cents)), computed EXACTLY as the length of the binary
+    * digit string (`bin`/`to_base(…,2)`) — no float log whose boundary
+    * rounding could disagree across engines at powers of two. Zero
+    * values get bucket −1 (no binary magnitude); per bucket: count,
+    * min/max cents (the audit that buckets are tight).
+    *
+    * Scale: pure map-side projection + one ≤64-group aggregate. */
+  def log2Hist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bucket",
+        when(col("cents") <= 0, lit(-1L))
+          .otherwise(length(expr("bin(cents)")).cast("long") - 1))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"))
+      .orderBy("bucket")
+
+  /** CUPED VARIANCE REDUCTION — the industry-standard pre-experiment
+    * covariate adjustment (Deng et al., WSDM'13): per user, X = pre-
+    * period spend and Y = experiment-period spend (calendar split at
+    * the observed midpoint day), θ = cov(X,Y)/var(X) pooled, and the
+    * treatment effect re-estimated on Y−θX. Moments are EXACT BIGINT
+    * (dollar units — round(value) — keep n·Σxy inside the BIGINT
+    * envelope through the 10× gate; a 100× deployment would lift the
+    * moment columns to DECIMAL(38,0) as `agg_ab_significance` does);
+    * the only floats are the final θ, means-difference and adjusted
+    * difference, each a fixed short sequence of correctly-rounded IEEE
+    * ops over exact integers (the `agg_chi2_cells` discipline), so the
+    * row still hashes identically across engines. Variant split is
+    * A = even user_id, matching [[abSignificanceOf]].
+    *
+    * Scale: one user_id aggregate off the scan, then a single 1-row
+    * global moment aggregate — partial+final all the way; the midpoint
+    * is a broadcast scalar. */
+  def cupedAdjustment(spark: SparkSession, dir: String): DataFrame =
+    cupedOf(Tables.events(spark, dir))
+
+  /** [[cupedAdjustment]] core over any events-shaped frame (spec entry). */
+  private[graft] def cupedOf(events: DataFrame): DataFrame = {
+    val base = events.select(col("user_id"), to_date(col("ts")).as("d"),
+      expr("CAST(round(value) AS BIGINT)").as("v"))
+    val mid = base.agg(expr(
+      "date_add(min(d), CAST(datediff(max(d), min(d)) div 2 AS INT))").as("mid"))
+    val per = base.crossJoin(broadcast(mid))
+      .groupBy("user_id")
+      .agg(sum(when(col("d") < col("mid"), col("v")).otherwise(0L)).as("x"),
+        sum(when(col("d") >= col("mid"), col("v")).otherwise(0L)).as("y"))
+      .withColumn("t", when(col("user_id") % 2 === 0, 1L).otherwise(0L))
+    per.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+      sum(col("t")).as("n_t"), sum(lit(1L) - col("t")).as("n_c"),
+      sum(col("t") * col("x")).as("sx_t"), sum((lit(1L) - col("t")) * col("x")).as("sx_c"),
+      sum(col("t") * col("y")).as("sy_t"), sum((lit(1L) - col("t")) * col("y")).as("sy_c"))
+      .withColumn("cov_n2", expr("n * sxy - sx * sy"))
+      .withColumn("var_n2", expr("n * sxx - sx * sx"))
+      .withColumn("theta",
+        expr("CAST(cov_n2 AS DOUBLE) / CAST(var_n2 AS DOUBLE)"))
+      .withColumn("raw_diff",
+        expr("CAST(sy_t * n_c - sy_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE)"))
+      .withColumn("x_diff",
+        expr("CAST(sx_t * n_c - sx_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE)"))
+      .withColumn("adj_diff", expr("raw_diff - theta * x_diff"))
+      .select("n", "n_t", "n_c", "cov_n2", "var_n2",
+        "theta", "raw_diff", "x_diff", "adj_diff")
+  }
+
   /** DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL — the percentile-
     * method 95% CI for total daily revenue, with the resampling RNG
     * replaced by an md5-derived index stream (draw (b, j) picks day
@@ -1157,6 +1228,8 @@ object Aggregations {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "agg_bootstrap_ci"        -> ((s: SparkSession, d: String) => bootstrapCi(s, d)),
+    "agg_cuped"               -> cupedAdjustment _,
+    "agg_log2_hist"           -> log2Hist _,
     "agg_alloc_budget"        -> ((s: SparkSession, d: String) => allocBudget(s, d)),
     "agg_winsorize"           -> winsorize _,
     "agg_audience_overlap"    -> audienceOverlap _,
@@ -1198,6 +1271,48 @@ object Aggregations {
   )
 
   val oracles: Map[String, String] = Map(
+    // same binary-digit-length bucketing (to_base mirrors bin)
+    "agg_log2_hist" ->
+      """WITH c AS (SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events)
+         SELECT CASE WHEN cents <= 0 THEN -1
+                     ELSE CAST(len(to_base(cents, 2)) AS BIGINT) - 1 END AS bucket,
+                count(*) AS n,
+                CAST(min(cents) AS BIGINT) AS min_cents,
+                CAST(max(cents) AS BIGINT) AS max_cents
+         FROM c GROUP BY 1 ORDER BY 1""",
+    // same dollar units, same exact BIGINT moments, same two-divide /
+    // one-multiply IEEE tail
+    "agg_cuped" ->
+      """WITH base AS (
+           SELECT user_id, CAST(ts AS DATE) AS d,
+                  CAST(round(value) AS BIGINT) AS v
+           FROM events),
+         mid AS (SELECT min(d) + CAST(CAST(date_diff('day', min(d), max(d)) AS BIGINT)
+                    // 2 AS INTEGER) AS mid FROM base),
+         per AS (
+           SELECT user_id,
+             CAST(sum(CASE WHEN d < (SELECT mid FROM mid) THEN v ELSE 0 END) AS BIGINT) AS x,
+             CAST(sum(CASE WHEN d >= (SELECT mid FROM mid) THEN v ELSE 0 END) AS BIGINT) AS y,
+             CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS t
+           FROM base GROUP BY 1),
+         m AS (
+           SELECT CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(t) AS BIGINT) AS n_t, CAST(sum(1 - t) AS BIGINT) AS n_c,
+             CAST(sum(t * x) AS BIGINT) AS sx_t, CAST(sum((1 - t) * x) AS BIGINT) AS sx_c,
+             CAST(sum(t * y) AS BIGINT) AS sy_t, CAST(sum((1 - t) * y) AS BIGINT) AS sy_c
+           FROM per)
+         SELECT n, n_t, n_c,
+           n * sxy - sx * sy AS cov_n2,
+           n * sxx - sx * sx AS var_n2,
+           CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+           CAST(sy_t * n_c - sy_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE) AS raw_diff,
+           CAST(sx_t * n_c - sx_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE) AS x_diff,
+           CAST(sy_t * n_c - sy_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE)
+             - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+               * (CAST(sx_t * n_c - sx_c * n_t AS DOUBLE) / CAST(n_t * n_c AS DOUBLE)) AS adj_diff
+         FROM m""",
     // same md5-indexed draws over the same day dictionary, same exact
     // order statistics
     "agg_bootstrap_ci" ->

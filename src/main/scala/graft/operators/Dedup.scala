@@ -1136,6 +1136,35 @@ object Dedup {
       .orderBy("tau_pct")
   }
 
+  /** QUALITY-KEEP DEDUP RESOLUTION — the near-dup group walk keeps
+    * min-doc_id by default ([[dedupGroups]] `is_canonical`); production
+    * dedup usually keeps the BEST member instead. This re-resolves
+    * every multi-member group under the keep-longest rule (n_chars
+    * desc, doc_id asc tie) and accounts the trade: per group, the
+    * keeper, its length, and the char mass dropped — the table a
+    * curation review reads before committing to a keep policy.
+    *
+    * Scale: group labels come from the persisted index
+    * ([[groupsTable]] — zero signature/fixpoint work on a hit); one
+    * join to the doc-length projection and ONE group aggregate whose
+    * argmax is a struct-max (partial-aggregable — no window, no
+    * per-group sort). */
+  def keepLongest(spark: SparkSession, dir: String): DataFrame = {
+    val g = groupsTable(spark, dir).select("doc_id", "group_id", "group_size")
+    val docs = Tables.documents(spark, dir).select("doc_id", "n_chars")
+    g.filter(col("group_size") > 1).join(docs, "doc_id")
+      .groupBy("group_id")
+      .agg(max(struct(col("n_chars"), (-col("doc_id")).as("negid"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_chars")).as("total_chars"))
+      .select(col("group_id"),
+        (-col("best.negid")).as("keep_doc_id"),
+        col("best.n_chars").as("kept_chars"),
+        col("n_members"),
+        (col("total_chars") - col("best.n_chars")).as("dropped_chars"))
+      .orderBy("group_id")
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — when multiple ingest sources
     * carry the same documents, dedup must pick ONE keeper per content
     * key and the drops redistribute the corpus across sources. The
@@ -1175,6 +1204,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_cross_source_matrix" -> crossSourceMatrix _,
     "dd_lsh_recall_eval"     -> lshRecallEval _,
+    "dd_keep_longest"        -> keepLongest _,
     "dd_setsim_join"         -> setsimJoin _,
     "dd_exact_summary"       -> exactSummary _,
     "dd_dedup_pipeline"      -> dedupPipelinePairs _,
@@ -1330,6 +1360,23 @@ object Dedup {
          SELECT tau_pct, n_true, n_caught,
                 n_caught * 1000000 // n_true AS recall_ppm
          FROM g ORDER BY tau_pct""",
+    // same group walk; keep-longest re-resolution via a window argmax
+    "dd_keep_longest" ->
+      s"""$dedupGroupsCtes,
+         sz AS (SELECT g.doc_id, g.group_id, d.n_chars,
+                  count(*) OVER (PARTITION BY g.group_id) AS gs
+                FROM g JOIN documents d ON g.doc_id = d.doc_id),
+         r AS (SELECT group_id, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY group_id
+                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+               FROM sz WHERE gs > 1)
+         SELECT group_id,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS keep_doc_id,
+           CAST(max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT) AS kept_chars,
+           count(*) AS n_members,
+           CAST(sum(n_chars) - max(CASE WHEN rn = 1 THEN n_chars END) AS BIGINT)
+             AS dropped_chars
+         FROM r GROUP BY 1 ORDER BY 1""",
     // same min-(source, doc_id) keeper rule via a window rank
     "dd_cross_source_matrix" ->
       """WITH d AS (SELECT
