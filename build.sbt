@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST stdout line of `sbt "runMain graft.Bench"`
+// as the bench totals JSON. Two things broke that for 8 rounds: the
+// forked program's stdout was routed through sbt's logger (`[info] `
+// prefix on every line) and sbt printed its `[success] Total time…`
+// epilogue AFTER the totals line. Raw stdout passthrough + no success
+// banner make the program's own final line the final stdout line.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -630,7 +630,14 @@ object CorpusOps {
       .join(broadcast(top.select(col("t").as("a"), col("df").as("n_a"))), Seq("a"))
       .join(broadcast(top.select(col("t").as("b"), col("df").as("n_b"))), Seq("b"))
       .crossJoin(broadcast(n))
-      .withColumn("lift_ppm", expr("n_ab * n_docs * 1000000 div (n_a * n_b)"))
+      // DECIMAL(38,0) envelope (ADVICE r8): the numerator is bounded by
+      // N²·10⁶, which exceeds BIGINT past ~3M documents — and Spark
+      // wraps silently while DuckDB errors, so at scale the gate would
+      // diverge invisibly. 38-digit decimal holds N up to ~10¹⁶; the
+      // integral divide still returns an exact BIGINT ppm.
+      .withColumn("lift_ppm", expr(
+        "cast(n_ab as decimal(38,0)) * n_docs * 1000000 " +
+          "div (cast(n_a as decimal(38,0)) * n_b)"))
       .select(col("a"), col("b"), col("n_a"), col("n_b"), col("n_ab"), col("lift_ppm"))
       .orderBy(col("lift_ppm").desc, col("a").asc, col("b").asc)
       .limit(k)
@@ -812,7 +819,8 @@ object CorpusOps {
                 FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.t < b.t
                 GROUP BY 1, 2)
          SELECT pr.a, pr.b, ta.df AS n_a, tb.df AS n_b, pr.n_ab,
-                pr.n_ab * n.n_docs * 1000000 // (ta.df * tb.df) AS lift_ppm
+                CAST(CAST(pr.n_ab AS HUGEINT) * n.n_docs * 1000000
+                     // (CAST(ta.df AS HUGEINT) * tb.df) AS BIGINT) AS lift_ppm
          FROM pr
          JOIN top ta ON pr.a = ta.t
          JOIN top tb ON pr.b = tb.t, n

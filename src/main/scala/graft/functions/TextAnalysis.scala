@@ -440,31 +440,30 @@ object TextAnalysis {
     * exact (score desc, doc_id asc) serving rule with the other BM25
     * variants, so both rounds stay hash-gateable.
     *
-    * Scale: both rounds are the [[bm25TopKOf]] shape — the corpus-
-    * sized tf table is filtered by a BROADCAST term set before
-    * anything joins, and top-k serving is per-partition bounded. The
-    * price of expansion is one extra pass over tf for the round-2 df;
-    * the feedback/expansion tables between rounds are query-bounded
+    * Scale (r8 verdict #4): both rounds read the PERSISTED token-
+    * bucketed postings `(doc_id, token, tf, dl)` + 1-row stats table
+    * ([[buildBm25Index]], the `bm25Persisted` lifecycle) — the corpus
+    * is never re-tokenized at query time. Every postings access is
+    * filtered by a BROADCAST term/doc set before anything joins, the
+    * per-token df aggregations run exchange-free off the bucketed
+    * scan, and top-k serving is per-partition bounded. The
+    * feedback/expansion tables between rounds are query-bounded
     * (≤ queries × 5 docs × doc length) and broadcast. */
   def queryExpansion(spark: SparkSession, dir: String,
                      k: Int = 5, nExp: Int = 3): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val toks = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
-      .filter(length(col("token")) > 0)
-    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
-    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_len"))
+    val (postName, statName) = buildBm25Index(spark, dir)
+    val post = spark.table(postName) // (doc_id, token, tf, dl)
+    val stats = spark.table(statName) // (n_docs, total_len)
     val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
       .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
       .toDF("q_id", "token")
     def score(qt: DataFrame): DataFrame = {
-      val tfq = tf.join(broadcast(qt.select("token").distinct()), "token")
+      val tfq = post.join(broadcast(qt.select("token").distinct()), "token")
       val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
       tfq.join(broadcast(qt), "token")
         .join(broadcast(dfq), "token")
-        .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
         .withColumn("score_micro", expr(bm25ScoreMicroSql))
         .groupBy("q_id", "doc_id")
@@ -473,10 +472,10 @@ object TextAnalysis {
     val round1 = graft.functions.TopKByScore
       .serveTopK(score(qtok), "q_id", col("score").cast("double"), col("doc_id"), k)
       .select(col("q_id"), col("key").as("doc_id"))
-    val fbTf = tf.join(broadcast(round1), "doc_id")
+    val fbTf = post.join(broadcast(round1), "doc_id")
       .groupBy("q_id", "token").agg(sum(col("tf")).as("tf_fb"))
       .join(qtok, Seq("q_id", "token"), "left_anti")
-    val dfCand = tf.join(broadcast(fbTf.select("token").distinct()), "token")
+    val dfCand = post.join(broadcast(fbTf.select("token").distinct()), "token")
       .groupBy("token").agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy("q_id").orderBy(desc("exp_score"), asc("token"))
     val expansion = fbTf.join(broadcast(dfCand), "token")

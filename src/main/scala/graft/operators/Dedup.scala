@@ -1124,15 +1124,23 @@ object Dedup {
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .join(cand, Seq("doc_a", "doc_b"), "left")
       .withColumn("caught", coalesce(col("caught"), lit(false)))
+    // tau axis built UNCONDITIONALLY (no pre-aggregation filter): a tau
+    // level with zero true pairs must still emit its row (n_true = 0,
+    // recall 0), exactly like the oracle's cross-joined tau list —
+    // filtering first made the row count diverge on sparse data, and
+    // the unguarded division was a latent div-by-zero on both sides.
     scored
       .select(explode(array(Seq(50, 60, 70, 80).map(lit): _*)).as("tau_pct"),
         col("inter"), col("uni"), col("caught"))
-      .filter(col("inter") * 100 >= col("tau_pct") * col("uni"))
       .groupBy("tau_pct")
-      .agg(count(lit(1)).as("n_true"),
-        expr("CAST(sum(CASE WHEN caught THEN 1 ELSE 0 END) AS BIGINT)").as("n_caught"))
+      .agg(
+        expr("CAST(sum(CASE WHEN inter * 100 >= tau_pct * uni THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_true"),
+        expr("CAST(sum(CASE WHEN inter * 100 >= tau_pct * uni AND caught THEN 1 ELSE 0 END) AS BIGINT)")
+          .as("n_caught"))
       .select(col("tau_pct").cast("long").as("tau_pct"), col("n_true"), col("n_caught"),
-        expr("n_caught * 1000000L div n_true").as("recall_ppm"))
+        expr("CASE WHEN n_true > 0 THEN n_caught * 1000000L div n_true ELSE 0L END")
+          .as("recall_ppm"))
       .orderBy("tau_pct")
   }
 
@@ -1358,7 +1366,8 @@ object Dedup {
            FROM (SELECT unnest([50, 60, 70, 80]) AS tau) t, pc
            GROUP BY 1)
          SELECT tau_pct, n_true, n_caught,
-                n_caught * 1000000 // n_true AS recall_ppm
+                CASE WHEN n_true > 0 THEN n_caught * 1000000 // n_true
+                     ELSE 0 END AS recall_ppm
          FROM g ORDER BY tau_pct""",
     // same group walk; keep-longest re-resolution via a window argmax
     "dd_keep_longest" ->

@@ -323,7 +323,15 @@ object Streams {
 
   // ------------------------------------------------------- sessionize
 
-  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String, value: Double)
+  /** `event_id` is the secondary ordering key (ADVICE r8): the batch
+    * window twins order by (ts, event_id), so every per-batch fold here
+    * sorts by the same pair — with ids supplied, stream/batch
+    * equivalence holds for equal-timestamp events too, not just
+    * strictly-increasing series. Defaulted so sources without an id
+    * (hand-built specs) keep compiling; equal-(ts, id) rows fall back
+    * to arrival order exactly as before. */
+  case class Event(user_id: Long, ts: java.sql.Timestamp, event_type: String,
+                   value: Double, event_id: Long = 0L)
   case class SessionState(start: Long, lastSeen: Long, n: Long, total: Double)
   case class Session(user_id: Long, session_start: java.sql.Timestamp,
                      session_end: java.sql.Timestamp, n_events: Long, total_value: Double)
@@ -347,7 +355,7 @@ object Streams {
             Iterator(Session(userId, new java.sql.Timestamp(s.start),
               new java.sql.Timestamp(s.lastSeen), s.n, s.total))
           } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
             var st = state.getOption
             val closed = Seq.newBuilder[Session]
             sorted.foreach { e =>
@@ -393,7 +401,7 @@ object Streams {
         (uid: Long, rows: Iterator[Event], state: GroupState[EwmaState]) =>
           var buf = state.getOption.map(_.cents).getOrElse(Seq.empty)
           var seen = 0L
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             buf = (math.round(e.value * 100.0) +: buf).take(8)
             seen += 1
           }
@@ -425,7 +433,7 @@ object Streams {
       .mapGroupsWithState[FunnelState, FunnelOut](GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[FunnelState]) =>
           var s = state.getOption.getOrElse(FunnelState(None, None, None))
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime
             e.event_type match {
               case "view" if s.tView.isEmpty =>
@@ -457,11 +465,10 @@ object Streams {
     * seen) — O(1) forever; the downstream consumer aggregates steps into
     * the matrix with an ordinary streaming groupBy count, so matrix
     * maintenance never replays history. Per-batch rows fold in
-    * event-time order like every mirror here; for STRICTLY-INCREASING
-    * per-user timestamps the emitted step multiset equals the batch
-    * lead-pair set (the batch operator tie-breaks equal timestamps on
-    * event_id, which [[Event]] does not carry — equal-ts events per user
-    * may order differently here). */
+    * event-time order like every mirror here, tie-breaking equal
+    * timestamps on event_id exactly like the batch lead-pair query —
+    * with ids supplied the emitted step multiset equals the batch set
+    * for any arrival pattern within a batch. */
   def transitionsStream(events: Dataset[Event])
                        (implicit spark: SparkSession): Dataset[TransStep] = {
     import spark.implicits._
@@ -472,7 +479,7 @@ object Streams {
         (uid: Long, rows: Iterator[Event], state: GroupState[TransState]) =>
           var prev = state.getOption.flatMap(_.prevType)
           val out = Seq.newBuilder[TransStep]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             prev.foreach(p => out += TransStep(uid, p, e.event_type))
             prev = Some(e.event_type)
           }
@@ -493,8 +500,8 @@ object Streams {
     * holds `watermark`-worth of both streams). Each batch folds its
     * group's rows in event-time order, so for STRICTLY-INCREASING
     * per-user timestamps the emitted rows equal the batch window query
-    * row-for-row (equal-ts ties order by event_id in the batch operator
-    * but are unordered here — [[Event]] carries no id); purchases before
+    * row-for-row (equal-ts ties order by event_id on BOTH sides when the
+    * source supplies [[Event.event_id]]); purchases before
     * any touch emit NULL attribution exactly like the batch frame does. */
   def lastTouchStream(events: Dataset[Event])
                      (implicit spark: SparkSession): Dataset[TouchOut] = {
@@ -506,7 +513,7 @@ object Streams {
         (uid: Long, rows: Iterator[Event], state: GroupState[TouchState]) =>
           var s = state.getOption.getOrElse(TouchState(None, None))
           val out = Seq.newBuilder[TouchOut]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val t = e.ts.getTime
             e.event_type match {
               case "purchase" =>
@@ -537,8 +544,8 @@ object Streams {
     * the batch running-max frame. Each batch emits the user's updated
     * summary row; per-batch rows fold in event-time order, so for
     * STRICTLY-INCREASING per-user timestamps the last emission per user
-    * equals the batch operator's row (equal-ts ties order by event_id
-    * in the batch query — [[Event]] carries no id). */
+    * equals the batch operator's row; equal-ts ties order by event_id on
+    * both sides when the source supplies [[Event.event_id]]. */
   def drawdownStream(events: Dataset[Event])
                     (implicit spark: SparkSession): Dataset[DdOut] = {
     import spark.implicits._
@@ -548,7 +555,7 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (uid: Long, rows: Iterator[Event], state: GroupState[DdState]) =>
           var s = state.getOption.getOrElse(DdState(0L, 0L, 0L, 0L))
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val delta = e.event_type match {
               case "purchase" | "signup" => math.round(e.value * 100.0)
               case "error" | "click"     => -math.round(e.value * 100.0)
@@ -571,9 +578,10 @@ object Streams {
     * cross-multiplied integer comparison, evaluated against the ring
     * BEFORE the new value enters it. Each batch folds its rows in
     * event-time order, so for STRICTLY-INCREASING per-user timestamps
-    * the flagged set equals the batch operator's (equal-ts ties order
-    * by event_id in the batch query but are unordered here — [[Event]]
-    * carries no id). `t` is epoch micros, matching the batch output. */
+    * the flagged set equals the batch operator's; equal-ts ties order by
+    * event_id on both sides when the source supplies
+    * [[Event.event_id]]. `t` is epoch micros, matching the batch
+    * output. */
   def anomalyStream(events: Dataset[Event])
                    (implicit spark: SparkSession): Dataset[SpikeOut] = {
     import spark.implicits._
@@ -584,7 +592,7 @@ object Streams {
         (uid: Long, rows: Iterator[Event], state: GroupState[SpikeState]) =>
           var buf = state.getOption.map(_.cents).getOrElse(Seq.empty)
           val out = Seq.newBuilder[SpikeOut]
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val c = math.round(e.value * 100.0)
             val weights = buf.indices.map(j => 128L >> j)
             val num = buf.zip(weights).map { case (x, w) => x * w }.sum
@@ -631,7 +639,7 @@ object Streams {
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, rows: Iterator[Event], state: GroupState[SsState]) =>
           var cs = state.getOption.map(_.counters).getOrElse(Seq.empty)
-          rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
             val item = e.user_id
             cs.indexWhere(_.item == item) match {
               case i if i >= 0 =>
