@@ -456,12 +456,24 @@ object TextAnalysis {
     val (postName, statName) = buildBm25Index(spark, dir)
     val post = spark.table(postName) // (doc_id, token, tf, dl)
     val stats = spark.table(statName) // (n_docs, total_len)
-    val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+    val dfTab = spark.table(buildBm25DfTable(spark, dir)) // (token, df)
+    val qpairs = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
       .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
-      .toDF("q_id", "token")
-    def score(qt: DataFrame): DataFrame = {
-      val tfq = post.join(broadcast(qt.select("token").distinct()), "token")
-      val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
+    val qtok = qpairs.toDF("q_id", "token")
+    // term sets are PLAN-TIME LITERALS on both rounds, so the token-
+    // bucketed postings/df reads bucket-prune and row-group-filter
+    // instead of scanning the whole index (the point of the bucketed
+    // layout; a broadcast-join filter alone prunes nothing at scan
+    // time). Round 2\'s terms come from a documented bounded collect of
+    // the expansion table (<= queries * nExp rows) — which also keeps the
+    // round-2 plan STATIC: broadcast-deriving qtok2 from the expansion
+    // DataFrame re-executed the whole round-1 + feedback DAG inside
+    // round 2\'s broadcast exchange (measured ~2.4 single-round costs).
+    def score(qt: DataFrame, lits: Seq[String]): DataFrame = {
+      val tfq = post.filter(col("token").isin(lits: _*))
+        .join(broadcast(qt.select("token").distinct()), "token")
+      val dfq = dfTab.filter(col("token").isin(lits: _*))
+        .join(broadcast(qt.select("token").distinct()), "token")
       tfq.join(broadcast(qt), "token")
         .join(broadcast(dfq), "token")
         .crossJoin(broadcast(stats))
@@ -469,23 +481,26 @@ object TextAnalysis {
         .groupBy("q_id", "doc_id")
         .agg(sum(col("score_micro")).as("score"))
     }
+    val tok1 = qpairs.map(_._2).distinct
     val round1 = graft.functions.TopKByScore
-      .serveTopK(score(qtok), "q_id", col("score").cast("double"), col("doc_id"), k)
+      .serveTopK(score(qtok, tok1), "q_id", col("score").cast("double"), col("doc_id"), k)
       .select(col("q_id"), col("key").as("doc_id"))
     val fbTf = post.join(broadcast(round1), "doc_id")
       .groupBy("q_id", "token").agg(sum(col("tf")).as("tf_fb"))
       .join(qtok, Seq("q_id", "token"), "left_anti")
-    val dfCand = post.join(broadcast(fbTf.select("token").distinct()), "token")
-      .groupBy("token").agg(count(lit(1)).as("df"))
+    val dfCand = dfTab.join(broadcast(fbTf.select("token").distinct()), "token")
     val byRarity = Window.partitionBy("q_id").orderBy(desc("exp_score"), asc("token"))
-    val expansion = fbTf.join(broadcast(dfCand), "token")
+    val expRows = fbTf.join(broadcast(dfCand), "token")
       .withColumn("exp_score", expr("tf_fb * 1000000L div df"))
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= nExp)
       .select("q_id", "token")
-    val qtok2 = qtok.unionByName(expansion).distinct()
+      .collect() // bounded: <= queries * nExp rows
+    val qtok2 = (qpairs ++ expRows.map(r => (r.getLong(0), r.getString(1))))
+      .distinct.toDF("q_id", "token")
+    val tok2 = (tok1 ++ expRows.map(_.getString(1))).distinct
     graft.functions.TopKByScore
-      .serveTopK(score(broadcast(qtok2)), "q_id", col("score").cast("double"), col("doc_id"), k)
+      .serveTopK(score(qtok2, tok2), "q_id", col("score").cast("double"), col("doc_id"), k)
       .select(col("q_id"), col("rnk"), col("key").as("doc_id"),
         col("score").cast("long").as("score_micro"))
   }
@@ -539,6 +554,25 @@ object TextAnalysis {
         buckets = 8, keys = Seq("token"))
     }
     (postName, statName)
+  }
+
+  /** Per-token document-frequency table over the persisted postings —
+    * built once alongside the index, so serving paths that need df for
+    * a BROADCAST candidate token set ([[queryExpansion]]'s two rounds)
+    * read a vocabulary-sized table instead of scanning + aggregating
+    * the postings. Values are exactly `postings.groupBy(token).count`,
+    * i.e. identical to computing df at query time — the oracle is
+    * unaffected. */
+  def buildBm25DfTable(spark: SparkSession, dir: String): String = {
+    val (postName, _) = buildBm25Index(spark, dir)
+    val dfName = s"bm25_df_${graft.sources.IndexStore.keyOf(dir)}"
+    if (!spark.catalog.tableExists(dfName)) {
+      spark.table(postName).groupBy("token").agg(count(lit(1)).as("df"))
+        .write.mode("overwrite")
+        .option("path", new java.io.File(s"target/index/$dfName").getAbsolutePath)
+        .saveAsTable(dfName)
+    }
+    dfName
   }
 
   /** [[bm25TopK]] served from the persisted postings index —

@@ -1389,7 +1389,91 @@ object Similarity {
         col("score").as("cos"))
   }
 
+  /** NN-DESCENT k-NN GRAPH construction (Dong/Moses/Li, WWW'11) — the
+    * graph-based ANN index family (HNSW/NSG's build primitive) the
+    * IVF/SQ8/PQ stack doesn't cover, expressed relationally: start each
+    * node with k deterministic ring neighbors (vec_id + j·17 mod n —
+    * no RNG, so the DuckDB oracle replays the build bit-for-bit), then
+    * each round every node considers its NEIGHBORS-OF-NEIGHBORS over
+    * the undirected current graph (the NN-descent observation: a
+    * neighbor of my neighbor is likely my neighbor) and keeps the
+    * best k by quantized cosine (score desc, vec_id asc ties — the
+    * family's serving rule).
+    *
+    * Scale: per round, candidates are one adjacency self-join on the
+    * shared midpoint — degree is EXACTLY k by construction, so the
+    * candidate set is ≤ |V|·(2k)² rows, linear in nodes forever (the
+    * same bound the sparsified triangle/link-predict family rides);
+    * scoring joins the embedding table by key twice (co-partitioned
+    * hash joins, corpus never crosses the wire more than once per
+    * round); per-node top-k is the typed bounded partial aggregation;
+    * localCheckpoint per round keeps lineage flat like every iterative
+    * operator here. */
+  private[operators] def nndescentKnnOf(e0: DataFrame, k: Int, rounds: Int): DataFrame = {
+    val e = e0.select(col("vec_id"), col("embedding"))
+      .withColumn("nsq", quantNormSq(col("embedding")))
+    val ea = e.select(col("vec_id").as("u"), col("embedding").as("eu"), col("nsq").as("nu"))
+    val eb = e.select(col("vec_id").as("v"), col("embedding").as("ev"), col("nsq").as("nv"))
+    def scoreTopK(pairs: DataFrame): DataFrame =
+      graft.functions.TopKByScore.serveTopK(
+        pairs.join(ea, "u").join(eb, "v")
+          .withColumn("cos",
+            quantDot(col("eu"), col("ev")).cast("double")
+              / (sqrt(col("nu").cast("double")) * sqrt(col("nv").cast("double")))),
+        "u", col("cos"), col("v"), k)
+        .select(col("u"), col("rnk"), col("key").as("v"), col("score").as("cos"))
+    val n = e.agg(count(lit(1)).as("n"))
+    val seed = e.select(col("vec_id").as("u")).crossJoin(broadcast(n))
+      .select(col("u"),
+        explode(expr(s"transform(sequence(1, $k), j -> (u + j * 17L) % n)")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    var knn = scoreTopK(seed).localCheckpoint()
+    (1 to rounds).foreach { _ =>
+      val und = knn.select(col("u"), col("v"))
+        .unionAll(knn.select(col("v").as("u"), col("u").as("v")))
+      val cand = und.as("a").join(und.as("b"),
+          col("a.v") === col("b.u") && col("a.u") =!= col("b.v"))
+        .select(col("a.u").as("u"), col("b.v").as("v"))
+        .unionAll(knn.select(col("u"), col("v")))
+        .distinct()
+      knn = scoreTopK(cand).localCheckpoint()
+    }
+    knn
+  }
+
+  /** [[nndescentKnnOf]] serving emit: the probe nodes' final neighbor
+    * lists (q_id < probeBound, rank ≤ k). */
+  def nndescentTopK(spark: SparkSession, dir: String, k: Int = 10,
+                    rounds: Int = 3, probeBound: Long = 20L): DataFrame =
+    nndescentKnnOf(Tables.embeddings(spark, dir), k, rounds)
+      .filter(col("u") < probeBound)
+      .select(col("u").as("q_id"), col("rnk"), col("v").as("vec_id"), col("cos"))
+      .orderBy("q_id", "rnk")
+
+  /** The NN-descent RECALL GATE — recall@k of the converged graph's
+    * probe rows against brute-force exact top-k (the [[recallCurve]]
+    * discipline applied to the graph index): one integer-ppm row. */
+  def nndescentRecall(spark: SparkSession, dir: String, k: Int = 10,
+                      rounds: Int = 3, probeBound: Long = 20L): DataFrame = {
+    val knn = nndescentKnnOf(Tables.embeddings(spark, dir), k, rounds)
+      .filter(col("u") < probeBound)
+      .select(col("u").as("q_id"), col("v").as("vec_id"))
+    val brute = annMultiQueryTopK(spark, dir, probeBound, k)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    knn.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_nndescent_topk" -> ((s: SparkSession, d: String) => nndescentTopK(s, d)),
+    "sim_nndescent_recall" -> ((s: SparkSession, d: String) => nndescentRecall(s, d)),
     "sim_ann_filtered"   -> ((s: SparkSession, d: String) => annFiltered(s, d)),
     "sim_cluster_topics" -> ((s: SparkSession, d: String) => clusterTopics(s, d)),
     "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
@@ -1727,7 +1811,63 @@ object Similarity {
                FROM sc)
          SELECT q_id, rnk, vec_id, score_adc FROM r WHERE rnk <= 5"""
 
+  /** NN-descent replay CTEs: same ring seed (vec_id + j·17 mod n), same
+    * neighbors-of-neighbors candidate generation per round, same
+    * quantized-integer scoring and (cos desc, v asc) top-k. Ends at
+    * `k_<rounds>(u, v, cos, rn)`. Per-round rank CTEs are MATERIALIZED
+    * (chained single-reference CTEs otherwise inline into a planner
+    * blow-up — the unrolled-PageRank lesson). */
+  private def nndescentCtes(k: Int, rounds: Int): String = {
+    def scoreCtes(src: String, i: Int): String =
+      s"""p_$i AS (SELECT s.u, s.v, unnest(a.qv) AS x, unnest(b.qv) AS y
+                FROM $src s JOIN nq a ON s.u = a.vec_id JOIN nq b ON s.v = b.vec_id),
+         d_$i AS (SELECT u, v, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                FROM p_$i GROUP BY u, v),
+         s_$i AS (SELECT u, v,
+                  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                FROM d_$i),
+         k_$i AS MATERIALIZED (SELECT u, v, cos, rn FROM (
+                  SELECT u, v, cos, row_number() OVER
+                    (PARTITION BY u ORDER BY cos DESC, v ASC) AS rn
+                  FROM s_$i) WHERE rn <= $k)"""
+    val roundCtes = (1 to rounds).map { r =>
+      val p = r - 1
+      s"""u_$r AS (SELECT u, v FROM k_$p UNION SELECT v, u FROM k_$p),
+         c_$r AS (SELECT a.u, b.v FROM u_$r a JOIN u_$r b ON a.v = b.u AND a.u <> b.v
+                  UNION SELECT u, v FROM k_$p),
+         ${scoreCtes(s"c_$r", r)}"""
+    }.mkString(",\n         ")
+    s"""nq AS (SELECT vec_id, list_transform(embedding,
+             x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+           FROM embeddings),
+         nn AS (SELECT count(*) AS n FROM embeddings),
+         c_0 AS (SELECT DISTINCT q.vec_id AS u, (q.vec_id + j.j * 17) % nn.n AS v
+                 FROM nq q, nn, (SELECT unnest(range(1, ${k + 1})) AS j) j
+                 WHERE (q.vec_id + j.j * 17) % nn.n <> q.vec_id),
+         ${scoreCtes("c_0", 0)},
+         $roundCtes"""
+  }
+
+  private def nndescentTopkOracle(k: Int = 10, rounds: Int = 3): String =
+    s"""WITH ${nndescentCtes(k, rounds)}
+         SELECT u AS q_id, rn AS rnk, v AS vec_id, cos
+         FROM k_$rounds WHERE u < 20 ORDER BY q_id, rnk"""
+
+  private def nndescentRecallOracle(k: Int = 10, rounds: Int = 3): String =
+    s"""WITH ${nndescentCtes(k, rounds)},
+         ${annMultiVecCtes(20)},
+         hits AS (SELECT count(*) AS n_hits
+                  FROM k_$rounds f JOIN vr b
+                    ON f.u = b.q_id AND f.v = b.vec_id AND b.rnk <= $k
+                  WHERE f.u < 20),
+         qn AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20)
+         SELECT qn.n_queries, hits.n_hits,
+                hits.n_hits * 1000000 // (qn.n_queries * $k) AS recall_ppm
+         FROM hits, qn"""
+
   val oracles: Map[String, String] = Map(
+    "sim_nndescent_topk" -> nndescentTopkOracle(),
+    "sim_nndescent_recall" -> nndescentRecallOracle(),
     // same broadcast-anchor cosine, same (cos desc|asc, vec_id) top-1
     // per side, same float violation compare
     "sim_triplet_mining" ->

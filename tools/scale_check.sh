@@ -67,6 +67,16 @@ if [ "${1:-}" = "--sf10" ]; then
   # all-integer A/B chi-squared readout
   HEADLINE="$HEADLINE,rel_merkle_diff,agg_mad_outliers"
   HEADLINE="$HEADLINE,win_max_concurrency,agg_ab_significance"
+  # round-9 additions (VERDICT r8 ask #2): the round-8 heavies — the
+  # iterative graph family (link prediction's threshold-prune claim
+  # demonstrated at 100x like paragraph-dedup's was in r8, label
+  # propagation, convergence-stopped PageRank, k-hop BFS), query
+  # expansion now served off the persisted BM25 postings, the exact
+  # rolling median, and the round-9 NN-descent k-NN-graph build
+  HEADLINE="$HEADLINE,rel_link_predict,rel_label_propagation"
+  HEADLINE="$HEADLINE,rel_pagerank_converged,rel_khop_reach"
+  HEADLINE="$HEADLINE,ta_query_expansion,win_rolling_median"
+  HEADLINE="$HEADLINE,sim_nndescent_topk"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
