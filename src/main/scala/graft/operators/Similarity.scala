@@ -1471,9 +1471,111 @@ object Similarity {
         expr(s"n_hits * 1000000 div (n_queries * $k)").as("recall_ppm"))
   }
 
+  /** The NN-descent graph PERSISTED (IndexStore lifecycle — the same
+    * build-once/serve-forever shape as the IVF cells, PQ codes and BM25
+    * postings): `(u, v, cos)`, bucketed by `u` so per-hop frontier
+    * expansion joins ride the bucketed layout. */
+  def buildNndGraph(spark: SparkSession, dir: String,
+                    k: Int = 10, rounds: Int = 3): DataFrame =
+    graft.sources.IndexStore.orBuild(spark,
+      s"nnd_graph_${graft.sources.IndexStore.keyOf(dir)}",
+      buckets = 8, keys = Seq("u")) {
+      nndescentKnnOf(Tables.embeddings(spark, dir), k, rounds)
+        .select(col("u"), col("v"), col("cos"))
+    }
+
+  /** GREEDY BEAM SEARCH over the persisted NN-descent graph — the
+    * SERVE half of graph ANN (the HNSW/NSG query loop at a fixed hop
+    * budget), completing the build → persist → serve story the IVF/PQ
+    * stacks already have. Each probe starts anchored at its own node,
+    * every hop expands the beam's adjacency, scores candidates against
+    * the query (quantized cosine, the family's exact arithmetic), and
+    * keeps the best `beam` visited; after `hops` hops the last
+    * candidate set minus the anchor serves top-`kOut`.
+    *
+    * Adjacency is DEGREE-CAPPED at serve time (each node's `adjCap`
+    * strongest undirected edges by the graph's own stored cosines —
+    * DiskANN's R parameter): NN-descent bounds OUT-degree at k but a
+    * hub's IN-degree is unbounded, and an uncapped hub in the beam
+    * would explode the hop's candidate set (the same in-degree lesson
+    * as rel_link_predict's midpoint cap).
+    *
+    * Scale: per hop, candidates ≤ |probes|·beam·(adjCap+1) — query-
+    * bounded, corpus-independent; scoring joins the embedding table by
+    * key (the corpus never crosses the wire); the graph itself is the
+    * only corpus-sized input and is read bucketed from the persisted
+    * index. localCheckpoint per hop keeps lineage flat. */
+  def graphSearch(spark: SparkSession, dir: String, beam: Int = 8,
+                  hops: Int = 3, kOut: Int = 5, probeBound: Long = 20L,
+                  adjCap: Int = 16, kG: Int = 10, rounds: Int = 3): DataFrame = {
+    val g = buildNndGraph(spark, dir, kG, rounds)
+    val und = g.select(col("u"), col("v"), col("cos"))
+      .unionAll(g.select(col("v").as("u"), col("u").as("v"), col("cos")))
+      .groupBy("u", "v").agg(max(col("cos")).as("ecos"))
+    val byEdge = Window.partitionBy("u").orderBy(desc("ecos"), asc("v"))
+    val adj = und
+      .withColumn("rn", row_number().over(byEdge))
+      .filter(col("rn") <= adjCap)
+      .select(col("u").as("src"), col("v").as("dst"))
+      .localCheckpoint() // feeds every hop's expansion join
+    val e = Tables.embeddings(spark, dir)
+      .withColumn("na", quantNormSq(col("embedding")))
+    val queries = e.filter(col("vec_id") < probeBound)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("na").as("qna"))
+    def scoreOf(cand: DataFrame): DataFrame =
+      cand
+        .join(e.select(col("vec_id").as("v"), col("embedding").as("ve"),
+          col("na").as("vna")), "v")
+        .join(broadcast(queries), "q_id")
+        .withColumn("cos",
+          quantDot(col("ve"), col("qe")).cast("double")
+            / (sqrt(col("vna").cast("double")) * sqrt(col("qna").cast("double"))))
+        .select(col("q_id"), col("v"), col("cos"))
+    var frontier = queries.select(col("q_id"), col("q_id").as("v"))
+    var scored: DataFrame = scoreOf(frontier)
+    (1 to hops).foreach { _ =>
+      val cand = frontier.join(adj, col("v") === col("src"))
+        .select(col("q_id"), col("dst").as("v"))
+        .unionAll(frontier.select(col("q_id"), col("v")))
+        .distinct()
+      scored = scoreOf(cand).localCheckpoint()
+      frontier = graft.functions.TopKByScore
+        .serveTopK(scored, "q_id", col("cos"), col("v"), beam)
+        .select(col("q_id"), col("key").as("v"))
+    }
+    graft.functions.TopKByScore
+      .serveTopK(scored.filter(col("v") =!= col("q_id")),
+        "q_id", col("cos"), col("v"), kOut)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"),
+        col("score").as("cos"))
+  }
+
+  /** Graph-search RECALL GATE vs brute-force exact top-k — the serving
+    * quality number: beam search from the query's own node should beat
+    * the raw build-graph recall (it explores 3 hops of neighborhood
+    * instead of reading one adjacency list). */
+  def graphSearchRecall(spark: SparkSession, dir: String, kOut: Int = 5,
+                        probeBound: Long = 20L): DataFrame = {
+    val served = graphSearch(spark, dir, kOut = kOut, probeBound = probeBound)
+      .select(col("q_id"), col("vec_id"))
+    val brute = annMultiQueryTopK(spark, dir, probeBound, kOut)
+      .select(col("q_id").as("bq"), col("vec_id").as("bv"))
+    val nQueries = Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < probeBound)
+      .agg(count(lit(1)).as("n_queries"))
+    served.join(brute, col("q_id") === col("bq") && col("vec_id") === col("bv"))
+      .agg(count(lit(1)).as("n_hits"))
+      .crossJoin(broadcast(nQueries))
+      .select(col("n_queries"), col("n_hits"),
+        expr(s"n_hits * 1000000 div (n_queries * $kOut)").as("recall_ppm"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_nndescent_topk" -> ((s: SparkSession, d: String) => nndescentTopK(s, d)),
     "sim_nndescent_recall" -> ((s: SparkSession, d: String) => nndescentRecall(s, d)),
+    "sim_graph_search" -> ((s: SparkSession, d: String) => graphSearch(s, d)),
+    "sim_graph_search_recall" -> ((s: SparkSession, d: String) => graphSearchRecall(s, d)),
     "sim_ann_filtered"   -> ((s: SparkSession, d: String) => annFiltered(s, d)),
     "sim_cluster_topics" -> ((s: SparkSession, d: String) => clusterTopics(s, d)),
     "sim_ood_rate"       -> ((s: SparkSession, d: String) => oodRate(s, d)),
@@ -1853,6 +1955,73 @@ object Similarity {
          SELECT u AS q_id, rn AS rnk, v AS vec_id, cos
          FROM k_$rounds WHERE u < 20 ORDER BY q_id, rnk"""
 
+  /** Beam-search replay over the [[nndescentCtes]] graph: same
+    * undirected degree-capped adjacency (edge-cos desc, v asc), same
+    * self-anchored frontier, same per-hop candidate ∪ frontier set,
+    * same (cos desc, v asc) beam rule. Ends at `gs_<hops>` (the last
+    * hop's scored candidates). */
+  private def graphSearchCtes(beam: Int, hops: Int, adjCap: Int,
+                              kG: Int, rounds: Int): String = {
+    val hopCtes = (1 to hops).map { h =>
+      val p = h - 1
+      s"""gc_$h AS (SELECT DISTINCT q_id, v FROM (
+                  SELECT f.q_id, a.dst AS v
+                  FROM gf_$p f JOIN gadj a ON f.v = a.src
+                  UNION ALL SELECT q_id, v FROM gf_$p)),
+         gp_$h AS (SELECT c.q_id, c.v, unnest(a.qv) AS x, unnest(b.qv) AS y
+                  FROM gc_$h c JOIN nq a ON c.v = a.vec_id
+                               JOIN nq b ON c.q_id = b.vec_id),
+         gd_$h AS (SELECT q_id, v, SUM(x*y) AS dot, SUM(x*x) AS na, SUM(y*y) AS nb
+                  FROM gp_$h GROUP BY q_id, v),
+         gs_$h AS MATERIALIZED (SELECT q_id, v,
+                  CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) AS cos
+                  FROM gd_$h),
+         gf_$h AS MATERIALIZED (SELECT q_id, v FROM (
+                  SELECT q_id, v, cos, row_number() OVER
+                    (PARTITION BY q_id ORDER BY cos DESC, v ASC) AS rn
+                  FROM gs_$h) WHERE rn <= $beam)"""
+    }.mkString(",\n         ")
+    s"""${nndescentCtes(kG, rounds)},
+         gund AS (SELECT u, v, max(cos) AS ecos FROM (
+                   SELECT u, v, cos FROM k_$rounds
+                   UNION ALL SELECT v, u, cos FROM k_$rounds)
+                 GROUP BY u, v),
+         gadj AS (SELECT u AS src, v AS dst FROM (
+                   SELECT u, v, row_number() OVER
+                     (PARTITION BY u ORDER BY ecos DESC, v ASC) AS rn
+                   FROM gund) WHERE rn <= $adjCap),
+         gf_0 AS (SELECT vec_id AS q_id, vec_id AS v FROM embeddings
+                  WHERE vec_id < 20),
+         $hopCtes"""
+  }
+
+  private def graphSearchOracle(beam: Int = 8, hops: Int = 3, kOut: Int = 5,
+                                adjCap: Int = 16, kG: Int = 10,
+                                rounds: Int = 3): String =
+    s"""WITH ${graphSearchCtes(beam, hops, adjCap, kG, rounds)}
+         SELECT q_id, rn AS rnk, v AS vec_id, cos FROM (
+           SELECT q_id, v, cos, row_number() OVER
+             (PARTITION BY q_id ORDER BY cos DESC, v ASC) AS rn
+           FROM gs_$hops WHERE v <> q_id) WHERE rn <= $kOut
+         ORDER BY q_id, rnk"""
+
+  private def graphSearchRecallOracle(beam: Int = 8, hops: Int = 3,
+                                      kOut: Int = 5, adjCap: Int = 16,
+                                      kG: Int = 10, rounds: Int = 3): String =
+    s"""WITH ${graphSearchCtes(beam, hops, adjCap, kG, rounds)},
+         srv AS (SELECT q_id, v FROM (
+                   SELECT q_id, v, row_number() OVER
+                     (PARTITION BY q_id ORDER BY cos DESC, v ASC) AS rn
+                   FROM gs_$hops WHERE v <> q_id) WHERE rn <= $kOut),
+         ${annMultiVecCtes(20)},
+         hits AS (SELECT count(*) AS n_hits
+                  FROM srv s JOIN vr b
+                    ON s.q_id = b.q_id AND s.v = b.vec_id AND b.rnk <= $kOut),
+         qn AS (SELECT count(*) AS n_queries FROM embeddings WHERE vec_id < 20)
+         SELECT qn.n_queries, hits.n_hits,
+                hits.n_hits * 1000000 // (qn.n_queries * $kOut) AS recall_ppm
+         FROM hits, qn"""
+
   private def nndescentRecallOracle(k: Int = 10, rounds: Int = 3): String =
     s"""WITH ${nndescentCtes(k, rounds)},
          ${annMultiVecCtes(20)},
@@ -1868,6 +2037,8 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_nndescent_topk" -> nndescentTopkOracle(),
     "sim_nndescent_recall" -> nndescentRecallOracle(),
+    "sim_graph_search" -> graphSearchOracle(),
+    "sim_graph_search_recall" -> graphSearchRecallOracle(),
     // same broadcast-anchor cosine, same (cos desc|asc, vec_id) top-1
     // per side, same float violation compare
     "sim_triplet_mining" ->
