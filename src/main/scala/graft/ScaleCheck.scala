@@ -87,15 +87,20 @@ object ScaleCheck {
           // full sweep and 7.8× in isolation on the same binary — the
           // base run caught an anomalously fast slot, the big run
           // contention). A genuinely superlinear query fails all three.
+          // EVERY measured ratio (not just the kept best) lands in the
+          // JSON artifact (ADVICE r9: a best-of-N retry that only shows
+          // up as a stdout line hides which passes needed it).
           var retries = 0
+          var allRatios = List(ratio)
           while (ratio > perQueryBound && retries < 2) {
             println(f"CHECK-RETRY> $name%-32s $ratio%6.1fx > $perQueryBound%.1fx, re-measuring")
             val (b2, g2, r2) = measure()
+            allRatios = allRatios :+ r2
             if (r2 < ratio) { base = b2; big = g2; ratio = r2 }
             retries += 1
           }
           println(f"CHECK> $name%-32s base $base%7.2f s  big $big%7.2f s  ratio $ratio%6.1fx")
-          Some((name, base, big, ratio))
+          Some((name, base, big, ratio, retries, allRatios))
       }
     }
 
@@ -106,18 +111,23 @@ object ScaleCheck {
       else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
     val over = rows.filter(_._4 > bound).sortBy(-_._4)
     val overPerQuery = rows.filter(_._4 > perQueryBound).sortBy(-_._4)
-    val qs = rows.map { case (k, b, g, r) =>
-      f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f}"""
+    val qs = rows.map { case (k, b, g, r, retries, allRatios) =>
+      // retries + every measured ratio recorded, not just the kept best
+      val extra =
+        if (retries == 0) ""
+        else s""","retries":$retries,"ratios":[${allRatios.map(x => f"$x%.2f").mkString(",")}]"""
+      f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f$extra}"""
     }.mkString("{", ",", "}")
+    val totalRetries = rows.map(_._5).sum
     println(
-      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"queries":$qs}""")
-    over.foreach { case (k, _, _, r) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
+      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"total_retries":$totalRetries,"queries":$qs}""")
+    over.foreach { case (k, _, _, r, _, _) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
     spark.stop()
     if (median > bound) {
       println(f"SCALECHECK FAIL: median ratio $median%.2fx > bound $bound%.1fx")
       sys.exit(1)
     } else if (overPerQuery.nonEmpty) {
-      overPerQuery.foreach { case (k, _, _, r) =>
+      overPerQuery.foreach { case (k, _, _, r, _, _) =>
         println(f"SCALECHECK FAIL: $k ratio $r%.2fx > per-query bound $perQueryBound%.1fx")
       }
       sys.exit(1)

@@ -13,8 +13,10 @@ import graft.streaming.Streams.Event
   * 10× (target/sf1, 1M events, time-EXTENDED per make_sf1.py) through
   * the noop sink, and records per run:
   *
-  *   - rows/s (input rows over wall time — single micro-batch, so this
-  *     is fold throughput, not trigger latency)
+  *   - rows/s (input rows over the summed addBatch durations — fold
+  *     throughput; ADVICE r9: end-to-end wall clock was dominated by
+  *     stream/checkpoint startup at 1×, so wall_s is still recorded but
+  *     rows_per_s now measures the batches, not the startup)
   *   - state rows (the state store's numRowsTotal after the batch)
   *   - keys (the mirror's key universe in that data: distinct users for
   *     per-user mirrors, distinct event types for the SpaceSaving sketch,
@@ -31,11 +33,27 @@ import graft.streaming.Streams.Event
   * shifts user ids per replica — 10× users is the intended shape, and
   * keyed state sharding across executors is exactly how a cluster
   * absorbs it. The per-key bound is the scale-safety claim.)
+  *
+  * STREAM-STREAM JOINS + chained dedup (VERDICT r9 ask #4): the interval
+  * attribution join (inner + watermark-released left-outer) and
+  * [[Streams.exactThenMinhashDedup]] hold state bounded by the WATERMARK
+  * WINDOW, not the key universe — a different gate. Each runs over a
+  * time-ordered MULTI-FILE split of the input (maxFilesPerTrigger=1, so
+  * the watermark advances between micro-batches and eviction actually
+  * executes — a single-file single-batch run never evicts and would
+  * measure buffering, not the operator). The 10× data is time-EXTENDED
+  * (constant per-hour density), and the trigger count scales with the
+  * data (8 files at 1×, 80 at 10× — a deployment triggers on fixed
+  * wall-clock intervals, so 10× the covered time means 10× the
+  * triggers), so the claim "state ∝ watermark window" becomes the
+  * measurable gate: PEAK state rows (max over micro-batches) must stay
+  * ~flat at 10× input — ratio ≤ 2.0.
   */
 object StreamCheck {
   private case class Run(name: String, tag: String, inputRows: Long,
-                         wallS: Double, stateRows: Long, keys: Long) {
-    def rowsPerS: Long = if (wallS > 0) (inputRows / wallS).toLong else 0L
+                         wallS: Double, batchS: Double, stateRows: Long,
+                         keys: Long, peakStateRows: Long) {
+    def rowsPerS: Long = if (batchS > 0) (inputRows / batchS).toLong else 0L
     def statePerKeyPpm: Long = if (keys > 0) stateRows * 1000000L / keys else 0L
   }
 
@@ -76,12 +94,17 @@ object StreamCheck {
       case _ => 4L * 512L // Count-Min d·w — fixed by construction
     }
 
-    def runOne(name: String, mode: String, kind: String,
-               mk: String => DataFrame, dir: String, tag: String): Run = {
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
+    }
+
+    /** Runs `mk(dir)` to completion through the noop sink and collects
+      * the progress metrics. `dir` may be a raw testdata dir (mirrors:
+      * one events.parquet, one micro-batch) or a time-split dir (joins:
+      * one file per trigger). */
+    def runStream(name: String, mode: String, mk: String => DataFrame,
+                  dir: String, tag: String, keys: Long): Run = {
       val ckpt = new java.io.File(s"target/streamcheck/ckpt_${name}_$tag")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm); f.delete(); ()
-      }
       if (ckpt.exists()) rm(ckpt)
       val t0 = System.nanoTime()
       val q = mk(dir).writeStream.format("noop")
@@ -92,35 +115,143 @@ object StreamCheck {
       val wall = (System.nanoTime() - t0) / 1e9
       val progs = q.recentProgress
       val inputRows = progs.map(_.numInputRows).sum
-      val stateRows = progs.reverseIterator
-        .flatMap(p => Option(p.stateOperators))
-        .find(_.nonEmpty).map(_.map(_.numRowsTotal).sum).getOrElse(0L)
+      // ADVICE r9: throughput from the engine's own addBatch timings —
+      // wall clock buries small runs under stream startup
+      val batchS = progs.flatMap(p =>
+        Option(p.durationMs).flatMap(m => Option(m.get("addBatch"))))
+        .map(_.longValue).sum / 1e3
+      def stateOf(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Long =
+        Option(p.stateOperators).filter(_.nonEmpty)
+          .map(_.map(_.numRowsTotal).sum).getOrElse(-1L)
+      val stateRows = progs.reverseIterator.map(stateOf).find(_ >= 0).getOrElse(0L)
+      val peak = progs.map(stateOf).foldLeft(0L)(math.max)
       q.stop()
-      Run(name, tag, inputRows, wall, stateRows, keysOf(dir, kind))
+      Run(name, tag, inputRows, wall, batchS, stateRows, keys, peak)
     }
+
+    def runOne(name: String, mode: String, kind: String,
+               mk: String => DataFrame, dir: String, tag: String): Run =
+      runStream(name, mode, mk, dir, tag, keysOf(dir, kind))
 
     val runs = mirrors.flatMap { case (name, mode, kind, mk) =>
       Seq(runOne(name, mode, kind, mk, base, "x1"),
         runOne(name, mode, kind, mk, big, "x10"))
     }
 
+    // ---- stream-stream joins + chained dedup (watermark-window gate) ----
+
+    /** Splits `df` into `n` equal-row time-ordered parquet files under
+      * `out` (file i named so listing order == time order; written
+      * sequentially so modification times agree). Range-partitioning by
+      * the ts column makes each file a contiguous time slice. */
+    def splitByTime(df: DataFrame, tsCol: String, out: String, n: Int): Unit = {
+      val dir = new java.io.File(out)
+      if (dir.exists()) return // split is deterministic per (data, n): reuse
+      dir.mkdirs()
+      val tmp = new java.io.File(s"$out.tmp")
+      if (tmp.exists()) rm(tmp)
+      df.repartitionByRange(n, col(tsCol))
+        .sortWithinPartitions(tsCol)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      // range partitions come out as part-00000..part-<n-1> in key order;
+      // rename sequentially into the stream dir so mtime order matches
+      val parts = tmp.listFiles().filter(_.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        val dst = new java.io.File(dir, f"chunk_$i%05d.parquet")
+        java.nio.file.Files.move(f.toPath, dst.toPath)
+        dst.setLastModified(System.currentTimeMillis() + i * 1000L)
+      }
+      rm(tmp)
+    }
+
+    def chunksOf(tag: String): Int = if (tag == "x10") 80 else 8
+
+    def eventSplitDir(dir: String, tag: String): String = {
+      val out = s"target/streamcheck/split_events_$tag"
+      splitByTime(spark.read.parquet(s"$dir/events.parquet"), "ts", out, chunksOf(tag))
+      out
+    }
+    def docsSplitDir(dir: String, tag: String): String = {
+      val out = s"target/streamcheck/split_docs_$tag"
+      // documents carry no event time; ingest_ts is a deterministic
+      // 1-doc-per-minute clock off doc_id — 10× data (shifted ids) then
+      // covers 10× wall-clock, the same time-extension shape as events
+      splitByTime(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .withColumn("ingest_ts",
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)")),
+        "ingest_ts", out, chunksOf(tag))
+      out
+    }
+
+    def streamOf(split: String): DataFrame = {
+      val schema = spark.read.parquet(split).schema
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split)
+    }
+    def viewsOf(split: String): DataFrame =
+      streamOf(split).filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+    def purchasesOf(split: String): DataFrame =
+      streamOf(split).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          col("value"), col("ts"))
+
+    val joinMirrors: Seq[(String, String, (String, String) => (String, DataFrame))] = Seq(
+      ("attribution_join", "append", (dir, tag) => {
+        val s = eventSplitDir(dir, tag)
+        (s, Streams.attributionJoin(viewsOf(s), purchasesOf(s)))
+      }),
+      ("attribution_join_outer", "append", (dir, tag) => {
+        val s = eventSplitDir(dir, tag)
+        (s, Streams.attributionJoinOuter(viewsOf(s), purchasesOf(s)))
+      }),
+      ("exact_minhash_dedup", "append", (dir, tag) => {
+        val s = docsSplitDir(dir, tag)
+        (s, Streams.exactThenMinhashDedup(streamOf(s)))
+      }))
+
+    val joinRuns = joinMirrors.flatMap { case (name, mode, mk) =>
+      Seq((base, "x1"), (big, "x10")).map { case (dir, tag) =>
+        val (split, df) = mk(dir, tag)
+        runStream(name, mode, _ => df, split, tag, keys = 0L)
+      }
+    }
+
     def fx(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
-    val byName = runs.groupBy(_.name)
+    // explicit tag lookup (ADVICE r9: sortBy(_.tag.length) silently
+    // breaks if a third scale tag ever appears)
+    def pairOf(rs: Seq[Run], name: String): (Run, Run) = {
+      val mine = rs.filter(_.name == name)
+      (mine.find(_.tag == "x1").get, mine.find(_.tag == "x10").get)
+    }
+    def runJson(r: Run, withKeys: Boolean): String = {
+      val keyPart =
+        if (withKeys) s""","keys":${r.keys},"state_per_key_ppm":${r.statePerKeyPpm}"""
+        else s""","peak_state_rows":${r.peakStateRows}"""
+      s"""{"input_rows":${r.inputRows},"wall_s":${fx(r.wallS)},"batch_s":${fx(r.batchS)},"rows_per_s":${r.rowsPerS},"state_rows":${r.stateRows}$keyPart}"""
+    }
     var breaches = 0
     val rows = mirrors.map { case (name, _, kind, _) =>
-      val Seq(r1, r10) = byName(name).sortBy(_.tag.length) // x1, x10
+      val (r1, r10) = pairOf(runs, name)
       val ratio =
         if (r1.statePerKeyPpm > 0) r10.statePerKeyPpm.toDouble / r1.statePerKeyPpm
         else if (r10.statePerKeyPpm == 0) 1.0
         else Double.PositiveInfinity
       val ok = ratio <= 1.5
       if (!ok) breaches += 1
-      s""""$name":{"key":"$kind",""" +
-        s""""x1":{"input_rows":${r1.inputRows},"wall_s":${fx(r1.wallS)},"rows_per_s":${r1.rowsPerS},"state_rows":${r1.stateRows},"keys":${r1.keys},"state_per_key_ppm":${r1.statePerKeyPpm}},""" +
-        s""""x10":{"input_rows":${r10.inputRows},"wall_s":${fx(r10.wallS)},"rows_per_s":${r10.rowsPerS},"state_rows":${r10.stateRows},"keys":${r10.keys},"state_per_key_ppm":${r10.statePerKeyPpm}},""" +
-        s""""state_per_key_ratio":${fx(ratio)},"ok":$ok}"""
+      s""""$name":{"key":"$kind","x1":${runJson(r1, withKeys = true)},"x10":${runJson(r10, withKeys = true)},"state_per_key_ratio":${fx(ratio)},"ok":$ok}"""
     }
-    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","breaches":$breaches,"mirrors":{${rows.mkString(",")}}}"""
+    val joinRows = joinMirrors.map { case (name, _, _) =>
+      val (r1, r10) = pairOf(joinRuns, name)
+      val ratio =
+        if (r1.peakStateRows > 0) r10.peakStateRows.toDouble / r1.peakStateRows
+        else if (r10.peakStateRows == 0) 1.0
+        else Double.PositiveInfinity
+      val ok = ratio <= 2.0
+      if (!ok) breaches += 1
+      s""""$name":{"x1":${runJson(r1, withKeys = false)},"x10":${runJson(r10, withKeys = false)},"peak_state_ratio":${fx(ratio)},"ok":$ok}"""
+    }
+    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMCHECK.json"), json + "\n")
     catch { case _: Throwable => () }
