@@ -184,17 +184,33 @@ object StreamCheck {
       out
     }
 
+    def embSplitDir(dir: String, tag: String): String = {
+      val out = s"target/streamcheck/split_emb_$tag"
+      // every 10th vector is a query, clocked 1-per-10s off vec_id —
+      // constant 6 queries/min at both scales (10x data = 10x time)
+      splitByTime(
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .filter(col("vec_id") % 10 === 0)
+          .withColumn("ingest_ts",
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,vec_id)")),
+        "ingest_ts", out, chunksOf(tag))
+      out
+    }
+
     def streamOf(split: String): DataFrame = {
       val schema = spark.read.parquet(split).schema
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split)
     }
+    // testdata timestamps are TIMESTAMP_NTZ; watermarks require
+    // TIMESTAMP (UTC pinned by Sessions, so the cast is deterministic)
     def viewsOf(split: String): DataFrame =
       streamOf(split).filter(col("event_type") === "view")
-        .select(col("user_id"), col("event_id").as("view_id"), col("ts"))
+        .select(col("user_id"), col("event_id").as("view_id"),
+          col("ts").cast("timestamp").as("ts"))
     def purchasesOf(split: String): DataFrame =
       streamOf(split).filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"),
-          col("value"), col("ts"))
+          col("value"), col("ts").cast("timestamp").as("ts"))
 
     val joinMirrors: Seq[(String, String, (String, String) => (String, DataFrame))] = Seq(
       ("attribution_join", "append", (dir, tag) => {
@@ -207,7 +223,19 @@ object StreamCheck {
       }),
       ("exact_minhash_dedup", "append", (dir, tag) => {
         val s = docsSplitDir(dir, tag)
-        (s, Streams.exactThenMinhashDedup(streamOf(s)))
+        (s, Streams.exactThenMinhashDedup(streamOf(s)
+          .withColumn("ingest_ts", col("ingest_ts").cast("timestamp"))))
+      }),
+      // in-stream windowed ANN top-k: state = one TopKByScore buffer per
+      // (window, in-flight query); query DENSITY (6/min) is constant at
+      // both scales — 10x data means 10x covered time and a 10x-bigger
+      // static index, so flat peak state is exactly the "independent of
+      // corpus AND stream length" claim
+      ("ann_serve_topk", "append", (dir, tag) => {
+        val s = embSplitDir(dir, tag)
+        (s, Streams.annServeStream(spark,
+          streamOf(s).select(col("vec_id").as("q_id"), col("embedding"),
+            col("ingest_ts").cast("timestamp").as("ingest_ts")), dir))
       }))
 
     val joinRuns = joinMirrors.flatMap { case (name, mode, mk) =>

@@ -540,6 +540,27 @@ object Dedup {
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
                           maxIters: Int = 50,
                           checkpointDir: Option[String] = None): DataFrame = {
+    // same runtime shaping as Graph.pageRankConvergedOf (r10): the loop
+    // runs a handful of small two-shuffle rounds whose inputs are all
+    // checkpointed tables with exact stats — AQE's stage-wise execution
+    // only adds driver round-trips per round, and node-sized exchanges
+    // drown in full-width task scheduling. Both settings restored in
+    // `finally`; reducer count never exceeds the session's value.
+    val spark = pairs.sparkSession
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try connectedComponentsLoop(nodes, pairs, maxIters, checkpointDir, shufWas.toInt)
+    finally {
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
+    }
+  }
+
+  private def connectedComponentsLoop(nodes: DataFrame, pairs: DataFrame,
+                                      maxIters: Int,
+                                      checkpointDir: Option[String],
+                                      sessionShuffle: Int): DataFrame = {
     checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
     // eager=false in both modes: the changed-count job each round is what
     // materializes the checkpoint, so every round stays ONE compute.
@@ -561,6 +582,9 @@ object Dedup {
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .persist()
+    val nPart = math.min(sessionShuffle,
+      math.max(4L, edges.count() / 100000L)).toInt
+    pairs.sparkSession.conf.set("spark.sql.shuffle.partitions", nPart.toString)
     // Iterate ONLY over nodes that appear in a pair: every other node is
     // a singleton by construction (its label can never change), so it
     // joins back at the end. At corpus scale this is the difference

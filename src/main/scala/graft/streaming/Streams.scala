@@ -161,7 +161,14 @@ object Streams {
                    watermark: String = "1 hour"): DataFrame =
     withMinhashSig(docs)
       .withWatermark(tsCol, watermark)
-      .dropDuplicates("sig")
+      // WithinWatermark, not plain dropDuplicates: the latter never
+      // evicts (signatures aren't the event-time column), so signature
+      // state would grow with the corpus — STREAMCHECK measured 3.67×
+      // at 10× time-extended input before this was the eviction-capable
+      // variant. A near-dup outside the watermark horizon is the batch
+      // [[graft.operators.Dedup]] pipeline's job (incremental dedup
+      // against the persisted corpus index), not this operator's.
+      .dropDuplicatesWithinWatermark("sig")
       .drop("toks", "shingles")
 
   /** EXACT→near streaming dedup — the streaming mirror of the batch
@@ -173,10 +180,12 @@ object Streams {
     * the aggressively-evictable variant, because a verbatim copy (a
     * re-delivered page, a retried POST) arrives near its original, so
     * its state can expire fast; stage 2 is the [[minhashDedup]] near-dup
-    * suppression over survivors only. Both states are per-key and
-    * watermark-bounded; Spark 4 chains the two stateful operators in one
-    * query off a SINGLE watermark definition (redefining it between
-    * stateful operators is disallowed). */
+    * suppression over survivors only. Both stages are WithinWatermark
+    * (see [[minhashDedup]] for why plain dropDuplicates would leak state
+    * forever), so both states are per-key AND watermark-bounded; Spark 4
+    * chains the two stateful operators in one query off a SINGLE
+    * watermark definition (redefining it between stateful operators is
+    * disallowed). */
   def exactThenMinhashDedup(docs: DataFrame, tsCol: String = "ingest_ts",
                             watermark: String = "1 hour"): DataFrame =
     withMinhashSig(
@@ -185,7 +194,7 @@ object Streams {
         .withWatermark(tsCol, watermark)
         .dropDuplicatesWithinWatermark("exact_h")
         .drop("exact_h"))
-      .dropDuplicates("sig")
+      .dropDuplicatesWithinWatermark("sig")
       .drop("toks", "shingles")
 
   /** Streaming INCREMENTAL ingest dedup against a static corpus — the
@@ -278,6 +287,46 @@ object Streams {
         quantDot(col("embedding"), col("qe")).cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
       .select(col("q_id"), col("vec_id"), col("cos"))
+  }
+
+  /** Streaming ANN SERVE — [[annProbeStream]] completed in-stream: the
+    * per-query top-k that the probe defers to the sink runs here as a
+    * windowed stateful aggregation, so the stream itself emits finished
+    * `(q_id, rnk, vec_id, cos)` answers. The state story is the typed
+    * [[graft.functions.TopKByScore]] aggregator's: its buffer holds ≤ k
+    * scored rows per (window, query) — candidates fold into the bounded
+    * buffer as they arrive, the candidate set itself is never state —
+    * and the watermark evicts each window's buffers once it closes. So
+    * state = k · in-flight queries, independent of BOTH corpus size and
+    * stream length — the measurable claim STREAMCHECK gates. Everything
+    * upstream is stateless ([[annProbeStream]]'s literal-centroid
+    * assignment + one stream-static cell equi-join re-planned per
+    * micro-batch). */
+  def annServeStream(spark: SparkSession, queries: DataFrame, dir: String,
+                     k: Int = 5, tsCol: String = "ingest_ts",
+                     watermark: String = "1 minute",
+                     windowLen: String = "1 minute"): DataFrame = {
+    import graft.functions.VectorOps.quantDot
+    val (assignName, centName) = graft.operators.Similarity.buildIvfIndex(spark, dir)
+    val centsLit = graft.operators.Similarity.storedCentsLit(spark, centName)
+    val q = graft.operators.Similarity.withAssignedCell(queries, centsLit)
+      .select(col("q_id"), col("cell").as("qcell"), col("embedding").as("qe"),
+        col("na").as("qna"), col(tsCol))
+    val index = spark.table(assignName)
+    val scored = q
+      .join(index, col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos",
+        quantDot(col("embedding"), col("qe")).cast("double")
+          / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    scored
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col("q_id"))
+      .agg(topk(col("cos"), col("vec_id")).as("top"))
+      .select(col("q_id"), col("window.start").as("win_start"),
+        posexplode(col("top")))
+      .select(col("q_id"), col("win_start"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("vec_id"), col("col.score").as("cos"))
   }
 
   /** Streaming BM25 probe — the lexical mirror of [[annProbeStream]]:

@@ -69,9 +69,18 @@ class StreamsSpec extends AnyFunSuite {
     val ops = q.recentProgress.flatMap(_.stateOperators)
     q.stop()
     assert(ids.toSeq == Seq(1L, 4L, 7L))
+    // both stages are the watermark-evictable dedup variant (two
+    // distinct stateful operators per micro-batch progress)
     assert(ops.map(_.operatorName).toSet ==
-      Set("dedupeWithinWatermark", "dedupe"), s"stages: ${ops.map(_.operatorName).toSeq}")
-    val mhRows = ops.filter(_.operatorName == "dedupe").map(_.numRowsTotal).max
+      Set("dedupeWithinWatermark"), s"stages: ${ops.map(_.operatorName).toSeq}")
+    assert(q.recentProgress.filter(_.stateOperators.nonEmpty)
+      .forall(_.stateOperators.length == 2),
+      "expected exact AND minhash stages in the one query")
+    // the minhash stage is the one whose state stays <= distinct texts;
+    // its per-batch rows are the smaller of the two operators' counts
+    val mhRows = q.recentProgress.flatMap(p =>
+      if (p.stateOperators.length == 2) Some(p.stateOperators.map(_.numRowsTotal).min)
+      else None).max
     assert(mhRows <= 3, s"minhash state grew past distinct texts: $mhRows")
   }
 
@@ -312,6 +321,44 @@ class StreamsSpec extends AnyFunSuite {
     val hits = got.count(g => exact.contains((g._1, g._3)))
     val recall = hits.toDouble / exact.size
     assert(recall > 0.3, s"streaming probe recall collapsed: $recall")
+  }
+
+  test("streaming ANN serve: in-stream windowed top-k matches the batch " +
+    "persisted-index search; state bounded by k per in-flight query") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val served = Streams.annServeStream(
+      spark, in.toDF().toDF("q_id", "embedding", "ingest_ts"), dir, k = 5)
+    val q = served.writeStream.format("memory").queryName("ann_serve_out")
+      .outputMode(OutputMode.Append()).start()
+    val vecs = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 10).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    // all ten queries inside one 1-minute window, split across batches
+    in.addData(vecs.take(5).map { case (id, e) => (id, e, ts(0)) }.toSeq)
+    q.processAllAvailable()
+    in.addData(vecs.drop(5).map { case (id, e) => (id, e, ts(0)) }.toSeq)
+    q.processAllAvailable()
+    // a flusher far past window end + watermark releases the window
+    in.addData(Seq((999L, vecs.head._2, ts(30))))
+    q.processAllAvailable()
+    val got = spark.table("ann_serve_out")
+      .filter(col("q_id") < 10)
+      .select("q_id", "rnk", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    // state = one aggregation buffer per (window, query), NOT per
+    // candidate: <= 11 groups here (10 queries + the flusher's window)
+    val maxState = q.recentProgress.flatMap(_.stateOperators)
+      .map(_.numRowsTotal).max
+    q.stop()
+    val want = Similarity.ivfMultiQueryPersisted(spark, dir, probeBound = 10, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want,
+      s"in-stream serve diverged from batch index search:\n$got\nvs\n$want")
+    assert(maxState <= 11L, s"state grew past in-flight queries: $maxState")
   }
 
   test("streaming BM25 probe: per-batch sum + top-k matches the batch ranking, " +

@@ -77,6 +77,13 @@ if [ "${1:-}" = "--sf10" ]; then
   HEADLINE="$HEADLINE,rel_pagerank_converged,rel_khop_reach"
   HEADLINE="$HEADLINE,ta_query_expansion,win_rolling_median"
   HEADLINE="$HEADLINE,sim_nndescent_topk"
+  # round-10 additions (VERDICT r9 asks #1/#3/#6): the graph-ANN serve
+  # path (beam search over the persisted NN-descent graph — its
+  # "per-hop candidates are query-bounded" claim gets a 100x number),
+  # scan-time connected components (the rel_ flagship, previously gated
+  # only at 10x), and the incremental graph-ANN insert
+  HEADLINE="$HEADLINE,sim_graph_search,rel_connected_components"
+  HEADLINE="$HEADLINE,sim_nnd_incremental"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
