@@ -202,6 +202,73 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "n_stop", "stop_ratio", "avg_token_len", "quality_score")
       .orderBy("doc_id")
 
+  /** Gopher-style REPETITION filters (Rae et al. 2021 §A1.1; RefinedWeb
+    * keeps the same family): documents dominated by one repeated n-gram
+    * or by duplicated spans are boilerplate/listing spam, not prose, and
+    * repetition-heavy corpora measurably hurt LM training. Token-level
+    * analogs of the paper's char-fraction metrics, all integer ppm so
+    * both engines agree bit-for-bit:
+    *
+    *   - top2gram_ppm: occurrences of the most frequent 2-gram over the
+    *     doc's 2-gram count (the paper drops >0.20 for its char variant)
+    *   - dup5gram_ppm: 5-gram positions whose gram occurs ≥2 times
+    *   - dup_token_ppm: (tokens − distinct tokens) / tokens
+    *   - keep: all three under the ladder thresholds
+    *
+    * Scale: a pure per-document projection — the per-doc mode/dup counts
+    * come from one array_sort + one aggregate() run-length fold over the
+    * sorted grams (O(len·log len) per doc, zero shuffles), NOT an
+    * explode + groupBy(doc, gram); the corpus never re-keys. */
+  def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
+    repetitionFilterOf(Tables.documents(spark, dir))
+
+  /** Run-length fold over the SORTED gram array: maxrun = the mode's
+    * count, dup = positions inside runs of length ≥2 (when a run reaches
+    * 2 both its positions count, then +1 per extension). */
+  private def runStats(grams: String): Column = expr(
+    s"""aggregate(
+          array_sort($grams),
+          named_struct('prev', cast(null as string), 'run', 0L, 'maxrun', 0L, 'dup', 0L),
+          (s, x) -> IF(s.prev IS NOT NULL AND x = s.prev,
+            named_struct('prev', x, 'run', s.run + 1L,
+              'maxrun', greatest(s.maxrun, s.run + 1L),
+              'dup', s.dup + IF(s.run = 1L, 2L, 1L)),
+            named_struct('prev', x, 'run', 1L,
+              'maxrun', greatest(s.maxrun, 1L), 'dup', s.dup)),
+          s -> named_struct('maxrun', s.maxrun, 'dup', s.dup))""")
+
+  /** [[repetitionFilter]] over any (doc_id, text) frame (spec entry). */
+  def repetitionFilterOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("toks", split(lower(col("text")), " "))
+      .withColumn("n_ws", size(col("toks")).cast("long"))
+      // sequence(1, k) DESCENDS when k < 1 — guard short docs to empty
+      .withColumn("bi", expr(
+        """IF(size(toks) >= 2,
+             transform(sequence(1, size(toks) - 1),
+               i -> concat_ws(' ', toks[i-1], toks[i])),
+             cast(array() as array<string>))"""))
+      .withColumn("g5", expr(
+        """IF(size(toks) >= 5,
+             transform(sequence(1, size(toks) - 4),
+               i -> concat_ws(' ', toks[i-1], toks[i], toks[i+1], toks[i+2], toks[i+3])),
+             cast(array() as array<string>))"""))
+      .withColumn("bs", runStats("bi"))
+      .withColumn("fs", runStats("g5"))
+      .withColumn("top2gram_ppm", expr(
+        "IF(size(bi) = 0, 0L, bs.maxrun * 1000000L div cast(size(bi) as bigint))"))
+      .withColumn("dup5gram_ppm", expr(
+        "IF(size(g5) = 0, 0L, fs.dup * 1000000L div cast(size(g5) as bigint))"))
+      .withColumn("dup_token_ppm", expr(
+        "IF(n_ws = 0L, 0L, (n_ws - cast(size(array_distinct(toks)) as bigint)) * 1000000L div n_ws)"))
+      .withColumn("keep",
+        col("top2gram_ppm") <= lit(200000L) &&
+          col("dup5gram_ppm") <= lit(150000L) &&
+          col("dup_token_ppm") <= lit(600000L))
+      .select("doc_id", "n_ws", "top2gram_ppm", "dup5gram_ppm",
+        "dup_token_ppm", "keep")
+      .orderBy("doc_id")
+
   /** Token counting: whitespace tokenizer vs BPE-ish regex tokenizer
     * (word / number / other-symbol pieces). */
   def tokenCount(spark: SparkSession, dir: String): DataFrame =
@@ -1027,6 +1094,7 @@ object TextAnalysis {
     "ta_epoch_shuffle" -> ((s: SparkSession, d: String) => epochShuffle(s, d)),
     "ta_memorization_rate" -> ((s: SparkSession, d: String) => memorizationRate(s, d)),
     "ta_quality_score" -> qualityScore _,
+    "ta_repetition_filter" -> repetitionFilter _,
     "ta_token_count"  -> tokenCount _,
     "ta_fingerprint"  -> fingerprint _,
     "ta_inverted_index" -> ((s: SparkSession, d: String) => invertedIndex(s, d)),
@@ -1414,6 +1482,39 @@ object TextAnalysis {
              100.0 - 120.0 * abs(CAST(n_stop AS DOUBLE) / n_tokens - 0.18)
                    - 8.0 * abs(CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens - 4.5))) AS quality_score
          FROM b ORDER BY doc_id""",
+    // independent derivation of the run-length fold: per-gram counts via
+    // unnest + GROUP BY, mode = max(count), dup = sum of counts >= 2
+    "ta_repetition_filter" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+         base AS (SELECT doc_id, len(t) AS n_ws, len(list_distinct(t)) AS nd,
+             CASE WHEN len(t) >= 2
+               THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+               ELSE [] END AS bi,
+             CASE WHEN len(t) >= 5
+               THEN list_transform(range(1, len(t) - 3),
+                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4])
+               ELSE [] END AS g5
+           FROM tk),
+         bic AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(bi) AS g FROM base) GROUP BY 1, 2),
+         bia AS (SELECT doc_id, max(c) AS maxc FROM bic GROUP BY 1),
+         g5c AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, unnest(g5) AS g FROM base) GROUP BY 1, 2),
+         g5a AS (SELECT doc_id,
+                   CAST(coalesce(sum(c) FILTER (WHERE c >= 2), 0) AS BIGINT) AS dupc
+                 FROM g5c GROUP BY 1),
+         m AS (SELECT b.doc_id, CAST(b.n_ws AS BIGINT) AS n_ws,
+             CAST(CASE WHEN len(b.bi) = 0 THEN 0
+               ELSE coalesce(bia.maxc, 0) * 1000000 // len(b.bi) END AS BIGINT) AS top2gram_ppm,
+             CAST(CASE WHEN len(b.g5) = 0 THEN 0
+               ELSE coalesce(g5a.dupc, 0) * 1000000 // len(b.g5) END AS BIGINT) AS dup5gram_ppm,
+             CAST(CASE WHEN b.n_ws = 0 THEN 0
+               ELSE (b.n_ws - b.nd) * 1000000 // b.n_ws END AS BIGINT) AS dup_token_ppm
+           FROM base b LEFT JOIN bia USING (doc_id) LEFT JOIN g5a USING (doc_id))
+         SELECT doc_id, n_ws, top2gram_ppm, dup5gram_ppm, dup_token_ppm,
+           (top2gram_ppm <= 200000 AND dup5gram_ppm <= 150000
+             AND dup_token_ppm <= 600000) AS keep
+         FROM m ORDER BY doc_id""",
     "ta_token_count" ->
       """SELECT doc_id, n_chars,
            len(string_split(text, ' ')) AS n_ws_tokens,

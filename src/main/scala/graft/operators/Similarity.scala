@@ -259,6 +259,15 @@ object Similarity {
     * IVF variant. Keeps the quantized norm so candidate scoring needs no
     * re-join with the source. */
   private def assignCells(e: DataFrame, centsLit: String): DataFrame =
+    withAssignedCell(e, centsLit)
+      .select(col("vec_id"), col("cell"), col("embedding"), col("na"))
+
+  /** The argmax-cell projection itself, column-PRESERVING: adds `na`
+    * (quantized norm²) and `cell` to any frame with an `embedding`
+    * column. Public so the STREAMING serve mirror can assign arriving
+    * query vectors while keeping their event-time column for the
+    * watermark ([[graft.streaming.Streams.annServeStream]]). */
+  def withAssignedCell(e: DataFrame, centsLit: String): DataFrame =
     e.withColumn("na", quantNormSq(col("embedding")))
       .withColumn("cell", expr(
         s"""aggregate(
@@ -268,7 +277,6 @@ object Similarity {
                 'cell', c.cell)),
               named_struct('cos', cast('-Infinity' as double), 'cell', -1L),
               (best, s) -> if(s.cos > best.cos, s, best)).cell"""))
-      .select(col("vec_id"), col("cell"), col("embedding"), col("na"))
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val centsLit = fittedCentsLit(fitIvfCentroids(spark, dir))
@@ -445,11 +453,15 @@ object Similarity {
     * fold with zero joins, zero shuffles, zero streaming state — exactly
     * what an online query router does with a stored index. */
   def assignWithStoredCentroids(spark: SparkSession, centTable: String,
-                                vecs: DataFrame): DataFrame = {
-    val cents = spark.table(centTable).select("cell", "ce").collect()
-      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1)
-    assignCells(vecs, fittedCentsLit(cents))
-  }
+                                vecs: DataFrame): DataFrame =
+    assignCells(vecs, storedCentsLit(spark, centTable))
+
+  /** The stored centroid table compiled to the plan-time literal the
+    * argmax fold consumes — the ≤k-row metadata load of a query router
+    * (bounded collect, documented like the centroid fit's). */
+  def storedCentsLit(spark: SparkSession, centTable: String): String =
+    fittedCentsLit(spark.table(centTable).select("cell", "ce").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray)).sortBy(_._1))
 
   /** [[ivfMultiQueryTopK]] served from the PERSISTED index: the probe
     * join reads the stored cell-bucketed assignment table — no centroid
