@@ -215,10 +215,16 @@ object TextAnalysis {
     *   - dup_token_ppm: (tokens − distinct tokens) / tokens
     *   - keep: all three under the ladder thresholds
     *
-    * Scale: a pure per-document projection — the per-doc mode/dup counts
-    * come from one array_sort + one aggregate() run-length fold over the
-    * sorted grams (O(len·log len) per doc, zero shuffles), NOT an
-    * explode + groupBy(doc, gram); the corpus never re-keys. */
+    * Relation to [[graft.functions.CorpusOps.repetitionStatsOf]] (the
+    * round-7 sibling): that op computes dup-token/top-bigram FRACTIONS
+    * via explode + groupBy(doc, gram) — two corpus-wide shuffles keyed
+    * by (doc, gram). This one adds the duplicated-5-gram metric the
+    * paper's ladder actually gates on and reworks the computation as a
+    * pure per-document projection: the per-doc mode/dup counts come from
+    * one array_sort + one aggregate() run-length fold over the sorted
+    * grams (O(len·log len) per doc, ZERO shuffles); the corpus never
+    * re-keys. At 100 TB the fold version is the one to run — same
+    * verdict, no exchange. */
   def repetitionFilter(spark: SparkSession, dir: String): DataFrame =
     repetitionFilterOf(Tables.documents(spark, dir))
 
@@ -238,8 +244,14 @@ object TextAnalysis {
           s -> named_struct('maxrun', s.maxrun, 'dup', s.dup))""")
 
   /** [[repetitionFilter]] over any (doc_id, text) frame (spec entry). */
-  def repetitionFilterOf(docs: DataFrame): DataFrame =
-    docs
+  def repetitionFilterOf(docs: DataFrame): DataFrame = {
+    // small in bytes, big in per-row compute (two gram materializations
+    // + two sort/fold passes per doc) — same under-parallel-scan guard
+    // as Dedup.setsimJoinOf: a single-file corpus would serialize the
+    // folds onto few tasks; on a real many-file corpus this is a no-op
+    val nParts = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val base = if (docs.rdd.getNumPartitions < nParts) docs.repartition(nParts) else docs
+    base
       .withColumn("toks", split(lower(col("text")), " "))
       .withColumn("n_ws", size(col("toks")).cast("long"))
       // sequence(1, k) DESCENDS when k < 1 — guard short docs to empty
@@ -268,6 +280,7 @@ object TextAnalysis {
       .select("doc_id", "n_ws", "top2gram_ppm", "dup5gram_ppm",
         "dup_token_ppm", "keep")
       .orderBy("doc_id")
+  }
 
   /** Token counting: whitespace tokenizer vs BPE-ish regex tokenizer
     * (word / number / other-symbol pieces). */

@@ -595,26 +595,43 @@ object Dedup {
     var labels = truncate(pairNodes.select(col("node"), col("node").as("label")), eager = true)
     var converged = false
     var iter = 0
+    // Convergence is probed every 2 rounds (same job-count lever as
+    // Graph.pageRankConvergedOf's fused probes): labels are min-MONOTONE
+    // — they only ever decrease — so zero diff across two rounds proves
+    // both rounds were fixpoints. The skipped round's lazy checkpoint is
+    // materialized by the NEXT round's probe job (its lineage is cut
+    // either way), so each probe stays one compute; at fixed data the
+    // loop's wall time is jobs × scheduling overhead, and this halves
+    // the jobs for at most one extra (no-change) round of work. In
+    // reliable-checkpoint mode every round keeps its own probe: the
+    // round cache that protects the checkpoint writer from lineage
+    // recomputation is dropped per round, so rounds must materialize
+    // as they are created.
+    val probeEvery = if (checkpointDir.isDefined) 1 else 2
+    var checkBase = labels
     while (!converged && iter < maxIters) {
       val neighborMin = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
       val propagated = labels.select("node", "label").union(neighborMin)
         .groupBy("node").agg(min(col("label")).as("label"))
       val jump = propagated.select(col("node").as("jn"), col("label").as("jl"))
-      // lazy checkpoint: the changed-count job below materializes it, so
-      // each round runs ONE job instead of an eager-checkpoint job + the
-      // count job (lineage is still truncated for the next round)
+      // lazy checkpoint: the probe job below (or the next round feeding
+      // the following probe) materializes it, so each round runs at most
+      // ONE job (lineage is still truncated for the next round)
       val next = truncate(
         propagated.join(jump, propagated("label") === jump("jn"), "left")
           .select(propagated("node"),
             coalesce(col("jl"), propagated("label")).as("label")),
         eager = false)
-      val changed = next
-        .join(labels.select(col("node"), col("label").as("prev")), "node")
-        .filter(col("label") =!= col("prev")).limit(1).count()
-      converged = changed == 0
       labels = next
       iter += 1
+      if (iter % probeEvery == 0 || iter >= maxIters) {
+        val changed = labels
+          .join(checkBase.select(col("node"), col("label").as("prev")), "node")
+          .filter(col("label") =!= col("prev")).limit(1).count()
+        converged = changed == 0
+        checkBase = labels
+      }
     }
     edges.unpersist()
     roundCache.foreach(_.unpersist())

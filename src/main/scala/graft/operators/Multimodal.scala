@@ -320,7 +320,52 @@ object Multimodal {
       .orderBy(desc("n_frames"), col("bucket"))
       .limit(50)
 
+  /** AUDIO metadata decode — REAL parsing, no codec: a deterministic PCM
+    * WAV container is synthesized around each document's UTF-8 bytes
+    * (the audio stand-in for `binaryFile` payloads, like [[binaryized]]'s
+    * text/plain stand-in), then the codegen'd
+    * [[graft.functions.WavMeta]] expression walks the RIFF chunk list
+    * and extracts (sample_rate, channels, bits, duration_ms) FROM THE
+    * BYTES — little-endian u16/u32 fields, chunk sizes, even-offset
+    * padding. The oracle computes the same fields from the synthesis
+    * PARAMETERS directly, so any drift in the byte layout or the walker
+    * fails the hash gate: the synth→parse round-trip is the test (the
+    * walker's robustness on foreign/broken containers is WavOpsSpec's
+    * job). One codegen'd projection per row; no UDF; the only exchange
+    * is the final presentation sort. */
+  def wavMetaDecode(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.WavMeta.wavMeta
+    def le2(x: String) =
+      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) div 256 % 256), 2, '0'))"
+    def le4(x: String) = s"concat(${le2(x)}, ${le2(s"($x) div 65536")})"
+    Tables.documents(spark, dir)
+      .withColumn("sr", expr("8000 + (doc_id % 5) * 4000"))
+      .withColumn("ch", expr("1 + (doc_id % 2)"))
+      .withColumn("body", expr("encode(text, 'UTF-8')"))
+      .withColumn("data_sz", expr("octet_length(body)"))
+      .withColumn("ba", expr("ch * 2"))          // block align, 16-bit PCM
+      .withColumn("br", expr("sr * ba"))         // byte rate
+      .withColumn("payload", expr(
+        s"""concat(
+              encode('RIFF', 'UTF-8'), unhex(${le4("36 + data_sz")}),
+              encode('WAVE', 'UTF-8'),
+              encode('fmt ', 'UTF-8'), unhex(${le4("16")}),
+              unhex(${le2("1")}), unhex(${le2("ch")}),
+              unhex(${le4("sr")}), unhex(${le4("br")}),
+              unhex(${le2("ba")}), unhex(${le2("16")}),
+              encode('data', 'UTF-8'), unhex(${le4("data_sz")}),
+              body)"""))
+      .withColumn("packed", wavMeta(col("payload")))
+      .select(col("doc_id"),
+        expr("shiftright(packed, 44)").as("sample_rate"),
+        expr("shiftright(packed, 40) & 15").as("channels"),
+        expr("shiftright(packed, 32) & 255").as("bits"),
+        expr("packed & 4294967295").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_wav_meta"       -> wavMetaDecode _,
     "mm_frame_dedup"    -> frameDedup _,
     "mm_pair_curation"  -> pairCuration _,
     "mm_binary_meta"    -> binaryMeta _,
@@ -330,6 +375,21 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle computes the fields from the SYNTHESIS parameters; the
+    // Spark side must recover them by PARSING the container bytes — any
+    // drift in LE layout, chunk sizes or the walker hash-fails
+    "mm_wav_meta" ->
+      """WITH b AS (SELECT doc_id,
+             8000 + (doc_id % 5) * 4000 AS sample_rate,
+             1 + (doc_id % 2) AS channels,
+             octet_length(encode(text)) AS data_sz
+           FROM documents)
+         SELECT doc_id,
+           CAST(sample_rate AS BIGINT) AS sample_rate,
+           CAST(channels AS BIGINT) AS channels,
+           CAST(16 AS BIGINT) AS bits,
+           CAST(data_sz * 1000 // (sample_rate * channels * 2) AS BIGINT) AS duration_ms
+         FROM b ORDER BY doc_id""",
     // same synthetic n_frames branch, same truncated-hash bucketing
     "mm_frame_dedup" ->
       """WITH d AS (SELECT doc_id, md5(text) AS h FROM documents),

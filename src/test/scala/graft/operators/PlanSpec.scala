@@ -145,6 +145,17 @@ class PlanSpec extends AnyFunSuite {
       s"simhash path shuffles a token expansion:\n$plan")
   }
 
+  test("repetition filter is a per-document fold: no hash-partition exchange") {
+    val df = graft.functions.TextAnalysis.repetitionFilter(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the gram mode/dup counts fold per-row over sorted arrays — the
+    // only exchanges allowed are the under-parallel guard's round-robin
+    // (keyless) and the final orderBy's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"repetition metrics re-key the corpus:\n$plan")
+  }
+
   test("IVF assignment is a per-row projection: no hash-partition exchange anywhere") {
     val df = Similarity.ivfTopK(spark, dir)
     df.collect()
