@@ -197,6 +197,20 @@ object StreamCheck {
       out
     }
 
+    def qtextSplitDir(dir: String, tag: String): String = {
+      val out = s"target/streamcheck/split_qtext_$tag"
+      // every 25th document's text is a retrieval query, clocked off
+      // doc_id (selected queries land 25 s apart — constant density;
+      // 10x data = 10x covered time and a 10x-bigger served corpus)
+      splitByTime(
+        spark.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 25 === 0).select("doc_id", "text")
+          .withColumn("ingest_ts",
+            expr("timestamp '2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,doc_id)")),
+        "ingest_ts", out, chunksOf(tag))
+      out
+    }
+
     def streamOf(split: String): DataFrame = {
       val schema = spark.read.parquet(split).schema
       spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(split)
@@ -235,6 +249,16 @@ object StreamCheck {
         val s = embSplitDir(dir, tag)
         (s, Streams.annServeStream(spark,
           streamOf(s).select(col("vec_id").as("q_id"), col("embedding"),
+            col("ingest_ts").cast("timestamp").as("ingest_ts")), dir))
+      }),
+      // in-stream BM25 over the impact-CAPPED persisted index: stage-1
+      // sum state <= query tokens * cap per in-flight query (corpus-
+      // independent by the impact pruning), stage-2 top-k <= k — flat
+      // peak state against a 10x corpus + 10x query stream is the claim
+      ("bm25_serve_topk", "append", (dir, tag) => {
+        val s = qtextSplitDir(dir, tag)
+        (s, Streams.bm25ServeStream(spark,
+          streamOf(s).select(col("doc_id").as("q_id"), col("text").as("qtext"),
             col("ingest_ts").cast("timestamp").as("ingest_ts")), dir))
       }))
 

@@ -349,6 +349,60 @@ object Streams {
       .select(col("q_id"), col("doc_id"), col("score_micro"))
   }
 
+  /** Streaming BM25 SERVE — the lexical sibling of [[annServeStream]]
+    * and the in-stream completion of [[bm25ProbeStream]]: per-candidate
+    * impact contributions sum per (window, query, doc), then the summed
+    * scores fold into the bounded per-(window, query) top-k — Spark 4's
+    * CHAINED windowed stateful aggregations (the second groups on
+    * `window_time` of the first, so both share the one watermark).
+    * State story per in-flight window: one sum row per (query, candidate
+    * doc) in stage 1 — ≤ query tokens · impactCap rows, CORPUS-
+    * independent, because the serve index keeps only each token's top
+    * `impactCap` impacts (see below) — and ≤ k rows per query in
+    * stage 2; both evicted when the watermark closes the window.
+    * Emits finished `(q_id, win_start, rnk, doc_id, score_micro)`. */
+  def bm25ServeStream(spark: SparkSession, queries: DataFrame, dir: String,
+                      k: Int = 5, impactCap: Int = 128,
+                      tsCol: String = "ingest_ts",
+                      watermark: String = "1 minute",
+                      windowLen: String = "1 minute"): DataFrame = {
+    // IMPACT-CAPPED persisted serve index (Anh & Moffat impact-ordered
+    // pruning): only each token's `impactCap` highest-impact postings are
+    // served, so stage-1 state per query is ≤ tokens·cap — CORPUS-
+    // INDEPENDENT, the bound STREAMCHECK gates. Exact whenever every
+    // query token's df ≤ cap (the spec's regime); past that it is the
+    // standard recall-for-state trade every impact-ordered engine makes.
+    // Persisted token-bucketed via IndexStore: built once per corpus,
+    // and the stream-static join re-plans against the stored table per
+    // micro-batch instead of re-running the ranking window.
+    val key = graft.sources.IndexStore.keyOf(dir)
+    val impacts = graft.sources.IndexStore.orBuild(
+      spark, s"bm25_impact_cap${impactCap}_$key", buckets = 8, keys = Seq("token")) {
+      graft.functions.TextAnalysis.bm25Impacts(spark, dir)
+        .withColumn("rnk", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("token")
+            .orderBy(col("score_micro").desc, col("doc_id").asc)))
+        .filter(col("rnk") <= impactCap).drop("rnk")
+    }
+    val contrib = queries
+      .withColumn("token", explode(array_distinct(
+        filter(split(lower(col("qtext")), " "), t => length(t) > 0))))
+      .join(impacts, "token")
+      .withWatermark(tsCol, watermark)
+    val summed = contrib
+      .groupBy(window(col(tsCol), windowLen), col("q_id"), col("doc_id"))
+      .agg(sum(col("score_micro")).as("score_micro"))
+    val topk = udaf(new graft.functions.TopKByScore(k))
+    summed
+      .groupBy(window(window_time(col("window")), windowLen), col("q_id"))
+      .agg(topk(col("score_micro").cast("double"), col("doc_id")).as("top"))
+      .select(col("q_id"), col("window.start").as("win_start"),
+        posexplode(col("top")))
+      .select(col("q_id"), col("win_start"), (col("pos") + 1).as("rnk"),
+        col("col.key").as("doc_id"),
+        col("col.score").cast("long").as("score_micro"))
+  }
+
   /** Streaming benchmark decontamination — the admission-time mirror of
     * [[graft.functions.CorpusOps.decontaminateOf]]: flag arriving
     * documents whose 5-token grams overlap the benchmark set before they

@@ -404,6 +404,69 @@ class StreamsSpec extends AnyFunSuite {
     assert(got == want, s"streaming probe diverged from batch BM25:\n$got\nvs\n$want")
   }
 
+  test("streaming BM25 serve: chained windowed sum + top-k emits the batch " +
+    "ranking in-stream") {
+    val dir = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    // impactCap above every token's df -> the capped serve index is the
+    // FULL impact index and the stream must equal exact batch BM25
+    // row-for-row (the default cap's recall trade is gated below)
+    val served = Streams.bm25ServeStream(
+      spark, in.toDF().toDF("q_id", "qtext", "ingest_ts"), dir, k = 5,
+      impactCap = 1 << 20)
+    val q = served.writeStream.format("memory").queryName("bm25_serve_out")
+      .outputMode(OutputMode.Append()).start()
+    val sents = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    in.addData(sents.take(2).map { case (i, s) => (i, s, ts(0)) })
+    q.processAllAvailable()
+    in.addData(sents.drop(2).map { case (i, s) => (i, s, ts(0)) })
+    q.processAllAvailable()
+    // flusher past window end + watermark releases both chained windows
+    in.addData(Seq((999L, sents.head._2, ts(30))))
+    q.processAllAvailable()
+    // two stateful aggregation stages really run in the ONE query
+    val stagesPerBatch = q.recentProgress
+      .filter(_.stateOperators.nonEmpty).map(_.stateOperators.length)
+    q.stop()
+    assert(stagesPerBatch.nonEmpty && stagesPerBatch.forall(_ == 2),
+      s"expected chained sum + top-k stages: $stagesPerBatch")
+    val got = spark.table("bm25_serve_out")
+      .filter(col("q_id") < 999)
+      .select("q_id", "rnk", "doc_id", "score_micro").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val want = graft.functions.TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got == want, s"in-stream serve diverged from batch BM25:\n$got\nvs\n$want")
+  }
+
+  test("streaming BM25 serve: default impact cap trades bounded state for recall") {
+    val dir = "/root/testdata/sf0.001"
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val served = Streams.bm25ServeStream(
+      spark, in.toDF().toDF("q_id", "qtext", "ingest_ts"), dir, k = 5)
+    val q = served.writeStream.format("memory").queryName("bm25_cap_out")
+      .outputMode(OutputMode.Append()).start()
+    val sents = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }
+    in.addData(sents.map { case (i, s) => (i, s, ts(0)) })
+    q.processAllAvailable()
+    in.addData(Seq((999L, sents.head._2, ts(30))))
+    q.processAllAvailable()
+    val got = spark.table("bm25_cap_out").filter(col("q_id") < 999)
+      .select("q_id", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    q.stop()
+    val exact = graft.functions.TextAnalysis.bm25TopK(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    // at 500 docs, common tokens have df >> 128: the cap really prunes,
+    // yet high-impact (rare, high-idf) postings survive by construction
+    assert(recall >= 0.5, s"impact-capped recall collapsed: $recall ($got vs $exact)")
+  }
+
   test("decontaminateStream flags benchmark-overlapping docs at admission, statelessly") {
     val in = MemoryStream[(Long, String)]
     val docs = in.toDF().toDF("doc_id", "text")
