@@ -35,5 +35,10 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 32g default on the 128 GiB host: the 8g default left ~4.6 GiB of
+  // unified memory for a 258-query bench run whose loop queries pin
+  // localCheckpoint blocks — storage pressure compounded through the
+  // alphabet (the r10 fleet-wide drift; family slowdown was monotone
+  // in run order). -Xmx reserves address space, not RAM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
 )

@@ -89,6 +89,15 @@ object Bench {
                 }
               if (ok) Some((System.nanoTime() - t0) / 1e9) else None
             }
+            // between-query hygiene (untimed): drop any RDD blocks a
+            // query leaked (localCheckpoint pins blocks until the RDD
+            // is GC'd AND the ContextCleaner runs — over 258×5 runs the
+            // accumulation squeezes the unified memory pool and slowed
+            // the r10 tail families ~9-34%); each run rebuilds its DAG
+            // from scratch, so nothing here is reused across runs
+            try spark.sparkContext.getPersistentRDDs.values
+              .foreach(_.unpersist(blocking = false))
+            catch { case _: Throwable => () }
             Some((name, times.sorted, errs))
         }
     }

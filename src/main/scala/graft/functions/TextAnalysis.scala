@@ -671,10 +671,17 @@ object TextAnalysis {
   private def bm25Serve(spark: SparkSession, post: DataFrame,
                         stats: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
-    val qtok = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
+    val qpairs = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
       .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }
-      .toDF("q_id", "token")
-    val tfq = post.join(broadcast(qtok.select("token").distinct()), "token")
+    val qtok = qpairs.toDF("q_id", "token")
+    // the query term set is known at PLAN time, so prune the postings
+    // scan with a literal isin (bucket/row-group prunable on the
+    // token-bucketed layout) — a broadcast-join filter alone prunes
+    // nothing at scan time (same move as queryExpansion's two rounds);
+    // df per surviving token is unchanged by the pruning
+    val lits = qpairs.map(_._2).distinct
+    val tfq = post.filter(col("token").isin(lits: _*))
+      .join(broadcast(qtok.select("token").distinct()), "token")
     val dfq = tfq.groupBy("token").agg(count(lit(1)).as("df"))
     val scored = tfq
       .join(broadcast(qtok), "token")
@@ -791,7 +798,13 @@ object TextAnalysis {
     * query tokens into postings; ANN: one broadcast scan + typed
     * top-k partial aggregation). */
   def hybridRrf(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val lex = bm25TopK(spark, dir, k).select("q_id", "doc_id", "rnk")
+    // lex leg off the PERSISTED token-bucketed postings (row-identical
+    // to the scan-time bm25TopK by construction — same tokenization,
+    // same integer scoring, computed at build time) with the plan-time
+    // literal term pruning bm25Serve applies; the scan variant
+    // re-tokenized the corpus (two full groupBys) on every serve and
+    // was the measured 2× of the r10 ta_hybrid_rrf regression
+    val lex = bm25Persisted(spark, dir, k).select("q_id", "doc_id", "rnk")
     val vec = graft.operators.Similarity.annMultiQueryTopK(spark, dir, 3L, k)
       .select(col("q_id"), col("vec_id").as("doc_id"), col("rnk"))
     rrfFuseOf(lex, vec, k)
