@@ -1,0 +1,232 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** REAL pixel-space image hashing with zero external codecs: the JDK
+  * ships a full JPEG encoder AND decoder (`javax.imageio`), so the
+  * perceptual-hash step of an image dedup pipeline — decode to pixels,
+  * pool to a coarse luma grid, difference-hash — runs as a codegen'd
+  * Catalyst expression over `binary` payloads (reference stores one
+  * profile JPEG per creator, insta_scraper_enhanced.py:395-432; our
+  * [[graft.operators.Multimodal.profilePictures]] ingests them).
+  *
+  * The hash is a 60-BIT dHash (6 rows x 11 cols of mean-luma cells,
+  * bit = left cell brighter than its right neighbor, exact integer
+  * cross-multiplied means so unequal cell areas never touch floats):
+  * 60 bits instead of the classic 64 so the signature rides the same
+  * non-negative-long hamming-band machinery as the text SimHash family
+  * ([[graft.operators.Dedup.hammingPairsOfSigs]], bits = 60) and the
+  * word fits `conv(hex15, 16, 10)` arithmetic on BOTH engines without
+  * signed-overflow cases.
+  *
+  * Oracle strategy (the `mm_wav_meta` move, WavOps.scala): DuckDB
+  * cannot decode JPEG, so the hash gate SYNTHESIZES the image from
+  * parameters the oracle can independently derive — [[JpegSynth]]
+  * builds a block-aligned grayscale JPEG whose cell gradients encode a
+  * given 60-bit word with a +/-12 luma margin (every 8x8 cell is one
+  * constant JPEG block, so lossy error is DC-quantization only, < 5
+  * gray levels at quality >= 80, and can never flip a comparison);
+  * [[JpegDHash]] must then recover the word by actually DECODING the
+  * pixels. synth -> encode -> decode -> pool -> compare == identity is
+  * the hash gate; real photos are gated by MultimodalSpec against an
+  * ImageIO reference implementation. */
+object ImageUtil {
+  val Rows = 6 // cell rows
+  val Cols = 11 // cell cols => Rows * (Cols - 1) = 60 comparison bits
+  val Cell = 8 // px per cell side == the JPEG DCT block size
+  private val Step = 12 // synth luma step per bit; worst walk 128+/-120
+
+  /** Deterministic grayscale JPEG encoding `word`'s 60 bits as
+    * adjacent-cell luma gradients (MSB-first, row-major): cell(r,0) =
+    * 128; cell(r,c+1) = cell(r,c) - Step when bit (r,c) is 1 (left
+    * brighter) else + Step. 88x48 px, every cell exactly one 8x8 JPEG
+    * block. `quality` in [1,100] maps to ImageIO's [0.01,1.0]. */
+  def synthJpeg(word: Long, quality: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      Cols * Cell, Rows * Cell, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var r = 0
+    while (r < Rows) {
+      var g = 128
+      var c = 0
+      while (c < Cols) {
+        var y = 0
+        while (y < Cell) {
+          var x = 0
+          while (x < Cell) {
+            raster.setSample(c * Cell + x, r * Cell + y, 0, g)
+            x += 1
+          }
+          y += 1
+        }
+        if (c < Cols - 1) {
+          val bit = (word >>> (59 - (r * (Cols - 1) + c))) & 1L
+          g = if (bit == 1L) g - Step else g + Step
+        }
+        c += 1
+      }
+      r += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+
+  /** 60-bit dHash of a decodable image payload as 15 lowercase hex
+    * chars, or null when ImageIO cannot decode the bytes. Pooling uses
+    * exact integer-partition cell boundaries (floor(i*W/Cols)) and the
+    * brighter-than comparison cross-multiplies luma SUMS by the other
+    * cell's AREA, so nothing floats and unequal edge-cell areas stay
+    * exact. Luma is integer BT.601 (299R + 587G + 114B) / 1000. */
+  def dhashHex(bytes: Array[Byte]): UTF8String = {
+    if (bytes == null || bytes.length < 4) return null
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w < Cols || h < Rows) return null
+    // per-cell luma sums + pixel counts
+    val sums = Array.ofDim[Long](Rows, Cols)
+    val cnts = Array.ofDim[Long](Rows, Cols)
+    val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    var y = 0
+    while (y < h) {
+      val cr = math.min(Rows - 1, y * Rows / h)
+      var x = 0
+      while (x < w) {
+        val cc = math.min(Cols - 1, x * Cols / w)
+        val luma =
+          if (gray) img.getRaster.getSample(x, y, 0).toLong * 1000L
+          else {
+            val rgb = img.getRGB(x, y)
+            299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+          }
+        sums(cr)(cc) += luma
+        cnts(cr)(cc) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var word = 0L
+    var r = 0
+    while (r < Rows) {
+      var c = 0
+      while (c < Cols - 1) {
+        // mean(r,c) > mean(r,c+1) via exact cross-multiplication
+        val left = sums(r)(c) * cnts(r)(c + 1)
+        val right = sums(r)(c + 1) * cnts(r)(c)
+        if (left > right) word |= 1L << (59 - (r * (Cols - 1) + c))
+        c += 1
+      }
+      r += 1
+    }
+    UTF8String.fromString(f"$word%015x")
+  }
+
+  /** Re-encode any decodable payload as a JPEG at `quality` — the
+    * perturbation a CDN / re-hosting pass applies; pixels survive
+    * approximately, bytes don't. Null when the input can't decode. */
+  def reencodeJpeg(bytes: Array[Byte], quality: Int): Array[Byte] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) return null
+    // JPEG writer needs an opaque raster; repaint onto RGB if needed
+    val rgb =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR ||
+          img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val t = new java.awt.image.BufferedImage(
+          img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+        val g2 = t.createGraphics()
+        g2.drawImage(img, 0, 0, null)
+        g2.dispose()
+        t
+      }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    bos.toByteArray
+  }
+}
+
+/** `jpeg_synth(word bigint, quality int) -> binary`: deterministic
+  * grayscale JPEG encoding the word's low 60 bits as cell gradients
+  * (see [[ImageUtil.synthJpeg]]). Codegen'd static call. */
+case class JpegSynth(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BinaryType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_synth needs (bigint, int), got (${left.dataType}, ${right.dataType})")
+  override def nullSafeEval(w: Any, q: Any): Any =
+    ImageUtil.synthJpeg(w.asInstanceOf[Long], q.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (w, q) => s"graft.functions.ImageUtil.synthJpeg($w, $q)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JpegSynth =
+    copy(left = l, right = r)
+  override def prettyName: String = "jpeg_synth"
+}
+
+/** `jpeg_dhash(binary) -> string`: 60-bit perceptual difference hash as
+  * 15 hex chars via a REAL ImageIO decode ([[ImageUtil.dhashHex]]);
+  * null for undecodable payloads (the honest signal — upstream decides
+  * whether to quarantine or fall back to byte-space SimHash). */
+case class JpegDHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_dhash needs binary input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    ImageUtil.dhashHex(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the static helper returns null for undecodable payloads, so the
+    // generated code re-derives isNull from the call result
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ImageUtil.dhashHex($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): JpegDHash = copy(child = c)
+  override def prettyName: String = "jpeg_dhash"
+}
+
+object ImageOps {
+  import org.apache.spark.sql.GraftColumnBridge
+  def jpegSynth(word: Column, quality: Column): Column =
+    GraftColumnBridge.column(JpegSynth(
+      GraftColumnBridge.expression(word), GraftColumnBridge.expression(quality)))
+  def jpegDHash(c: Column): Column =
+    GraftColumnBridge.column(JpegDHash(GraftColumnBridge.expression(c)))
+}

@@ -364,7 +364,78 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL pixel-space perceptual hash round-trip (r10 verdict #2, the
+    * image sibling of [[wavMetaDecode]]'s synth→parse gate): each
+    * document's md5 prefix is a 60-bit word; [[graft.functions.JpegSynth]]
+    * ENCODES a real grayscale JPEG (JDK ImageIO writer) whose 6×11 cell
+    * luma gradients carry the word with a ±12 margin on JPEG-block-
+    * aligned cells (DC quantization error < 5 levels at quality ≥ 80
+    * can never flip a comparison); [[graft.functions.JpegDHash]] must
+    * recover it by DECODING the pixels and computing the difference
+    * hash. The oracle derives the expected hex from md5 directly — the
+    * encode→decode→pool→compare identity is the hash gate. One codegen'd
+    * projection per row, no UDF, no shuffle but the presentation sort. */
+  def pixelDHash(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    Tables.documents(spark, dir)
+      .withColumn("h", expr("md5(cast(doc_id as string))"))
+      .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
+      .select(col("doc_id"),
+        jpegDHash(jpegSynth(col("word"), lit(95))).as("dhash_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** Pixel-space NEAR-DUP pairs over real JPEG payloads — the dHash
+    * upgrade of [[byteNearDupPairs]] from byte-space to what CLIP-era
+    * pipelines actually bucket on. Three variants per document, all
+    * real encoded JPEGs: v0 the original (quality 95), v1 a RE-ENCODE
+    * of the same pixels at quality 80 (the CDN/re-hosting perturbation —
+    * different bytes, dHash-identical pixels, hamming 0), v2 a 2-bit
+    * PIXEL tweak (two deterministically-chosen cell gradients flipped —
+    * hamming exactly 2). Signatures feed the SAME 60-bit hamming-band
+    * pigeonhole join as the text SimHash family (k=3 ⇒ 4 bands; pairs
+    * only from band-bucket collisions, never all-pairs), and the oracle
+    * enumerates the expected pair set per doc from the construction:
+    * (v0,v1,0), (v0,v2,2), (v1,v2,2). Real photos (where no synthesis
+    * parameters exist) are gated by MultimodalSpec against an ImageIO
+    * reference over the 9 reference JPEGs. */
+  def pixelNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    val base = Tables.documents(spark, dir)
+      .withColumn("h", expr("md5(cast(doc_id as string))"))
+      .withColumn("w0", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
+      // two distinct tweak bit positions in [0, 60), p2 ≠ p1 by the
+      // +1..59 offset construction
+      .withColumn("p1", expr("cast(conv(substring(h, 16, 2), 16, 10) as bigint) % 60"))
+      .withColumn("p2", expr(
+        "(p1 + 1 + cast(conv(substring(h, 18, 2), 16, 10) as bigint) % 59) % 60"))
+      .withColumn("wt", expr(
+        """w0 ^ shiftleft(cast(1 as bigint), cast(p1 as int))
+              ^ shiftleft(cast(1 as bigint), cast(p2 as int))"""))
+      .select(col("doc_id"), explode(expr(
+        """array(struct(0L as v, w0 as word, 95 as q),
+                 struct(1L as v, w0 as word, 80 as q),
+                 struct(2L as v, wt as word, 95 as q))""")).as("e"))
+    val sigs = base
+      .select((col("doc_id") * 4 + col("e.v")).as("doc_id"),
+        jpegDHash(jpegSynth(col("e.word"), col("e.q"))).as("dh"))
+      .select(col("doc_id"),
+        expr("cast(conv(dh, 16, 10) as bigint)").as("simhash"))
+    Dedup.hammingPairsOfSigs(sigs, k = 3, bits = 60, bucketLocal = false)
+      .select(expr("doc_a div 4").as("doc_id_a"), expr("doc_a % 4").as("var_a"),
+        expr("doc_b div 4").as("doc_id_b"), expr("doc_b % 4").as("var_b"),
+        col("hamming"))
+      .orderBy("doc_id_a", "var_a", "doc_id_b", "var_b")
+  }
+
+  /** [[pixelNearDupPairs]]'s hamming banding over any (doc_id, simhash)
+    * frame — the spec entry point for real-photo signatures. */
+  def pixelNearDupPairsOfSigs(sigs: DataFrame, k: Int = 6): DataFrame =
+    Dedup.hammingPairsOfSigs(sigs, k, bits = 60, bucketLocal = false)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_pixel_dhash"    -> pixelDHash _,
+    "mm_pixel_neardup"  -> pixelNearDupPairs _,
     "mm_wav_meta"       -> wavMetaDecode _,
     "mm_frame_dedup"    -> frameDedup _,
     "mm_pair_curation"  -> pairCuration _,
@@ -375,6 +446,32 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // the oracle derives the expected hash from the md5 word directly;
+    // the Spark side must ENCODE a real JPEG carrying the word and
+    // recover it by DECODING the pixels (ImageIO both ways) — any drift
+    // in the synth layout, the decoder, the 6x11 pooling or the
+    // comparison order hash-fails
+    "mm_pixel_dhash" ->
+      """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS dhash_hex
+         FROM documents ORDER BY doc_id""",
+    // expected pair set per document from the construction: re-encode
+    // (different bytes, same pixels) at hamming 0, the 2-bit pixel
+    // tweak at hamming exactly 2 from both — cross-document pairs would
+    // need two 60-bit md5 words within hamming 3 (≈3e-14 per pair)
+    "mm_pixel_neardup" ->
+      """SELECT doc_id AS doc_id_a, CAST(0 AS BIGINT) AS var_a,
+                doc_id AS doc_id_b, CAST(1 AS BIGINT) AS var_b,
+                CAST(0 AS BIGINT) AS hamming
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(0 AS BIGINT), doc_id, CAST(2 AS BIGINT),
+                CAST(2 AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), doc_id, CAST(2 AS BIGINT),
+                CAST(2 AS BIGINT)
+         FROM documents
+         ORDER BY 1, 2, 4""",
     // the oracle computes the fields from the SYNTHESIS parameters; the
     // Spark side must recover them by PARSING the container bytes — any
     // drift in LE layout, chunk sizes or the walker hash-fails
