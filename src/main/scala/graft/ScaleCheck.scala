@@ -81,24 +81,29 @@ object ScaleCheck {
             (base, big, big / math.max(base, 0.05))
           }
           var (base, big, ratio) = measure()
-          // a single-shot ratio above the per-query bound is re-measured
-          // (≤2 retries, best kept): one scheduler hiccup must not fail
-          // a 250-query sweep (r9: dd_setsim_join read 12.9× inside the
-          // full sweep and 7.8× in isolation on the same binary — the
-          // base run caught an anomalously fast slot, the big run
-          // contention). A genuinely superlinear query fails all three.
-          // EVERY measured ratio (not just the kept best) lands in the
-          // JSON artifact (ADVICE r9: a best-of-N retry that only shows
-          // up as a stdout line hides which passes needed it).
-          var retries = 0
-          var allRatios = List(ratio)
-          while (ratio > perQueryBound && retries < 2) {
-            println(f"CHECK-RETRY> $name%-32s $ratio%6.1fx > $perQueryBound%.1fx, re-measuring")
-            val (b2, g2, r2) = measure()
-            allRatios = allRatios :+ r2
-            if (r2 < ratio) { base = b2; big = g2; ratio = r2 }
-            retries += 1
+          // SYMMETRIC near-bound re-measurement (VERDICT r10 #6, closing
+          // the ADVICE r9 retry-asymmetry residue): ONE rule for every
+          // query — a single-shot ratio within 2× of the per-query bound
+          // FROM EITHER SIDE (ratio > bound/2, so both lucky just-under
+          // passes and unlucky just-over failures) is re-measured to 3
+          // samples and the MEDIAN ratio kept. Re-measurement can now
+          // push a flattering single shot OVER the bound exactly as it
+          // can rescue a noisy breach — no pass-bias. Queries far below
+          // the bound keep the single shot: they cannot flap the gate,
+          // and tripling a 250-query sweep to re-confirm 0.9× ratios
+          // measures nothing. One genuine scheduler hiccup still can't
+          // fail the sweep (r9: dd_setsim_join read 12.9× in-sweep, 7.8×
+          // in isolation on the same binary). EVERY measured ratio lands
+          // in the JSON artifact (ADVICE r9), not just the kept median.
+          var samples = List((base, big, ratio))
+          if (ratio > perQueryBound / 2.0) {
+            println(f"CHECK-REMEASURE> $name%-32s $ratio%6.1fx within 2x of $perQueryBound%.1fx bound, median-of-3")
+            while (samples.length < 3) samples = samples :+ measure()
+            val med = samples.sortBy(_._3)(Ordering.Double.TotalOrdering)(1)
+            base = med._1; big = med._2; ratio = med._3
           }
+          val retries = samples.length - 1
+          val allRatios = samples.map(_._3)
           println(f"CHECK> $name%-32s base $base%7.2f s  big $big%7.2f s  ratio $ratio%6.1fx")
           Some((name, base, big, ratio, retries, allRatios))
       }
@@ -119,8 +124,9 @@ object ScaleCheck {
       f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f$extra}"""
     }.mkString("{", ",", "}")
     val totalRetries = rows.map(_._5).sum
+    val policy = f"median-of-3 for any query whose single-shot ratio exceeds ${perQueryBound / 2.0}%.1fx (= per_query_bound/2, symmetric: re-measurement applies on both sides of the bound)"
     println(
-      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"total_retries":$totalRetries,"queries":$qs}""")
+      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"total_retries":$totalRetries,"retry_policy":"$policy","queries":$qs}""")
     over.foreach { case (k, _, _, r, _, _) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
     spark.stop()
     if (median > bound) {

@@ -62,6 +62,11 @@ object StreamCheck {
     val big = if (args.length > 1) args(1) else "target/sf1"
     val spark =
       Sessions.local(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"), "graft-streamcheck")
+    // peak/input metrics fold over q.recentProgress, a ring buffer
+    // capped by this conf (default 100); the x10 join runs already
+    // produce ~81 micro-batches, so a chunk-count bump would silently
+    // truncate the window the state gate is computed over (ADVICE r10)
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "2000")
     import spark.implicits._
     implicit val ss: SparkSession = spark
 
@@ -146,7 +151,13 @@ object StreamCheck {
       * the ts column makes each file a contiguous time slice. */
     def splitByTime(df: DataFrame, tsCol: String, out: String, n: Int): Unit = {
       val dir = new java.io.File(out)
-      if (dir.exists()) return // split is deterministic per (data, n): reuse
+      // reuse ONLY a completed split (the `_DONE` marker is written
+      // after the last rename; Spark's file listing hides `_`-prefixed
+      // files so it never enters the stream). A dir without the marker
+      // is a partial from a crashed run — regenerate (ADVICE r10).
+      val done = new java.io.File(dir, "_DONE")
+      if (done.exists()) return
+      if (dir.exists()) rm(dir)
       dir.mkdirs()
       val tmp = new java.io.File(s"$out.tmp")
       if (tmp.exists()) rm(tmp)
@@ -162,17 +173,26 @@ object StreamCheck {
         dst.setLastModified(System.currentTimeMillis() + i * 1000L)
       }
       rm(tmp)
+      java.nio.file.Files.writeString(done.toPath, "ok")
+      ()
     }
 
     def chunksOf(tag: String): Int = if (tag == "x10") 80 else 8
 
+    // split dirs are keyed by (source-dir inventory, chunk count), not
+    // just the scale tag (ADVICE r10): a regenerated source or a
+    // chunk-count change orphans the old split instead of serving it
+    def splitKey(dir: String, n: Int): String =
+      s"${graft.sources.IndexStore.keyOf(dir)}_n$n"
+
     def eventSplitDir(dir: String, tag: String): String = {
-      val out = s"target/streamcheck/split_events_$tag"
-      splitByTime(spark.read.parquet(s"$dir/events.parquet"), "ts", out, chunksOf(tag))
+      val n = chunksOf(tag)
+      val out = s"target/streamcheck/split_events_${tag}_${splitKey(dir, n)}"
+      splitByTime(spark.read.parquet(s"$dir/events.parquet"), "ts", out, n)
       out
     }
     def docsSplitDir(dir: String, tag: String): String = {
-      val out = s"target/streamcheck/split_docs_$tag"
+      val out = s"target/streamcheck/split_docs_${tag}_${splitKey(dir, chunksOf(tag))}"
       // documents carry no event time; ingest_ts is a deterministic
       // 1-doc-per-minute clock off doc_id — 10× data (shifted ids) then
       // covers 10× wall-clock, the same time-extension shape as events
@@ -185,7 +205,7 @@ object StreamCheck {
     }
 
     def embSplitDir(dir: String, tag: String): String = {
-      val out = s"target/streamcheck/split_emb_$tag"
+      val out = s"target/streamcheck/split_emb_${tag}_${splitKey(dir, chunksOf(tag))}"
       // every 10th vector is a query, clocked 1-per-10s off vec_id —
       // constant 6 queries/min at both scales (10x data = 10x time)
       splitByTime(
@@ -198,7 +218,7 @@ object StreamCheck {
     }
 
     def qtextSplitDir(dir: String, tag: String): String = {
-      val out = s"target/streamcheck/split_qtext_$tag"
+      val out = s"target/streamcheck/split_qtext_${tag}_${splitKey(dir, chunksOf(tag))}"
       // every 25th document's text is a retrieval query, clocked off
       // doc_id (selected queries land 25 s apart — constant density;
       // 10x data = 10x covered time and a 10x-bigger served corpus)

@@ -53,7 +53,13 @@ object WavUtil {
     }
     if (sampleRate <= 0 || channels <= 0 || bits <= 0 || byteRate <= 0 ||
       dataBytes < 0) return -1L
-    if (sampleRate >= (1L << 20) || channels >= 16 || bits >= 256) return -1L
+    // rate bound is 2^19, not the 2^20 the 20-bit field could hold:
+    // packing shifts by 44, so a rate in [2^19, 2^20) would set the
+    // sign bit — arithmetic shiftright consumers would read a negative
+    // rate, and the all-ones combination collides with the -1 sentinel
+    // (ADVICE r10). 2^19-1 = 524287 Hz still covers every real rate
+    // (384 kHz studio masters included).
+    if (sampleRate >= (1L << 19) || channels >= 16 || bits >= 256) return -1L
     val durMs = dataBytes * 1000L / byteRate
     if (durMs >= (1L << 32)) return -1L
     (sampleRate << 44) | (channels.toLong << 40) | (bits.toLong << 32) | durMs

@@ -112,29 +112,39 @@ object Graph {
     * `maxIters` caps pathological graphs; the output stays the same
     * deterministic least-of-last-two either way. */
   def pageRankConvergedOf(edgesIn: DataFrame, maxIters: Int = 128): DataFrame = {
-    // AQE OFF for the loop body (restored in `finally`): every input to
-    // every step is an eagerly-checkpointed table whose size the planner
-    // knows EXACTLY, so adaptivity has nothing to discover — it only
-    // adds 2-3 driver round-trips per ~80 ms step job (measured ~150
-    // jobs per run with AQE on vs ~40 off; the loop is pure fixed
-    // overhead at base scale). Join strategy still scales: small rank
-    // tables broadcast off accurate stats, huge ones fall back to SMJ
-    // over the pre-partitioned edge list below.
+    // AQE OFF for the loop body: every input to every step is an
+    // eagerly-checkpointed table whose size the planner knows EXACTLY,
+    // so adaptivity has nothing to discover — it only adds 2-3 driver
+    // round-trips per ~80 ms step job (measured ~150 jobs per run with
+    // AQE on vs ~40 off; the loop is pure fixed overhead at base scale).
+    // Join strategy still scales: small rank tables broadcast off
+    // accurate stats, huge ones fall back to SMJ over the
+    // pre-partitioned edge list below.
+    //
+    // The overrides live in a CLONED session (`newSession`: shared
+    // SparkContext, isolated SQLConf — ADVICE r10): mutate-and-restore
+    // on the caller's session was neither reentrant nor thread-safe (a
+    // concurrent query on the same session ran under the loop's conf).
+    // The checkpointed edge RDD and the loop's result are re-rooted
+    // across sessions via their LogicalRDD plans (RDD-backed leaves,
+    // no catalog references), so the caller's frame plans and executes
+    // under the caller's own conf exactly as before.
+    import org.apache.spark.sql.GraftColumnBridge.{logicalPlan, ofRows}
     val spark = edgesIn.sparkSession
-    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
-    val shufWas = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try pageRankConvergedLoop(spark, edgesIn, maxIters)
-    finally {
-      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
-      spark.conf.set("spark.sql.shuffle.partitions", shufWas)
-    }
+    val loopSession = spark.newSession()
+    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val edges0 = ofRows(loopSession, logicalPlan(edgesIn.localCheckpoint()))
+    val out = pageRankConvergedLoop(loopSession, edges0, maxIters)
+    ofRows(spark, logicalPlan(out))
   }
 
   private def pageRankConvergedLoop(spark: SparkSession, edgesIn: DataFrame,
                                     maxIters: Int): DataFrame = {
-    // same degree-fused edge list as [[pageRankOf]]: one join per step
-    val edges0 = edgesIn.localCheckpoint()
+    // same degree-fused edge list as [[pageRankOf]]: one join per step.
+    // `edgesIn` arrives already checkpointed (RDD-backed) from
+    // [[pageRankConvergedOf]]; `spark` is the loop-scoped session, so
+    // the partition-count override below dies with it.
+    val edges0 = edgesIn
     // partition count sized to the PER-STEP data, never above the
     // session's configured value: the loop runs ~27 tiny step stages,
     // and at base scale a 500k-row step drowns in 32-task scheduling
@@ -210,6 +220,31 @@ object Graph {
       .select(expr("(node - 1) div 2").cast("long").as("s_suppkey"),
         col("r").as("rank_micro"))
       .orderBy("s_suppkey")
+
+  /** Converged PageRank SERVED from a persisted rank table (r10 verdict
+    * #3 — the `dd_dedup_groups` lifecycle applied to the 100× wall-clock
+    * ceiling): the power iteration runs ONCE per corpus and its
+    * converged ranks land in an [[graft.sources.IndexStore]] table keyed
+    * by the corpus fingerprint (bucketed on `s_suppkey`, so downstream
+    * key joins are exchange-free); every subsequent consumption — here
+    * the canonical "who are the top suppliers" lookup joining the
+    * supplier dim — reads the table and pays join + top-k only. Rank
+    * VALUES are identical to [[pageRankConvergedSuppliers]] by
+    * construction (same loop, persisted verbatim), so the oracle replays
+    * the same unrolled iteration and serves its own lookup off it. At
+    * 100 TB this is the difference between re-running a ~30-step
+    * distributed fixpoint per query and one bucketed-table read. */
+  def pageRankServed(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    val ranks = IndexStore.orBuild(spark,
+      s"pr_ranks_${IndexStore.keyOf(dir)}", 8, Seq("s_suppkey"))(
+      pageRankConvergedSuppliers(spark, dir))
+    ranks
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"), "s_suppkey")
+      .orderBy(desc("rank_micro"), col("s_suppkey"))
+      .select("s_suppkey", "s_name", "rank_micro")
+      .limit(25)
+  }
 
   /** MULTI-SOURCE K-HOP REACHABILITY — frontier-expansion BFS from a
     * bounded seed set (the "blast radius" primitive: how much of the
@@ -559,6 +594,7 @@ object Graph {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rel_pagerank" -> ((s: SparkSession, d: String) => pageRankSuppliers(s, d)),
     "rel_pagerank_converged" -> ((s: SparkSession, d: String) => pageRankConvergedSuppliers(s, d)),
+    "rel_pagerank_served" -> ((s: SparkSession, d: String) => pageRankServed(s, d)),
     "rel_copurchase_topk" -> ((s: SparkSession, d: String) => copurchaseTopK(s, d)),
     "rel_assoc_rules" -> assocRules _,
     "rel_triangle_count" -> ((s: SparkSession, d: String) => triangleCounts(s, d)),
@@ -577,7 +613,10 @@ object Graph {
     * know the entry iteration. Each step is `AS MATERIALIZED`: DuckDB
     * inlines single-reference CTEs, and 61 chained inlines blow up its
     * planner (>10 min vs 2 s materialized, measured at sf0.01). */
-  private def pagerankConvergedOracle: String = {
+  /** The shared CTE prefix of the converged-PageRank oracles: the
+    * identical integer iteration unrolled far past cycle entry, with a
+    * final `pr(s_suppkey, rank_micro)` table of least-of-last-two. */
+  private def pagerankConvergedCtes: String = {
     val steps = (1 to 61).map { i =>
       val prev = if (i == 1) "r0" else s"i${i - 1}"
       s"""i$i AS MATERIALIZED (SELECT e.dst AS node,
@@ -592,12 +631,24 @@ object Graph {
                   UNION ALL SELECT s, c FROM be),
         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
         r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r FROM deg),
-        $steps
-        SELECT CAST((a.node - 1) // 2 AS BIGINT) AS s_suppkey,
-               least(a.r, b.r) AS rank_micro
-        FROM i60 a JOIN i61 b ON a.node = b.node
-        WHERE a.node % 2 = 1 ORDER BY s_suppkey"""
+        $steps,
+        pr AS (SELECT CAST((a.node - 1) // 2 AS BIGINT) AS s_suppkey,
+                      least(a.r, b.r) AS rank_micro
+               FROM i60 a JOIN i61 b ON a.node = b.node
+               WHERE a.node % 2 = 1)"""
   }
+
+  private def pagerankConvergedOracle: String =
+    s"""$pagerankConvergedCtes
+        SELECT s_suppkey, rank_micro FROM pr ORDER BY s_suppkey"""
+
+  /** Served variant: the same converged ranks, consumed as a lookup —
+    * join the supplier dim, top-25 by rank. */
+  private def pagerankServedOracle: String =
+    s"""$pagerankConvergedCtes
+        SELECT p.s_suppkey, s.s_name, p.rank_micro
+        FROM pr p JOIN supplier s ON p.s_suppkey = s.s_suppkey
+        ORDER BY p.rank_micro DESC, p.s_suppkey LIMIT 25"""
 
   /** Oracle for label propagation: the identical synchronous mode
     * iteration unrolled as one MATERIALIZED CTE per round (DuckDB
@@ -697,6 +748,7 @@ object Graph {
          SELECT CAST((node - 1) // 2 AS BIGINT) AS s_suppkey, r AS rank_micro
          FROM i3 WHERE node % 2 = 1 ORDER BY s_suppkey""",
     "rel_pagerank_converged" -> pagerankConvergedOracle,
+    "rel_pagerank_served" -> pagerankServedOracle,
     // the oracle derives pair counts from the raw quadratic self-join —
     // proving the basket-explode encoding equivalent
     "rel_copurchase_topk" ->

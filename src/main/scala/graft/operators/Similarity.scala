@@ -1636,8 +1636,12 @@ object Similarity {
                                 hops: Int, nEntries: Int): DataFrame = {
     val all = Tables.embeddings(spark, dir)
     val corpus = all.filter(col("vec_id") % 7 =!= 0)
+    // build parameters are part of the key (ADVICE r10): a graph built
+    // with different k/rounds is a DIFFERENT index — serving it silently
+    // is the staleness class IndexStore exists to prevent (the bm25
+    // impact index encodes its cap the same way)
     val g = graft.sources.IndexStore.orBuild(spark,
-      s"nnd_corpus_${graft.sources.IndexStore.keyOf(dir)}",
+      s"nnd_corpus_k${k}_r${rounds}_${graft.sources.IndexStore.keyOf(dir)}",
       buckets = 8, keys = Seq("u")) {
       nndescentKnnOf(corpus, k, rounds).select(col("u"), col("v"), col("cos"))
     }

@@ -56,6 +56,18 @@ class WavOpsSpec extends AnyFunSuite {
     assert(WavUtil.metaPacked(lying) === -1L)
   }
 
+  test("sample-rate packing boundary: 2^19-1 packs non-negative, 2^19 rejects") {
+    def wavAt(sr: Long): Array[Byte] =
+      riff(fmtChunk(1, sr, 8) ++ tag("data") ++ le4(4) ++ Array[Byte](1, 2, 3, 4))
+    // max admissible rate: packed value stays non-negative (ADVICE r10 —
+    // a rate in [2^19, 2^20) would set the sign bit through the <<44)
+    val maxOk = WavUtil.metaPacked(wavAt((1L << 19) - 1))
+    assert(maxOk >= 0L)
+    assert(unpack(maxOk)._1 === (1L << 19) - 1)
+    assert(WavUtil.metaPacked(wavAt(1L << 19)) === -1L)
+    assert(WavUtil.metaPacked(wavAt((1L << 20) - 1)) === -1L)
+  }
+
   test("expression matches the static walker through codegen") {
     val spark = graft.Sessions.local("2", "graft-wav-test")
     import spark.implicits._

@@ -84,6 +84,12 @@ if [ "${1:-}" = "--sf10" ]; then
   # only at 10x), and the incremental graph-ANN insert
   HEADLINE="$HEADLINE,sim_graph_search,rel_connected_components"
   HEADLINE="$HEADLINE,sim_nnd_incremental"
+  # round-11 additions (VERDICT r10 asks #3/#4): the three serving-shaped
+  # paths whose 100x claims were prose-only — PageRank consumed from the
+  # persisted rank table, span dedup off the persisted span index, and
+  # the IVF-PQ probe (all index-read + bounded-work queries)
+  HEADLINE="$HEADLINE,rel_pagerank_served,dd_span_dedup_persisted"
+  HEADLINE="$HEADLINE,sim_ivfpq_topk"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
