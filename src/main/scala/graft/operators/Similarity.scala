@@ -1631,28 +1631,55 @@ object Similarity {
         col("score").as("cos"))
       .orderBy("q_id", "rnk")
 
+  /** The persisted corpus-side NN-descent graph for `dir` (build-once
+    * through IndexStore; corpus = `vec_id % 7 ≠ 0`) — shared by the
+    * batch incremental insert and the in-stream maintenance fold.
+    * Build parameters are part of the key (ADVICE r10): a graph built
+    * with different k/rounds is a DIFFERENT index — serving it silently
+    * is the staleness class IndexStore exists to prevent (the bm25
+    * impact index encodes its cap the same way). */
+  private[graft] def corpusNndGraph(spark: SparkSession, dir: String,
+                                    k: Int = 10, rounds: Int = 3): DataFrame = {
+    val corpus = Tables.embeddings(spark, dir).filter(col("vec_id") % 7 =!= 0)
+    graft.sources.IndexStore.orBuild(spark,
+      s"nnd_corpus_k${k}_r${rounds}_${graft.sources.IndexStore.keyOf(dir)}",
+      buckets = 8, keys = Seq("u")) {
+      nndescentKnnOf(corpus, k, rounds).select(col("u"), col("v"), col("cos"))
+    }
+  }
+
   private def nndIncrementalKnn(spark: SparkSession, dir: String, k: Int,
                                 rounds: Int, adjCap: Int, beam: Int,
                                 hops: Int, nEntries: Int): DataFrame = {
     val all = Tables.embeddings(spark, dir)
     val corpus = all.filter(col("vec_id") % 7 =!= 0)
-    // build parameters are part of the key (ADVICE r10): a graph built
-    // with different k/rounds is a DIFFERENT index — serving it silently
-    // is the staleness class IndexStore exists to prevent (the bm25
-    // impact index encodes its cap the same way)
-    val g = graft.sources.IndexStore.orBuild(spark,
-      s"nnd_corpus_k${k}_r${rounds}_${graft.sources.IndexStore.keyOf(dir)}",
-      buckets = 8, keys = Seq("u")) {
-      nndescentKnnOf(corpus, k, rounds).select(col("u"), col("v"), col("cos"))
-    }
+    val g = corpusNndGraph(spark, dir, k, rounds)
+    nndInsertKnn(g, corpus, all.filter(col("vec_id") % 7 === 0),
+      k, adjCap, beam, hops, nEntries)
+  }
+
+  /** DiskANN-style single-batch insert against an EXPLICIT graph state —
+    * the reusable core of [[nndIncremental]] and the in-stream fold
+    * [[graft.streaming.Streams.nndMaintainStream]]: seed each batch node
+    * by beam search over the capped adjacency of `g`, then one local
+    * refinement round over touched nodes only. `nodesEmb` must cover
+    * every node id appearing in `g` (`(vec_id, embedding)`); `batchEmb`
+    * is the arriving batch. Batch nodes never pair with each other and
+    * the graph side never re-pairs with itself, so per-node candidates
+    * stay bounded by nEntries + hops·beam·(adjCap+1) + k·(adjCap+1) —
+    * independent of graph size. Returns the typed top-k frame
+    * `(q_id, rnk, key, score)` = each batch node's neighbor list. */
+  private[graft] def nndInsertKnn(g: DataFrame, nodesEmb: DataFrame,
+                                  batchEmb: DataFrame, k: Int, adjCap: Int,
+                                  beam: Int, hops: Int, nEntries: Int): DataFrame = {
     val adj = cappedAdjOf(g, adjCap).localCheckpoint() // feeds every hop + refine
-    val e = corpus.select(col("vec_id").as("v"), col("embedding").as("ve"))
+    val e = nodesEmb.select(col("vec_id").as("v"), col("embedding").as("ve"))
       .withColumn("vna", quantNormSq(col("ve")))
-    val bq = all.filter(col("vec_id") % 7 === 0)
+    val bq = batchEmb
       .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       .withColumn("qna", quantNormSq(col("qe")))
-    // fixed entry set: smallest corpus ids (TakeOrdered — bounded)
-    val entries = corpus.select(col("vec_id").as("v")).orderBy("v").limit(nEntries)
+    // fixed entry set: smallest graph-node ids (TakeOrdered — bounded)
+    val entries = nodesEmb.select(col("vec_id").as("v")).orderBy("v").limit(nEntries)
     def scoreOf(cand: DataFrame): DataFrame =
       cand.join(e, "v")
         .join(bq, "q_id")

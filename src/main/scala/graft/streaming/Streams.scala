@@ -786,6 +786,76 @@ object Streams {
     }
   }
 
+  /** IN-STREAM INDEX MAINTENANCE (r10 verdict #5) — the last cell of the
+    * build → persist → serve → MAINTAIN matrix: arriving embedding
+    * micro-batches `(vec_id, embedding)` FOLD into the persisted
+    * NN-descent graph as they land, via foreachBatch over
+    * [[graft.operators.Similarity.nndInsertKnn]] (the same DiskANN-style
+    * insert the batch `sim_nnd_incremental` path runs — beam-search seed
+    * + one local refinement, candidates per node bounded by
+    * nEntries + hops·beam·(adjCap+1) + k·(adjCap+1), independent of
+    * graph size).
+    *
+    * State model: NO streaming state store — the graph delta lives in
+    * the index store itself (`stateDir/edges`, `stateDir/emb`), written
+    * one `batch_id=N` partition per micro-batch with overwrite-by-batch
+    * semantics, so foreachBatch's at-least-once replays are IDEMPOTENT:
+    * a re-run batch reads only partitions with `batch_id < its own id`
+    * (its earlier partial output is invisible to itself) and overwrites
+    * its own partition. Later batches see earlier arrivals as graph
+    * nodes, so a vector folded in batch 2 is searchable when batch 3
+    * inserts — stream-folded state after N batches is row-identical to
+    * replaying the same N chunks through the batch insert (the
+    * StreamsSpec differential).
+    *
+    * Scale: per batch the insert pays one column-pruned scan of the
+    * node-embedding side (broadcast-built from the bounded candidate
+    * set) plus the bounded scoring joins — batch arrivals amortize it;
+    * the corpus never re-pairs with itself and the per-node candidate
+    * bound is corpus-independent, so fold cost tracks arrivals, not
+    * corpus. */
+  def nndMaintainStream(spark: SparkSession, arrivals: DataFrame,
+                        dir: String, stateDir: String, checkpointDir: String,
+                        k: Int = 10, rounds: Int = 3, adjCap: Int = 16,
+                        beam: Int = 8, hops: Int = 4,
+                        nEntries: Int = 8): StreamingQuery = {
+    val base = graft.operators.Similarity.corpusNndGraph(spark, dir, k, rounds)
+      .select("u", "v", "cos")
+    val corpusEmb = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 =!= 0).select("vec_id", "embedding")
+    arrivals.select("vec_id", "embedding").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldNndBatch(spark, batch.toDF(), base, corpusEmb, stateDir, batchId,
+          k, adjCap, beam, hops, nEntries)
+      }
+      .start()
+  }
+
+  /** One idempotent maintenance fold (exposed for the spec's batch
+    * replay): insert `batchDf` against base graph ∪ all state partitions
+    * with `batch_id < batchId`, then overwrite this batch's own edge and
+    * embedding partitions. */
+  private[graft] def foldNndBatch(spark: SparkSession, batchDf: DataFrame,
+                                  base: DataFrame, corpusEmb: DataFrame,
+                                  stateDir: String, batchId: Long,
+                                  k: Int, adjCap: Int, beam: Int,
+                                  hops: Int, nEntries: Int): Unit = {
+    def stateBefore(sub: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$stateDir/$sub")
+        .filter(col("batch_id") < batchId).drop("batch_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val g = stateBefore("edges").map(base.unionByName(_)).getOrElse(base)
+    val nodesEmb = stateBefore("emb").map(corpusEmb.unionByName(_)).getOrElse(corpusEmb)
+    // pin the micro-batch: the insert's scoring joins consume it twice
+    val batch = batchDf.select("vec_id", "embedding").localCheckpoint()
+    val newEdges = graft.operators.Similarity
+      .nndInsertKnn(g, nodesEmb, batch, k, adjCap, beam, hops, nEntries)
+      .select(col("q_id").as("u"), col("key").as("v"), col("score").as("cos"))
+    newEdges.write.mode("overwrite").parquet(s"$stateDir/edges/batch_id=$batchId")
+    batch.write.mode("overwrite").parquet(s"$stateDir/emb/batch_id=$batchId")
+  }
+
   /** Durable sink: drive a streaming DataFrame to parquet via
     * foreachBatch with a checkpoint — restart-safe micro-batch delivery
     * (the batch id makes retried batches idempotent overwrites). */

@@ -519,4 +519,108 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
     assert(streamed == batchGrid)
   }
+
+  /** The last micro-batch's EXECUTED physical plan (streaming frames
+    * don't EXPLAIN before start; the IncrementalExecution of a drained
+    * batch is the real per-batch plan — the r10 verdict #7 pin). */
+  private def lastBatchPlan(q: org.apache.spark.sql.streaming.StreamingQuery): String =
+    q.asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+      .streamingQuery.lastExecution.executedPlan.toString
+
+  test("serve-stream plan pins: ann = ONE stateful aggregation, bm25 = TWO chained; " +
+    "bounded-buffer top-k aggregates partially; no cartesian anywhere") {
+    val dir = "/root/testdata/sf0.001"
+    // ANN serve micro-batch plan
+    val annIn = MemoryStream[(Long, Seq[Float], java.sql.Timestamp)]
+    val annQ = Streams.annServeStream(
+      spark, annIn.toDF().toDF("q_id", "embedding", "ingest_ts"), dir, k = 5)
+      .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+    val vec = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") < 2).select("vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    annIn.addData(vec.map { case (i, e) => (i, e, ts(0)) }.toSeq)
+    annQ.processAllAvailable()
+    val annPlan = lastBatchPlan(annQ)
+    annQ.stop()
+    assert("StateStoreSave".r.findAllIn(annPlan).size == 1,
+      s"ann serve: expected exactly one stateful aggregation:\n$annPlan")
+    assert(annPlan.contains("ObjectHashAggregate") &&
+      annPlan.toLowerCase.contains("partial_topkbyscore"),
+      s"ann serve: top-k must partial-aggregate into the bounded buffer:\n$annPlan")
+    assert(!annPlan.contains("CartesianProduct"),
+      s"ann serve went cartesian:\n$annPlan")
+
+    // BM25 serve micro-batch plan
+    val bmIn = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val bmQ = Streams.bm25ServeStream(
+      spark, bmIn.toDF().toDF("q_id", "qtext", "ingest_ts"), dir, k = 5)
+      .writeStream.format("noop").outputMode(OutputMode.Append()).start()
+    bmIn.addData(Seq((0L, graft.functions.CorpusOps.benchmarkSentences.head, ts(0))))
+    bmQ.processAllAvailable()
+    val bmPlan = lastBatchPlan(bmQ)
+    bmQ.stop()
+    assert("StateStoreSave".r.findAllIn(bmPlan).size == 2,
+      s"bm25 serve: expected the chained sum + top-k stateful stages:\n$bmPlan")
+    assert(!bmPlan.contains("CartesianProduct"),
+      s"bm25 serve went cartesian:\n$bmPlan")
+  }
+
+  test("nndMaintainStream: stream-folded graph state equals sequential batch " +
+    "folding; later batches see earlier arrivals; replays are idempotent") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_nnd_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_nnd_ckpt").toString
+    val arrivals = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(arrivals.length == 72)
+    val chunks = arrivals.grouped(24).toSeq // 3 micro-batches
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.nndMaintainStream(spark,
+      in.toDF().toDF("vec_id", "embedding"), dir, stateDir, ckpt)
+    chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    def stateEdges(): Seq[(Long, Long, Double)] =
+      spark.read.parquet(s"$stateDir/edges").select("u", "v", "cos")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+    val got = stateEdges()
+    // INDEPENDENT sequential replay through the batch insert — in-memory
+    // unions, no state dir: proves the stream's read/write/idempotence
+    // plumbing reconstructs exactly the batch-folded graph
+    val base = Similarity.corpusNndGraph(spark, dir).select("u", "v", "cos")
+    val corpusEmb = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 =!= 0).select("vec_id", "embedding")
+    var g = base
+    var emb = corpusEmb
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    chunks.foreach { c =>
+      val batch = c.toSeq.toDF("vec_id", "embedding")
+      val newE = Similarity
+        .nndInsertKnn(g, emb, batch, k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
+        .select(col("q_id").as("u"), col("key").as("v"), col("score").as("cos"))
+        .localCheckpoint()
+      want ++= newE.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      g = g.unionByName(newE)
+      emb = emb.unionByName(batch)
+    }
+    assert(got == want.sorted.toSeq, "stream-folded state diverged from batch folding")
+    // every arrival got exactly k = 10 neighbors
+    val byNode = got.groupBy(_._1)
+    assert(byNode.keySet == arrivals.map(_._1).toSet)
+    assert(byNode.values.forall(_.size == 10))
+    // later batches search earlier arrivals: some batch-2/3 node links
+    // to a batch-1/2 arrival (earlier-folded ids are %7==0 too)
+    val arrivalIds = arrivals.map(_._1).toSet
+    assert(got.exists(e => arrivalIds.contains(e._2)),
+      "no folded arrival ever became a neighbor — earlier batches invisible")
+    // at-least-once replay: re-folding the LAST micro-batch under its own
+    // batch id must leave the state byte-identical (its own earlier
+    // output is invisible to the re-run, and it overwrites its partition)
+    Streams.foldNndBatch(spark, chunks.last.toSeq.toDF("vec_id", "embedding"),
+      base, corpusEmb, stateDir, batchId = 2,
+      k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
+    assert(stateEdges() == got, "replaying the last batch changed the state")
+  }
 }
