@@ -89,14 +89,20 @@ object Bench {
                 }
               if (ok) Some((System.nanoTime() - t0) / 1e9) else None
             }
-            // between-query hygiene (untimed): drop any RDD blocks a
-            // query leaked (localCheckpoint pins blocks until the RDD
-            // is GC'd AND the ContextCleaner runs — over 258×5 runs the
-            // accumulation squeezes the unified memory pool and slowed
-            // the r10 tail families ~9-34%); each run rebuilds its DAG
-            // from scratch, so nothing here is reused across runs
-            try spark.sparkContext.getPersistentRDDs.values
-              .foreach(_.unpersist(blocking = false))
+            // between-query hygiene (untimed): over 261×5 runs, leaked
+            // storage squeezes the unified memory pool and slowed the
+            // r10 tail families 9-34%. CacheManager entries from
+            // .persist() calls a query never unpersisted are dropped
+            // through the PROPER API — a blanket RDD-level unpersist
+            // (tried first) left broken InMemoryRelations that
+            // recomputed without re-caching and regressed the
+            // persist-reliant queries ~2×, and a per-query System.gc()
+            // (tried second) perturbed the queries that followed it.
+            // Leaked localCheckpoint blocks are left to the 32g heap +
+            // the ContextCleaner's own GC cadence. Within a query's n
+            // runs the cache stays warm (CacheManager dedupes by plan
+            // equality), matching prior rounds' measurement semantics.
+            try spark.catalog.clearCache()
             catch { case _: Throwable => () }
             Some((name, times.sorted, errs))
         }

@@ -544,24 +544,28 @@ object Dedup {
     // runs a handful of small two-shuffle rounds whose inputs are all
     // checkpointed tables with exact stats — AQE's stage-wise execution
     // only adds driver round-trips per round, and node-sized exchanges
-    // drown in full-width task scheduling. The overrides live in a
-    // CLONED session (`newSession`: shared SparkContext + shared
-    // external catalog, isolated SQLConf — ADVICE r10) instead of
+    // drown in full-width task scheduling. The overrides live in the
+    // caller session's cached companion loop session
+    // ([[graft.LoopSessions]] — shared SparkContext + shared external
+    // catalog, isolated SQLConf; ADVICE r10) instead of
     // mutate-and-restore on the caller's session, which was neither
-    // reentrant nor thread-safe. Input/output plans are re-rooted
-    // across sessions (already-analyzed plans; catalog tables resolve
-    // identically through the shared external catalog), so the caller's
-    // downstream frame executes under its own conf.
+    // reentrant nor thread-safe (and a fresh newSession per call
+    // measured ~0.5 s of SessionState setup per run). Input/output
+    // plans are re-rooted across sessions (already-analyzed plans;
+    // catalog tables resolve identically through the shared external
+    // catalog), so the caller's downstream frame executes under its
+    // own conf.
     import org.apache.spark.sql.GraftColumnBridge.{logicalPlan, ofRows}
     val spark = pairs.sparkSession
-    val loopSession = spark.newSession()
-    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
-    val out = connectedComponentsLoop(
-      ofRows(loopSession, logicalPlan(nodes)),
-      ofRows(loopSession, logicalPlan(pairs)),
-      maxIters, checkpointDir,
-      spark.conf.get("spark.sql.shuffle.partitions").toInt)
-    ofRows(spark, logicalPlan(out))
+    val loopSession = graft.LoopSessions.of(spark)
+    graft.LoopSessions.locked {
+      val out = connectedComponentsLoop(
+        ofRows(loopSession, logicalPlan(nodes)),
+        ofRows(loopSession, logicalPlan(pairs)),
+        maxIters, checkpointDir,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      ofRows(spark, logicalPlan(out))
+    }
   }
 
   private def connectedComponentsLoop(nodes: DataFrame, pairs: DataFrame,

@@ -121,21 +121,29 @@ object Graph {
     // accurate stats, huge ones fall back to SMJ over the
     // pre-partitioned edge list below.
     //
-    // The overrides live in a CLONED session (`newSession`: shared
-    // SparkContext, isolated SQLConf — ADVICE r10): mutate-and-restore
-    // on the caller's session was neither reentrant nor thread-safe (a
-    // concurrent query on the same session ran under the loop's conf).
-    // The checkpointed edge RDD and the loop's result are re-rooted
-    // across sessions via their LogicalRDD plans (RDD-backed leaves,
-    // no catalog references), so the caller's frame plans and executes
+    // The overrides live in the CALLER session's cached companion loop
+    // session ([[graft.LoopSessions]] — shared SparkContext, isolated
+    // SQLConf; ADVICE r10): mutate-and-restore on the caller's session
+    // was neither reentrant nor thread-safe (a concurrent query on the
+    // same session ran under the loop's conf), and a fresh newSession
+    // per call measured ~0.5 s of SessionState setup per run. The
+    // checkpointed edge RDD and the loop's result are re-rooted across
+    // sessions via their LogicalRDD plans (RDD-backed leaves, no
+    // catalog references), so the caller's frame plans and executes
     // under the caller's own conf exactly as before.
     import org.apache.spark.sql.GraftColumnBridge.{logicalPlan, ofRows}
     val spark = edgesIn.sparkSession
-    val loopSession = spark.newSession()
-    loopSession.conf.set("spark.sql.adaptive.enabled", "false")
-    val edges0 = ofRows(loopSession, logicalPlan(edgesIn.localCheckpoint()))
-    val out = pageRankConvergedLoop(loopSession, edges0, maxIters)
-    ofRows(spark, logicalPlan(out))
+    val loopSession = graft.LoopSessions.of(spark)
+    graft.LoopSessions.locked {
+      // deployment sizing flows through: the loop's reducer cap follows
+      // the caller's CURRENT runtime value (ScaleCheck's big-side
+      // override), not the context default
+      loopSession.conf.set("spark.sql.shuffle.partitions",
+        spark.conf.get("spark.sql.shuffle.partitions"))
+      val edges0 = ofRows(loopSession, logicalPlan(edgesIn.localCheckpoint()))
+      val out = pageRankConvergedLoop(loopSession, edges0, maxIters)
+      ofRows(spark, logicalPlan(out))
+    }
   }
 
   private def pageRankConvergedLoop(spark: SparkSession, edgesIn: DataFrame,
