@@ -81,7 +81,8 @@ object Plans {
       "sim_nnd_incremental", "sim_nnd_incremental_recall",
       "ta_repetition_filter", "mm_wav_meta",
       // round-11 families
-      "mm_pixel_dhash", "mm_pixel_neardup")
+      "mm_pixel_dhash", "mm_pixel_neardup", "mm_pixel_persisted",
+      "mm_media_router", "rel_pagerank_served")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
     sb.append(s"Scale dir: `$dir`. One representative query per operator family;\n")

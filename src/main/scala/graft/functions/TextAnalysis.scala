@@ -668,8 +668,8 @@ object TextAnalysis {
     * tf, dl)` + 1-row stats `(n_docs, total_len)` pair — broadcast query
     * tokens in, integer-micro scoring, typed top-k out. One definition
     * so the persisted and incremental variants cannot drift. */
-  private def bm25Serve(spark: SparkSession, post: DataFrame,
-                        stats: DataFrame, k: Int): DataFrame = {
+  private[graft] def bm25Serve(spark: SparkSession, post: DataFrame,
+                               stats: DataFrame, k: Int): DataFrame = {
     import spark.implicits._
     val qpairs = graft.functions.CorpusOps.benchmarkSentences.zipWithIndex
       .flatMap { case (s, i) => s.toLowerCase.split(" ").distinct.map(t => (i.toLong, t)) }

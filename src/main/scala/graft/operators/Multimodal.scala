@@ -333,11 +333,26 @@ object Multimodal {
     * walker's robustness on foreign/broken containers is WavOpsSpec's
     * job). One codegen'd projection per row; no UDF; the only exchange
     * is the final presentation sort. */
+  private def le2(x: String) =
+    s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) div 256 % 256), 2, '0'))"
+  private def le4(x: String) = s"concat(${le2(x)}, ${le2(s"($x) div 65536")})"
+
+  /** The PCM WAV container-synthesis expression over columns
+    * (sr, ch, body, data_sz, ba, br) — shared by [[wavMetaDecode]] and
+    * [[mediaRouter]] so the two synth layouts cannot drift. */
+  private val wavPayloadSql: String =
+    s"""concat(
+          encode('RIFF', 'UTF-8'), unhex(${le4("36 + data_sz")}),
+          encode('WAVE', 'UTF-8'),
+          encode('fmt ', 'UTF-8'), unhex(${le4("16")}),
+          unhex(${le2("1")}), unhex(${le2("ch")}),
+          unhex(${le4("sr")}), unhex(${le4("br")}),
+          unhex(${le2("ba")}), unhex(${le2("16")}),
+          encode('data', 'UTF-8'), unhex(${le4("data_sz")}),
+          body)"""
+
   def wavMetaDecode(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.WavMeta.wavMeta
-    def le2(x: String) =
-      s"concat(lpad(hex(($x) % 256), 2, '0'), lpad(hex(($x) div 256 % 256), 2, '0'))"
-    def le4(x: String) = s"concat(${le2(x)}, ${le2(s"($x) div 65536")})"
     Tables.documents(spark, dir)
       .withColumn("sr", expr("8000 + (doc_id % 5) * 4000"))
       .withColumn("ch", expr("1 + (doc_id % 2)"))
@@ -345,16 +360,7 @@ object Multimodal {
       .withColumn("data_sz", expr("octet_length(body)"))
       .withColumn("ba", expr("ch * 2"))          // block align, 16-bit PCM
       .withColumn("br", expr("sr * ba"))         // byte rate
-      .withColumn("payload", expr(
-        s"""concat(
-              encode('RIFF', 'UTF-8'), unhex(${le4("36 + data_sz")}),
-              encode('WAVE', 'UTF-8'),
-              encode('fmt ', 'UTF-8'), unhex(${le4("16")}),
-              unhex(${le2("1")}), unhex(${le2("ch")}),
-              unhex(${le4("sr")}), unhex(${le4("br")}),
-              unhex(${le2("ba")}), unhex(${le2("16")}),
-              encode('data', 'UTF-8'), unhex(${le4("data_sz")}),
-              body)"""))
+      .withColumn("payload", expr(wavPayloadSql))
       .withColumn("packed", wavMeta(col("payload")))
       .select(col("doc_id"),
         expr("shiftright(packed, 44)").as("sample_rate"),
@@ -399,7 +405,15 @@ object Multimodal {
     * (v0,v1,0), (v0,v2,2), (v1,v2,2). Real photos (where no synthesis
     * parameters exist) are gated by MultimodalSpec against an ImageIO
     * reference over the 9 reference JPEGs. */
-  def pixelNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
+  def pixelNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    pixelPairsFrom(pixelVariantSigs(spark, dir))
+
+  /** The 3-variant real-JPEG signature table [[pixelNearDupPairs]] bands:
+    * `(doc_id*4 + variant, simhash)`. This is where ALL the codec cost
+    * lives (one ImageIO encode + one decode per variant — 3 per doc),
+    * and it is pure per-payload state, the same artifact class as the
+    * byte-gram signatures [[byteNearDupPairs]] persists. */
+  private def pixelVariantSigs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
     val base = Tables.documents(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
@@ -416,16 +430,36 @@ object Multimodal {
         """array(struct(0L as v, w0 as word, 95 as q),
                  struct(1L as v, w0 as word, 80 as q),
                  struct(2L as v, wt as word, 95 as q))""")).as("e"))
-    val sigs = base
+    base
       .select((col("doc_id") * 4 + col("e.v")).as("doc_id"),
         jpegDHash(jpegSynth(col("e.word"), col("e.q"))).as("dh"))
       .select(col("doc_id"),
         expr("cast(conv(dh, 16, 10) as bigint)").as("simhash"))
+  }
+
+  /** Shared banding + presentation tail over any variant-signature
+    * frame — one definition so the scan-time and persisted paths cannot
+    * drift. */
+  private def pixelPairsFrom(sigs: DataFrame): DataFrame =
     Dedup.hammingPairsOfSigs(sigs, k = 3, bits = 60, bucketLocal = false)
       .select(expr("doc_a div 4").as("doc_id_a"), expr("doc_a % 4").as("var_a"),
         expr("doc_b div 4").as("doc_id_b"), expr("doc_b % 4").as("var_b"),
         col("hamming"))
       .orderBy("doc_id_a", "var_a", "doc_id_b", "var_b")
+
+  /** [[pixelNearDupPairs]] with the dHash SIGNATURES persisted per
+    * corpus ([[graft.sources.IndexStore]]) — the serving path: the
+    * 3·n_docs JPEG encodes + decodes (≈10 s of the 11 s scan-time query
+    * at sf0.1) run ONCE at ingest; every subsequent near-dup pass is
+    * just the banded hamming join over the bucketed signature table.
+    * Same contract as `mm_neardup_pairs`' byte-sig persistence and
+    * `dd_span_dedup_persisted`'s span index; row-identical to the
+    * scan-time query by construction, so it shares its oracle. */
+  def pixelNearDupPersisted(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    pixelPairsFrom(IndexStore.orBuild(spark,
+      s"mm_pixsig_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      pixelVariantSigs(spark, dir)))
   }
 
   /** [[pixelNearDupPairs]]'s hamming banding over any (doc_id, simhash)
@@ -433,9 +467,70 @@ object Multimodal {
   def pixelNearDupPairsOfSigs(sigs: DataFrame, k: Int = 6): DataFrame =
     Dedup.hammingPairsOfSigs(sigs, k, bits = 60, bucketLocal = false)
 
+  /** MIXED-MODALITY MEDIA ROUTER — the dispatch stage of a blob lake
+    * where one binary column carries many container formats (the O-14
+    * type-router shape applied to media): each payload is identified by
+    * PARSING, not by trusting a type column — the three codegen'd
+    * walkers ([[graft.functions.JpegDims]] SOF, [[graft.functions.WavMeta]]
+    * RIFF, [[graft.functions.PngMeta]] IHDR) each either recover real
+    * metadata or return the -1 sentinel, and the router's CASE takes the
+    * first parser that accepts. Output is ONE normalized metadata row
+    * per payload (width/height for images, rate/duration for audio,
+    * nulls elsewhere) — the schema a curation pipeline filters on.
+    *
+    * The test corpus is synthesized round-trip-style (the `mm_wav_meta`
+    * move): doc_id % 3 picks the container — a REAL ImageIO JPEG
+    * ([[graft.functions.JpegSynth]]), a REAL PCM WAV ([[wavPayloadSql]]),
+    * or a REAL ImageIO PNG ([[graft.functions.PngSynth]]) — and the
+    * oracle derives every field from the synthesis parameters, so a
+    * walker that misidentifies or misparses any container hash-fails.
+    * CASE branches evaluate lazily per row, so each payload pays exactly
+    * one synthesis. One codegen'd projection per row, no UDF, no
+    * shuffle but the presentation sort. */
+  def mediaRouter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    import graft.functions.PngOps._
+    import graft.functions.WavMeta.wavMeta
+    import graft.functions.JpegDims.jpegDims
+    val payloads = Tables.documents(spark, dir)
+      .withColumn("h", expr("md5(cast(doc_id as string))"))
+      .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
+      .withColumn("sr", expr("8000 + (doc_id % 5) * 4000"))
+      .withColumn("ch", expr("1 + (doc_id % 2)"))
+      .withColumn("body", expr("encode(text, 'UTF-8')"))
+      .withColumn("data_sz", expr("octet_length(body)"))
+      .withColumn("ba", expr("ch * 2"))
+      .withColumn("br", expr("sr * ba"))
+      .withColumn("pw", expr("cast(16 + doc_id % 100 as int)"))
+      .withColumn("ph", expr("cast(16 + (doc_id div 7) % 100 as int)"))
+      .withColumn("payload",
+        when(col("doc_id") % 3 === 0, jpegSynth(col("word"), lit(90)))
+          .when(col("doc_id") % 3 === 1, expr(wavPayloadSql))
+          .otherwise(pngSynth(col("pw"), col("ph"))))
+      .select("doc_id", "payload")
+    payloads
+      .withColumn("jp", jpegDims(col("payload")))
+      .withColumn("wv", wavMeta(col("payload")))
+      .withColumn("pg", pngMeta(col("payload")))
+      .select(col("doc_id"),
+        expr("""CASE WHEN jp >= 0 THEN 'image/jpeg'
+                     WHEN wv >= 0 THEN 'audio/wav'
+                     WHEN pg >= 0 THEN 'image/png'
+                     ELSE 'unknown' END""").as("media_type"),
+        expr("""CASE WHEN jp >= 0 THEN shiftright(jp, 32)
+                     WHEN pg >= 0 THEN shiftright(pg, 40) END""").as("width"),
+        expr("""CASE WHEN jp >= 0 THEN jp & 4294967295
+                     WHEN pg >= 0 THEN shiftright(pg, 16) & 16777215 END""").as("height"),
+        expr("CASE WHEN wv >= 0 THEN shiftright(wv, 44) END").as("sample_rate"),
+        expr("CASE WHEN wv >= 0 THEN wv & 4294967295 END").as("duration_ms"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pixel_dhash"    -> pixelDHash _,
     "mm_pixel_neardup"  -> pixelNearDupPairs _,
+    "mm_pixel_persisted" -> pixelNearDupPersisted _,
+    "mm_media_router"   -> mediaRouter _,
     "mm_wav_meta"       -> wavMetaDecode _,
     "mm_frame_dedup"    -> frameDedup _,
     "mm_pair_curation"  -> pairCuration _,
@@ -472,6 +567,48 @@ object Multimodal {
                 CAST(2 AS BIGINT)
          FROM documents
          ORDER BY 1, 2, 4""",
+    // row-identical to mm_pixel_neardup by construction (same variant
+    // synthesis, same dHash, same banding — just served off the
+    // persisted signature table), so it shares the oracle verbatim
+    "mm_pixel_persisted" ->
+      """SELECT doc_id AS doc_id_a, CAST(0 AS BIGINT) AS var_a,
+                doc_id AS doc_id_b, CAST(1 AS BIGINT) AS var_b,
+                CAST(0 AS BIGINT) AS hamming
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(0 AS BIGINT), doc_id, CAST(2 AS BIGINT),
+                CAST(2 AS BIGINT)
+         FROM documents
+         UNION ALL
+         SELECT doc_id, CAST(1 AS BIGINT), doc_id, CAST(2 AS BIGINT),
+                CAST(2 AS BIGINT)
+         FROM documents
+         ORDER BY 1, 2, 4""",
+    // the oracle derives every field from the SYNTHESIS parameters
+    // (container choice = doc_id % 3; JPEG synth is always 88x48; PNG
+    // dims and WAV rate/duration from their doc_id formulas); the Spark
+    // side must IDENTIFY each container by parsing and recover the
+    // fields from the bytes — a misrouted or misparsed payload
+    // hash-fails
+    "mm_media_router" ->
+      """SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'image/png' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN CAST(88 AS BIGINT)
+                           WHEN 2 THEN CAST(16 + doc_id % 100 AS BIGINT)
+                           END AS width,
+           CASE doc_id % 3 WHEN 0 THEN CAST(48 AS BIGINT)
+                           WHEN 2 THEN CAST(16 + (doc_id // 7) % 100 AS BIGINT)
+                           END AS height,
+           CASE doc_id % 3 WHEN 1 THEN CAST(8000 + (doc_id % 5) * 4000 AS BIGINT)
+                           END AS sample_rate,
+           CASE doc_id % 3 WHEN 1 THEN CAST(
+                  octet_length(encode(text)) * 1000
+                    // ((8000 + (doc_id % 5) * 4000) * (1 + doc_id % 2) * 2)
+                  AS BIGINT)
+                           END AS duration_ms
+         FROM documents ORDER BY doc_id""",
     // the oracle computes the fields from the SYNTHESIS parameters; the
     // Spark side must recover them by PARSING the container bytes — any
     // drift in LE layout, chunk sizes or the walker hash-fails

@@ -856,6 +856,72 @@ object Streams {
     batch.write.mode("overwrite").parquet(s"$stateDir/emb/batch_id=$batchId")
   }
 
+  /** IN-STREAM BM25 INDEX MAINTENANCE — the lexical twin of
+    * [[nndMaintainStream]] (r10 verdict #5 named both): arriving
+    * document micro-batches `(doc_id, text)` FOLD into the persisted
+    * BM25 postings as they land. BM25 postings are per-document
+    * decomposable (tf/dl are per-doc; df and corpus stats recompose at
+    * serve time), so the fold is a pure APPEND: tokenize ONLY the batch,
+    * write its `(doc_id, token, tf, dl)` postings and 1-row
+    * `(n_docs, total_len)` stats as `batch_id=N` partitions under
+    * `stateDir`. Same state model as the NND fold — NO streaming state
+    * store; foreachBatch's at-least-once replays are idempotent because
+    * a batch only ever overwrites its OWN partition.
+    *
+    * Serving ([[bm25ServeFromState]]) unions the base index with every
+    * folded partition and runs the ONE shared scoring tail
+    * ([[graft.functions.TextAnalysis.bm25Serve]]), recomputing df and
+    * stats over the union — row-identical to rebuilding the index over
+    * base ∪ arrivals (the StreamsSpec differential proves it equals
+    * `ta_bm25_incremental`'s batch path). At 100 TB: per batch the fold
+    * tokenizes arrival bytes only — never re-reads the corpus — and the
+    * index grows by exactly the arrivals' postings. */
+  def bm25MaintainStream(arrivals: DataFrame, stateDir: String,
+                         checkpointDir: String): StreamingQuery =
+    arrivals.select("doc_id", "text").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldBm25Batch(batch.toDF(), stateDir, batchId)
+      }
+      .start()
+
+  /** One idempotent BM25 maintenance fold (exposed for the spec's batch
+    * replay): tokenize `batchDf`, overwrite this batch's own postings
+    * and stats partitions. */
+  private[graft] def foldBm25Batch(batchDf: DataFrame, stateDir: String,
+                                   batchId: Long): Unit = {
+    // pin the micro-batch: tokenization feeds both tf and dl
+    val docs = batchDf.select("doc_id", "text").localCheckpoint()
+    val toks = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+    val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    tf.join(dl, "doc_id")
+      .write.mode("overwrite").parquet(s"$stateDir/post/batch_id=$batchId")
+    dl.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("total_len"))
+      .write.mode("overwrite").parquet(s"$stateDir/stats/batch_id=$batchId")
+  }
+
+  /** Serve BM25 top-k over base index ∪ every folded stream partition —
+    * df and corpus stats recomposed over the union, so the ranking is
+    * row-identical to a full rebuild over base ∪ arrivals. */
+  def bm25ServeFromState(spark: SparkSession, dir: String, stateDir: String,
+                         k: Int = 5): DataFrame = {
+    import graft.functions.TextAnalysis
+    val (postName, statName) = TextAnalysis.buildBm25BaseIndex(spark, dir)
+    def state(sub: String): Option[DataFrame] =
+      try Some(spark.read.parquet(s"$stateDir/$sub").drop("batch_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => None }
+    val post = state("post")
+      .map(spark.table(postName).unionByName(_)).getOrElse(spark.table(postName))
+    val stats = state("stats")
+      .map(spark.table(statName).unionByName(_)).getOrElse(spark.table(statName))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("total_len")).as("total_len"))
+    TextAnalysis.bm25Serve(spark, post, stats, k)
+  }
+
   /** Durable sink: drive a streaming DataFrame to parquet via
     * foreachBatch with a checkpoint — restart-safe micro-batch delivery
     * (the batch id makes retried batches idempotent overwrites). */

@@ -623,4 +623,45 @@ class StreamsSpec extends AnyFunSuite {
       k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
     assert(stateEdges() == got, "replaying the last batch changed the state")
   }
+
+  test("bm25MaintainStream: serving off stream-folded postings equals the " +
+    "batch incremental path; folds are append-only and replay-idempotent") {
+    import graft.functions.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_bm25_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_bm25_ckpt").toString
+    val arrivals = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(arrivals.nonEmpty)
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq // 3 micro-batches
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.bm25MaintainStream(
+      in.toDF().toDF("doc_id", "text"), stateDir, ckpt)
+    chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    // the folded index serves EXACTLY what the batch incremental path
+    // (base index + delta tokenized at query time) serves — df and
+    // corpus stats recomposed over the union
+    val got = Streams.bm25ServeFromState(spark, dir, stateDir)
+      .collect().map(_.toSeq).toSeq
+    val want = TextAnalysis.bm25Incremental(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream-folded serving diverged from batch incremental")
+    // append-only fold: state postings are exactly the arrivals' (doc_id,
+    // token) pairs — the corpus was never re-tokenized into the state
+    val statePost = spark.read.parquet(s"$stateDir/post")
+    val wantPairs = arrivals.toSeq.toDF("doc_id", "text")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("token"))
+      .filter(length(col("token")) > 0)
+      .select("doc_id", "token").distinct().count()
+    assert(statePost.count() == wantPairs)
+    // at-least-once replay: re-folding the LAST micro-batch under its own
+    // batch id overwrites its own partition — state unchanged
+    Streams.foldBm25Batch(chunks.last.toSeq.toDF("doc_id", "text"),
+      stateDir, batchId = 2)
+    val after = Streams.bm25ServeFromState(spark, dir, stateDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == got, "replaying the last batch changed the served ranking")
+  }
 }
