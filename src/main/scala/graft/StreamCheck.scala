@@ -338,7 +338,9 @@ object StreamCheck {
     // — the corpus is never re-tokenized into the state (fold cost
     // tracks arrivals, not corpus).
     def docArrivalsSplitDir(dir: String, tag: String): String = {
-      val out = s"target/streamcheck/split_docs_${tag}_${splitKey(dir, chunksOf(tag))}"
+      // NOTE: distinct prefix from docsSplitDir's split_docs_ — same
+      // (source, chunk) key, DIFFERENT content (the %7==0 delta slice)
+      val out = s"target/streamcheck/split_bmarr_${tag}_${splitKey(dir, chunksOf(tag))}"
       splitByTime(
         spark.read.parquet(s"$dir/documents.parquet")
           .select(col("doc_id"), col("text"))
@@ -348,6 +350,25 @@ object StreamCheck {
         "ingest_ts", out, chunksOf(tag))
       out
     }
+    // The vector-index maintenance fold (same arrival stream as
+    // nnd_maintain): one stored-centroid argmax per arriving vector,
+    // appended as assignment partitions. Gates: store-free and folded
+    // assignment rows == arrivals exactly.
+    val ivfMaintRuns = Seq((base, "x1"), (big, "x10")).map { case (dir, tag) =>
+      val s = arrivalsSplitDir(dir, tag)
+      val stateDir = new java.io.File(s"target/streamcheck/ivf_state_$tag")
+      val ckpt = new java.io.File(s"target/streamcheck/ckpt_ivf_maint_$tag")
+      Seq(stateDir, ckpt).foreach(f => if (f.exists()) rm(f))
+      val t0 = System.nanoTime()
+      val q = Streams.ivfMaintainStream(spark,
+        streamOf(s).select("vec_id", "embedding"), dir,
+        stateDir.getAbsolutePath, ckpt.getAbsolutePath)
+      val run = drainAndMeasure(q, "ivf_maintain", tag, keys = 0L, t0)
+      val arrivals = spark.read.parquet(s).count()
+      val folded = spark.read.parquet(s"${stateDir.getAbsolutePath}/assign").count()
+      (run, arrivals, folded)
+    }
+
     val bm25MaintRuns = Seq((base, "x1"), (big, "x10")).map { case (dir, tag) =>
       val s = docArrivalsSplitDir(dir, tag)
       val stateDir = new java.io.File(s"target/streamcheck/bm25_state_$tag")
@@ -419,10 +440,19 @@ object StreamCheck {
       val okBm = Seq(b1, b10).forall { case (r, want, post) =>
         r.stateRows == 0 && want > 0 && post == want }
       if (!okBm) breaches += 1
+      def oneIvf(t: (Run, Long, Long)): String = {
+        val (r, arrivals, folded) = t
+        s"""{"input_rows":${r.inputRows},"wall_s":${fx(r.wallS)},"batch_s":${fx(r.batchS)},"rows_per_s":${r.rowsPerS},"state_rows":${r.stateRows},"arrivals":$arrivals,"folded_assignments":$folded}"""
+      }
+      val Seq(v1, v10) = ivfMaintRuns
+      val okIvf = Seq(v1, v10).forall { case (r, a, f) =>
+        r.stateRows == 0 && a > 0 && f == a }
+      if (!okIvf) breaches += 1
       s""""nnd_maintain":{"x1":${one(m1)},"x10":${one(m10)},"ok":$ok},""" +
-        s""""bm25_maintain":{"x1":${oneBm(b1)},"x10":${oneBm(b10)},"ok":$okBm}"""
+        s""""bm25_maintain":{"x1":${oneBm(b1)},"x10":${oneBm(b10)},"ok":$okBm},""" +
+        s""""ivf_maintain":{"x1":${oneIvf(v1)},"x10":${oneIvf(v10)},"ok":$okIvf}"""
     }
-    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs)","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
+    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs; ivf: assignments == arrivals)","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMCHECK.json"), json + "\n")
     catch { case _: Throwable => () }

@@ -361,7 +361,7 @@ object Similarity {
     * ([[ivfMultiQueryPersisted]]) variants: queries broadcast, ONE cell
     * equi-join, typed TopKByScore partial aggregation. `assigned` is any
     * (vec_id, cell, embedding, na) frame. */
-  private def ivfProbeJoinTopK(assigned: DataFrame,
+  private[graft] def ivfProbeJoinTopK(assigned: DataFrame,
                                probeBound: Long, k: Int): DataFrame = {
     val queries = assigned.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
@@ -434,16 +434,23 @@ object Similarity {
     * a full rebuild. */
   def ivfMultiQueryIncremental(spark: SparkSession, dir: String,
                                probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    val delta = assignWithStoredCentroids(spark, buildIvfCentroidTable(spark, dir),
+      Tables.embeddings(spark, dir).filter(col("vec_id") % 7 === 0))
+    ivfProbeJoinTopK(ivfBaseAssignTable(spark, dir).unionByName(delta), probeBound, k)
+  }
+
+  /** The BASE slice's persisted cell assignments (`vec_id % 7 != 0`,
+    * "yesterday's" index) — factored out so the STREAMING maintenance
+    * fold ([[graft.streaming.Streams.ivfMaintainStream]]) serves off the
+    * same artifact the batch incremental path does. */
+  def ivfBaseAssignTable(spark: SparkSession, dir: String): DataFrame = {
     val centName = buildIvfCentroidTable(spark, dir)
-    val key = graft.sources.IndexStore.keyOf(dir)
-    val base = graft.sources.IndexStore.orBuild(
-      spark, s"ivf_base_assign_$key", buckets = 8, keys = Seq("cell")) {
+    graft.sources.IndexStore.orBuild(
+      spark, s"ivf_base_assign_${graft.sources.IndexStore.keyOf(dir)}",
+      buckets = 8, keys = Seq("cell")) {
       assignWithStoredCentroids(spark, centName,
         Tables.embeddings(spark, dir).filter(col("vec_id") % 7 =!= 0))
     }
-    val delta = assignWithStoredCentroids(spark, centName,
-      Tables.embeddings(spark, dir).filter(col("vec_id") % 7 === 0))
-    ivfProbeJoinTopK(base.unionByName(delta), probeBound, k)
   }
 
   /** Cell assignment of ANY (vec_id, embedding) frame — batch or

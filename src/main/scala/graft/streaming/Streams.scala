@@ -922,6 +922,62 @@ object Streams {
     TextAnalysis.bm25Serve(spark, post, stats, k)
   }
 
+  /** IN-STREAM IVF INDEX MAINTENANCE — the vector-index fold that
+    * completes the in-stream maintenance family across all three index
+    * types (lexical [[bm25MaintainStream]], graph [[nndMaintainStream]],
+    * and this coarse-quantized vector path): arriving `(vec_id,
+    * embedding)` micro-batches are assigned to their nearest PERSISTED
+    * centroid ([[graft.operators.Similarity.assignWithStoredCentroids]]
+    * — the ≤k-row centroid metadata inlines as plan-time literals, so
+    * per-row assignment is one codegen'd argmax fold: no join, no
+    * shuffle, no refit) and appended as `batch_id=N` assignment
+    * partitions. Same state model as the other two folds — NO streaming
+    * state store, at-least-once replays idempotent by
+    * overwrite-own-partition.
+    *
+    * Serving ([[ivfServeFromState]]) probes base assignments ∪ folded
+    * partitions — row-identical to the batch incremental path
+    * (`sim_ivf_incremental`'s shape) because assignment is per-row
+    * deterministic given the same stored centroids. At 100 TB: the fold
+    * is an index APPEND whose cost is one argmax per arriving vector —
+    * centroid refit (the expensive, rare operation) stays offline. */
+  def ivfMaintainStream(spark: SparkSession, arrivals: DataFrame,
+                        dir: String, stateDir: String,
+                        checkpointDir: String): StreamingQuery = {
+    val centName = graft.operators.Similarity.buildIvfCentroidTable(spark, dir)
+    arrivals.select("vec_id", "embedding").writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        foldIvfBatch(spark, batch.toDF(), centName, stateDir, batchId)
+      }
+      .start()
+  }
+
+  /** One idempotent IVF maintenance fold (exposed for the spec's batch
+    * replay): assign `batchDf` against the stored centroids, overwrite
+    * this batch's own assignment partition. */
+  private[graft] def foldIvfBatch(spark: SparkSession, batchDf: DataFrame,
+                                  centTable: String, stateDir: String,
+                                  batchId: Long): Unit =
+    graft.operators.Similarity
+      .assignWithStoredCentroids(spark, centTable,
+        batchDf.select("vec_id", "embedding"))
+      .write.mode("overwrite").parquet(s"$stateDir/assign/batch_id=$batchId")
+
+  /** Multi-query ANN served over base assignments ∪ every folded stream
+    * partition — row-identical to the batch incremental path when the
+    * same vectors have arrived. */
+  def ivfServeFromState(spark: SparkSession, dir: String, stateDir: String,
+                        probeBound: Long = 20L, k: Int = 5): DataFrame = {
+    import graft.operators.Similarity
+    val base = Similarity.ivfBaseAssignTable(spark, dir)
+    val assigned =
+      try base.unionByName(
+        spark.read.parquet(s"$stateDir/assign").drop("batch_id"))
+      catch { case _: org.apache.spark.sql.AnalysisException => base }
+    Similarity.ivfProbeJoinTopK(assigned, probeBound, k)
+  }
+
   /** Durable sink: drive a streaming DataFrame to parquet via
     * foreachBatch with a checkpoint — restart-safe micro-batch delivery
     * (the batch id makes retried batches idempotent overwrites). */

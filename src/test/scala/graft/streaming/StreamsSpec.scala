@@ -664,4 +664,42 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(after == got, "replaying the last batch changed the served ranking")
   }
+
+  test("ivfMaintainStream: serving off stream-folded assignments equals the " +
+    "batch incremental path; the fold is one argmax per arrival, replay-idempotent") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_ivf_state").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ivf_ckpt").toString
+    val arrivals = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    assert(arrivals.nonEmpty)
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq // 3 micro-batches
+    val in = MemoryStream[(Long, Seq[Float])]
+    val q = Streams.ivfMaintainStream(spark,
+      in.toDF().toDF("vec_id", "embedding"), dir,
+      stateDir, ckpt)
+    chunks.foreach { c => in.addData(c.toSeq); q.processAllAvailable() }
+    q.stop()
+    // served ranking == the batch incremental path (same stored
+    // centroids, same per-row deterministic assignment)
+    val got = Streams.ivfServeFromState(spark, dir, stateDir)
+      .collect().map(_.toSeq).toSeq
+    val want = Similarity.ivfMultiQueryIncremental(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(got == want, "stream-folded IVF serving diverged from batch incremental")
+    // the fold is exactly one assignment row per arrival
+    val state = spark.read.parquet(s"$stateDir/assign")
+    assert(state.count() === arrivals.length.toLong)
+    assert(state.select("vec_id").distinct().count() === arrivals.length.toLong)
+    // at-least-once replay: re-folding the LAST batch under its own id
+    // overwrites its own partition — served ranking unchanged
+    val centName = Similarity.buildIvfCentroidTable(spark, dir)
+    Streams.foldIvfBatch(spark, chunks.last.toSeq.toDF("vec_id", "embedding"),
+      centName, stateDir, batchId = 2)
+    val after = Streams.ivfServeFromState(spark, dir, stateDir)
+      .collect().map(_.toSeq).toSeq
+    assert(after == got, "replaying the last batch changed the served ranking")
+  }
 }
