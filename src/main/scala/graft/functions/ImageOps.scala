@@ -40,6 +40,64 @@ object ImageUtil {
   val Cell = 8 // px per cell side == the JPEG DCT block size
   private val Step = 12 // synth luma step per bit; worst walk 128+/-120
 
+  // Memory-cached ImageIO streams: the default file-cache mode backs
+  // EVERY createImage{Input,Output}Stream with a java.nio temp file
+  // whose name comes from SecureRandom — measured (jstack, 10x sweep):
+  // codec tasks spending their time in NativePRNG.implNextBytes +
+  // temp-file create/delete, not in the codec. These payloads are
+  // in-memory byte arrays of a few KB; heap caching is strictly better.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  // ThreadLocal codec instances: ImageIO writer/reader construction is
+  // a per-call allocation storm (service-registry lookup + plugin
+  // instantiation) that dominated GC churn at 450k codec calls in the
+  // 10x sweep — executors reuse one instance per thread instead
+  // (reset after every use; ImageReader/ImageWriter are single-thread
+  // stateful by contract, which ThreadLocal satisfies).
+  private val jpegWriterTl: ThreadLocal[javax.imageio.ImageWriter] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next())
+  private val jpegReaderTl: ThreadLocal[javax.imageio.ImageReader] =
+    ThreadLocal.withInitial(() =>
+      javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next())
+
+  /** Encode `img` as JPEG at `quality` via the thread-local writer. */
+  private def writeJpeg(img: java.awt.image.BufferedImage, quality: Int): Array[Byte] = {
+    val writer = jpegWriterTl.get()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      try writer.reset() catch { case _: Exception => () }
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Decode any ImageIO-readable payload; JPEG magic takes the
+    * thread-local reader fast path. Null when undecodable. */
+  private def readImage(bytes: Array[Byte]): java.awt.image.BufferedImage =
+    try {
+      if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
+        val reader = jpegReaderTl.get()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          reader.setInput(iis, true, true)
+          reader.read(0)
+        } finally {
+          try reader.reset() catch { case _: Exception => () }
+          iis.close()
+        }
+      } else
+        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    } catch { case _: Exception => null }
+
   /** Deterministic grayscale JPEG encoding `word`'s 60 bits as
     * adjacent-cell luma gradients (MSB-first, row-major): cell(r,0) =
     * 128; cell(r,c+1) = cell(r,c) - Step when bit (r,c) is 1 (left
@@ -71,20 +129,7 @@ object ImageUtil {
       }
       r += 1
     }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
-    } finally {
-      ios.close()
-      writer.dispose()
-    }
-    bos.toByteArray
+    writeJpeg(img, quality)
   }
 
   /** 60-bit dHash of a decodable image payload as 15 lowercase hex
@@ -95,9 +140,7 @@ object ImageUtil {
     * exact. Luma is integer BT.601 (299R + 587G + 114B) / 1000. */
   def dhashHex(bytes: Array[Byte]): UTF8String = {
     if (bytes == null || bytes.length < 4) return null
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImage(bytes)
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight
@@ -144,9 +187,7 @@ object ImageUtil {
     * perturbation a CDN / re-hosting pass applies; pixels survive
     * approximately, bytes don't. Null when the input can't decode. */
   def reencodeJpeg(bytes: Array[Byte], quality: Int): Array[Byte] = {
-    val img =
-      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: Exception => null }
+    val img = readImage(bytes)
     if (img == null) return null
     // JPEG writer needs an opaque raster; repaint onto RGB if needed
     val rgb =
@@ -160,20 +201,7 @@ object ImageUtil {
         g2.dispose()
         t
       }
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-    val param = writer.getDefaultWriteParam
-    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    try {
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(rgb, null, null), param)
-    } finally {
-      ios.close()
-      writer.dispose()
-    }
-    bos.toByteArray
+    writeJpeg(rgb, quality)
   }
 }
 

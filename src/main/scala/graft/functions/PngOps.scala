@@ -20,6 +20,10 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
   * number a storage auditor wants without inflating a single pixel.
   */
 object PngUtil {
+  // heap-cached ImageIO streams (see ImageUtil: the default file-cache
+  // mode pays a SecureRandom-named temp file per encode)
+  javax.imageio.ImageIO.setUseCache(false)
+
   private def u32be(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)

@@ -381,9 +381,23 @@ object Multimodal {
     * hash. The oracle derives the expected hex from md5 directly — the
     * encode→decode→pool→compare identity is the hash gate. One codegen'd
     * projection per row, no UDF, no shuffle but the presentation sort. */
+  /** Parallelism guard for the codec-heavy stages (the
+    * [[graft.functions.TextAnalysis]] repetition-filter lesson, r10):
+    * documents.parquet is one small file, so the scan is ONE partition
+    * and a per-row ImageIO encode/decode chain would serialize onto a
+    * single task (measured: the whole query single-threaded in the 10×
+    * sweep — one RUNNABLE worker, 31 idle). Cheap in bytes, huge in
+    * per-row CPU ⇒ spread by rows before the codec projection; on a
+    * real many-file corpus the guard is a no-op. */
+  private def spreadDocs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nParts = spark.sessionState.conf.numShufflePartitions
+    if (docs.rdd.getNumPartitions < nParts) docs.repartition(nParts) else docs
+  }
+
   def pixelDHash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
-    Tables.documents(spark, dir)
+    spreadDocs(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
       .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
       .select(col("doc_id"),
@@ -415,7 +429,7 @@ object Multimodal {
     * byte-gram signatures [[byteNearDupPairs]] persists. */
   private def pixelVariantSigs(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
-    val base = Tables.documents(spark, dir)
+    val base = spreadDocs(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
       .withColumn("w0", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
       // two distinct tweak bit positions in [0, 60), p2 ≠ p1 by the
@@ -492,7 +506,7 @@ object Multimodal {
     import graft.functions.PngOps._
     import graft.functions.WavMeta.wavMeta
     import graft.functions.JpegDims.jpegDims
-    val payloads = Tables.documents(spark, dir)
+    val payloads = spreadDocs(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
       .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
       .withColumn("sr", expr("8000 + (doc_id % 5) * 4000"))

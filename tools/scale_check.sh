@@ -106,4 +106,15 @@ if [ ! -f "$SF1_DIR/lineitem.parquet" ]; then
   echo "generating $SF1_DIR from $BASE_DIR (10 shifted replicas)..."
   SF1_DIR="$SF1_DIR" python3 tools/make_sf1.py
 fi
+# constant-density 10x documents for ScaleCheck.constantDensityQueries
+# (dd_setsim_join): make_sf1's near-verbatim replicas give those queries
+# a quadratic TRUE answer — a data artifact, not an operator property
+# (r10 verdict adjudication). make_sfdense keeps near-dup density
+# constant so the measured ratio isolates the operator's scaling.
+SFDENSE_DIR="${SFDENSE_DIR:-target/sfdense}"
+if [ ! -f "$SFDENSE_DIR/documents.parquet" ]; then
+  echo "generating $SFDENSE_DIR from $BASE_DIR (token-disjoint replicas)..."
+  SFDENSE_DIR="$SFDENSE_DIR" python3 tools/make_sfdense.py
+fi
+export SPARK_GRAFT_DENSE_DIR="$SFDENSE_DIR"
 exec sbt -batch "runMain graft.ScaleCheck $BASE_DIR $SF1_DIR $BOUND $PER_QUERY_BOUND"
