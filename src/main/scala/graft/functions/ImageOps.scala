@@ -34,19 +34,35 @@ import org.apache.spark.unsafe.types.UTF8String
   * pixels. synth -> encode -> decode -> pool -> compare == identity is
   * the hash gate; real photos are gated by MultimodalSpec against an
   * ImageIO reference implementation. */
+/** The ONE place graft constructs ImageIO streams (ADVICE r11: two
+  * static initializers used to flip the JVM-global
+  * `ImageIO.setUseCache` flag as a class-load side effect — a library
+  * must not mutate process-wide state, and the perf property silently
+  * depended on class-load order). These constructors return
+  * MEMORY-cached stream instances DIRECTLY, so the no-temp-file
+  * property is structural: the default file-cache mode backs every
+  * `ImageIO.createImage{Input,Output}Stream` with a java.nio temp file
+  * whose name comes from SecureRandom — measured (jstack, r11 10x
+  * sweep): codec tasks spent their time in NativePRNG.implNextBytes +
+  * temp-file create/delete, not in the codec (`mm_pixel_neardup`
+  * 10.8 s → 0.85 s). Graft's payloads are in-memory byte arrays of a
+  * few KB; heap caching is strictly better, and constructing the
+  * MemoryCache classes explicitly means no global flag, no class-load
+  * ordering, and nothing for a refactor to silently regress
+  * (ImageStreamsSpec pins the classes AND greps the codec paths). */
+object ImageStreams {
+  def input(bytes: Array[Byte]): javax.imageio.stream.ImageInputStream =
+    new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+  def output(sink: java.io.OutputStream): javax.imageio.stream.ImageOutputStream =
+    new javax.imageio.stream.MemoryCacheImageOutputStream(sink)
+}
+
 object ImageUtil {
   val Rows = 6 // cell rows
   val Cols = 11 // cell cols => Rows * (Cols - 1) = 60 comparison bits
   val Cell = 8 // px per cell side == the JPEG DCT block size
   private val Step = 12 // synth luma step per bit; worst walk 128+/-120
-
-  // Memory-cached ImageIO streams: the default file-cache mode backs
-  // EVERY createImage{Input,Output}Stream with a java.nio temp file
-  // whose name comes from SecureRandom — measured (jstack, 10x sweep):
-  // codec tasks spending their time in NativePRNG.implNextBytes +
-  // temp-file create/delete, not in the codec. These payloads are
-  // in-memory byte arrays of a few KB; heap caching is strictly better.
-  javax.imageio.ImageIO.setUseCache(false)
 
   // ThreadLocal codec instances: ImageIO writer/reader construction is
   // a per-call allocation storm (service-registry lookup + plugin
@@ -68,7 +84,7 @@ object ImageUtil {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(math.max(1, math.min(100, quality)) / 100f)
     val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val ios = ImageStreams.output(bos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -85,8 +101,7 @@ object ImageUtil {
     try {
       if (bytes.length >= 2 && (bytes(0) & 0xFF) == 0xFF && (bytes(1) & 0xFF) == 0xD8) {
         val reader = jpegReaderTl.get()
-        val iis = javax.imageio.ImageIO.createImageInputStream(
-          new java.io.ByteArrayInputStream(bytes))
+        val iis = ImageStreams.input(bytes)
         try {
           reader.setInput(iis, true, true)
           reader.read(0)
@@ -94,8 +109,12 @@ object ImageUtil {
           try reader.reset() catch { case _: Exception => () }
           iis.close()
         }
-      } else
-        javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      } else {
+        // ImageIO.read(InputStream) would route through the global
+        // file-cache flag; hand it a memory-cached stream instead
+        val iis = ImageStreams.input(bytes)
+        try javax.imageio.ImageIO.read(iis) finally iis.close()
+      }
     } catch { case _: Exception => null }
 
   /** Deterministic grayscale JPEG encoding `word`'s 60 bits as

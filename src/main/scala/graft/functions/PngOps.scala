@@ -20,10 +20,6 @@ import org.apache.spark.sql.types.{BinaryType, DataType, IntegerType, LongType}
   * number a storage auditor wants without inflating a single pixel.
   */
 object PngUtil {
-  // heap-cached ImageIO streams (see ImageUtil: the default file-cache
-  // mode pays a SecureRandom-named temp file per encode)
-  javax.imageio.ImageIO.setUseCache(false)
-
   private def u32be(b: Array[Byte], i: Int): Long =
     ((b(i) & 0xFFL) << 24) | ((b(i + 1) & 0xFFL) << 16) |
       ((b(i + 2) & 0xFFL) << 8) | (b(i + 3) & 0xFFL)
@@ -71,14 +67,24 @@ object PngUtil {
 
   /** Total IDAT (compressed pixel stream) bytes, or -1 when not a
     * well-formed PNG — the compression-ratio numerator a lake auditor
-    * reports per payload. */
+    * reports per payload.
+    *
+    * The walk MIRRORS [[metaPacked]]'s exactly — stop at IEND, bounds
+    * guard before every `size.toInt` (ADVICE r11): metaPacked only
+    * validated chunks UP TO IEND, and PNGs with trailing bytes after
+    * IEND are both spec-legal and common in the wild, so an unguarded
+    * re-walk past IEND reads unvalidated lengths (a trailing u32 of
+    * 0xFFFFFFF4 makes `12 + size.toInt` == 0 — an infinite loop). */
   def idatBytes(b: Array[Byte]): Long = {
     if (metaPacked(b) < 0) return -1L
     var i = 8
     var idat = 0L
-    while (i + 12 <= b.length) {
+    var ended = false
+    while (!ended && i + 12 <= b.length) {
       val size = u32be(b, i)
+      if (i + 12 + size > b.length) return -1L // unreachable pre-IEND (metaPacked passed); guards drift
       if (tag(b, i + 4, "IDAT")) idat += size
+      else if (tag(b, i + 4, "IEND")) ended = true
       i += 12 + size.toInt
     }
     idat
@@ -105,7 +111,11 @@ object PngUtil {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    // explicit memory-cached stream ([[ImageStreams]]): the
+    // OutputStream overload would consult the JVM-global cache flag
+    // and pay a SecureRandom-named temp file per encode
+    val ios = ImageStreams.output(bos)
+    try javax.imageio.ImageIO.write(img, "png", ios) finally ios.close()
     bos.toByteArray
   }
 }

@@ -380,19 +380,40 @@ object Multimodal {
     * recover it by DECODING the pixels and computing the difference
     * hash. The oracle derives the expected hex from md5 directly — the
     * encode→decode→pool→compare identity is the hash gate. One codegen'd
-    * projection per row, no UDF, no shuffle but the presentation sort. */
+    * projection per row, no UDF; shuffles = [[spreadDocs]]'s
+    * parallelism-guard repartition (a no-op on a real many-file corpus)
+    * plus the presentation sort. */
   /** Parallelism guard for the codec-heavy stages (the
     * [[graft.functions.TextAnalysis]] repetition-filter lesson, r10):
     * documents.parquet is one small file, so the scan is ONE partition
     * and a per-row ImageIO encode/decode chain would serialize onto a
     * single task (measured: the whole query single-threaded in the 10×
     * sweep — one RUNNABLE worker, 31 idle). Cheap in bytes, huge in
-    * per-row CPU ⇒ spread by rows before the codec projection; on a
-    * real many-file corpus the guard is a no-op. */
+    * per-row CPU ⇒ spread by rows (a round-robin REPARTITION — the one
+    * shuffle the codec queries carry besides their presentation sorts)
+    * before the codec projection; on a real many-file corpus the guard
+    * is a no-op. The scan's parallelism is ESTIMATED from the file
+    * listing (one metadata call) rather than `docs.rdd.getNumPartitions`
+    * (ADVICE r11: that forces physical planning + RDD lineage
+    * materialization on every query build): Spark packs splittable
+    * parquet into ~ceil(totalBytes / maxPartitionBytes) scan partitions,
+    * and the ceil UNDER-estimates packing of many small files, erring
+    * toward spreading — the cheap direction for a codec-bound stage. */
   private def spreadDocs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val nParts = spark.sessionState.conf.numShufflePartitions
-    if (docs.rdd.getNumPartitions < nParts) docs.repartition(nParts) else docs
+    val maxPart = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
+    val estParts =
+      try {
+        val fs = path.getFileSystem(spark.sessionState.newHadoopConf())
+        val st = fs.getFileStatus(path)
+        val bytes =
+          if (st.isFile) st.getLen
+          else fs.listStatus(path).iterator.filter(_.isFile).map(_.getLen).sum
+        ((bytes + maxPart - 1) / maxPart).toInt
+      } catch { case _: java.io.IOException => 1 } // unlistable ⇒ assume tiny, spread
+    if (estParts < nParts) docs.repartition(nParts) else docs
   }
 
   def pixelDHash(spark: SparkSession, dir: String): DataFrame = {
@@ -499,8 +520,9 @@ object Multimodal {
     * oracle derives every field from the synthesis parameters, so a
     * walker that misidentifies or misparses any container hash-fails.
     * CASE branches evaluate lazily per row, so each payload pays exactly
-    * one synthesis. One codegen'd projection per row, no UDF, no
-    * shuffle but the presentation sort. */
+    * one synthesis. One codegen'd projection per row, no UDF; shuffles =
+    * [[spreadDocs]]'s parallelism-guard repartition plus the
+    * presentation sort. */
   def mediaRouter(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
     import graft.functions.PngOps._

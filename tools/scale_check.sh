@@ -90,6 +90,9 @@ if [ "${1:-}" = "--sf10" ]; then
   # the IVF-PQ probe (all index-read + bounded-work queries)
   HEADLINE="$HEADLINE,rel_pagerank_served,dd_span_dedup_persisted"
   HEADLINE="$HEADLINE,sim_ivfpq_topk"
+  # round-12 addition (VERDICT r11 ask #7): the persisted pixel-signature
+  # serve path — "3n codec cost runs once at ingest" gets its 100x number
+  HEADLINE="$HEADLINE,mm_pixel_persisted"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
