@@ -82,7 +82,9 @@ object Plans {
       "ta_repetition_filter", "mm_wav_meta",
       // round-11 families
       "mm_pixel_dhash", "mm_pixel_neardup", "mm_pixel_persisted",
-      "mm_media_router", "rel_pagerank_served")
+      "mm_media_router", "rel_pagerank_served",
+      // round-12 families (the pixel-real resize/feature stages)
+      "mm_pixel_resized", "mm_pixel_features")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
     sb.append(s"Scale dir: `$dir`. One representative query per operator family;\n")

@@ -388,6 +388,38 @@ object StreamCheck {
       (run, wantPairs, post)
     }
 
+    // ---- fold-state compaction (r11 verdict #3) ----
+    // The maintenance folds accumulate one batch_id=N partition per
+    // micro-batch forever and every serve unions ALL of them — at
+    // production batch counts the file LISTING becomes the serve
+    // bottleneck. Gate: compacting the just-folded bm25 state collapses
+    // every live partition into one generation (live dirs -> 0 at BOTH
+    // scales — flat in batch count, where pre-compaction they scale
+    // with it: 8 at 1x, 80 at 10x) and the served ranking stays
+    // row-identical. Serve walls are recorded before/after for the
+    // trend; the structural gates are dir count + row identity.
+    val compactRuns = Seq((base, "x1"), (big, "x10")).map { case (dir, tag) =>
+      val stateDir = s"target/streamcheck/bm25_state_$tag"
+      val post = s"$stateDir/post"
+      def serveRows(): Seq[Seq[Any]] =
+        Streams.bm25ServeFromState(spark, dir, stateDir)
+          .collect().map(_.toSeq).toSeq
+      def timed[A](body: => A): (A, Double) = {
+        val t0 = System.nanoTime(); val a = body; (a, (System.nanoTime() - t0) / 1e9)
+      }
+      val dirsBefore = graft.streaming.FoldState.livePartitionCount(spark, post)
+      val (beforeRows, _) = timed(serveRows()) // warm
+      val (_, serveBefore) = timed(serveRows())
+      val wm = graft.streaming.FoldState.maxLiveBatchId(spark, post).getOrElse(-1L)
+      val (_, compactS) =
+        timed(Streams.compactMaintenanceState(spark, stateDir, wm))
+      val dirsAfter = graft.streaming.FoldState.livePartitionCount(spark, post)
+      val (afterRows, _) = timed(serveRows()) // warm
+      val (_, serveAfter) = timed(serveRows())
+      (tag, dirsBefore, dirsAfter, serveBefore, serveAfter, compactS,
+        beforeRows == afterRows)
+    }
+
     def fx(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     // explicit tag lookup (ADVICE r9: sortBy(_.tag.length) silently
     // breaks if a third scale tag ever appears)
@@ -448,11 +480,22 @@ object StreamCheck {
       val okIvf = Seq(v1, v10).forall { case (r, a, f) =>
         r.stateRows == 0 && a > 0 && f == a }
       if (!okIvf) breaches += 1
+      def oneCpt(t: (String, Int, Int, Double, Double, Double, Boolean)): String = {
+        val (_, dB, dA, sB, sA, cS, same) = t
+        s"""{"live_dirs_before":$dB,"live_dirs_after":$dA,"serve_s_before":${fx(sB)},"serve_s_after":${fx(sA)},"compact_s":${fx(cS)},"serve_rows_identical":$same}"""
+      }
+      val Seq(c1, c10) = compactRuns
+      // flat in batch count: zero live dirs after compaction at BOTH
+      // scales (before: 8 at 1x, 80 at 10x), ranking row-identical
+      val okCpt = Seq(c1, c10).forall { case (_, dB, dA, _, _, _, same) =>
+        same && dA == 0 && dB > 0 }
+      if (!okCpt) breaches += 1
       s""""nnd_maintain":{"x1":${one(m1)},"x10":${one(m10)},"ok":$ok},""" +
         s""""bm25_maintain":{"x1":${oneBm(b1)},"x10":${oneBm(b10)},"ok":$okBm},""" +
-        s""""ivf_maintain":{"x1":${oneIvf(v1)},"x10":${oneIvf(v10)},"ok":$okIvf}"""
+        s""""ivf_maintain":{"x1":${oneIvf(v1)},"x10":${oneIvf(v10)},"ok":$okIvf},""" +
+        s""""bm25_compaction":{"x1":${oneCpt(c1)},"x10":${oneCpt(c10)},"ok":$okCpt}"""
     }
-    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs; ivf: assignments == arrivals)","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
+    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs; ivf: assignments == arrivals); compaction collapses live fold partitions to zero at both scales with the served ranking row-identical","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMCHECK.json"), json + "\n")
     catch { case _: Throwable => () }

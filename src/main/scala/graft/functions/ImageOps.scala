@@ -157,14 +157,19 @@ object ImageUtil {
     * brighter-than comparison cross-multiplies luma SUMS by the other
     * cell's AREA, so nothing floats and unequal edge-cell areas stay
     * exact. Luma is integer BT.601 (299R + 587G + 114B) / 1000. */
-  def dhashHex(bytes: Array[Byte]): UTF8String = {
+  /** Per-cell (luma-sum scaled by 1000, pixel count) pooling over the
+    * Rows x Cols grid — the shared feature extractor behind both the
+    * difference hash ([[dhashHex]]) and the quantized feature vector
+    * ([[gridBuckets]]). Exact integer-partition cell boundaries
+    * (floor(i*W/Cols)); integer BT.601 luma. Null when undecodable or
+    * smaller than the grid. */
+  private def poolCells(bytes: Array[Byte]): (Array[Array[Long]], Array[Array[Long]]) = {
     if (bytes == null || bytes.length < 4) return null
     val img = readImage(bytes)
     if (img == null) return null
     val w = img.getWidth
     val h = img.getHeight
     if (w < Cols || h < Rows) return null
-    // per-cell luma sums + pixel counts
     val sums = Array.ofDim[Long](Rows, Cols)
     val cnts = Array.ofDim[Long](Rows, Cols)
     val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
@@ -186,6 +191,13 @@ object ImageUtil {
       }
       y += 1
     }
+    (sums, cnts)
+  }
+
+  def dhashHex(bytes: Array[Byte]): UTF8String = {
+    val pooled = poolCells(bytes)
+    if (pooled == null) return null
+    val (sums, cnts) = pooled
     var word = 0L
     var r = 0
     while (r < Rows) {
@@ -202,25 +214,99 @@ object ImageUtil {
     UTF8String.fromString(f"$word%015x")
   }
 
+  /** QUANTIZED feature vector: per grid cell, the mean luma's signed
+    * distance from the 128 anchor in [[ImageUtil.Step]] units —
+    * `round((mean - 128) / Step)`, exact integer round-half-up via
+    * floorDiv so negatives round identically on both engines. Over a
+    * [[synthJpeg]] payload the bucket of cell (r,c) is EXACTLY the
+    * signed prefix sum of the row's gradient steps (each bit moves the
+    * luma one full Step = 12, JPEG DC-quantization error < 5 < Step/2
+    * can never cross a bucket boundary) — the identity the
+    * `mm_pixel_features` oracle replays from the md5 word. Over real
+    * photos it is the 66-dim coarse-luma embedding an image dedup /
+    * curation pipeline clusters on. Null when undecodable. Row-major:
+    * index = r * Cols + c. */
+  def gridBuckets(bytes: Array[Byte]): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val pooled = poolCells(bytes)
+    if (pooled == null) return null
+    val (sums, cnts) = pooled
+    val out = new Array[Int](Rows * Cols)
+    var r = 0
+    while (r < Rows) {
+      var c = 0
+      while (c < Cols) {
+        // round-half-up((sum/cnt/1000 - 128) / Step) in exact integers:
+        // x = luma-sum minus the anchor, d = one Step in sum units
+        val x = sums(r)(c) - 128L * 1000L * cnts(r)(c)
+        val d = Step.toLong * 1000L * cnts(r)(c)
+        out(r * Cols + c) = Math.floorDiv(2L * x + d, 2L * d).toInt
+        c += 1
+      }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** REAL pixel resize: decode, bounding-box to `maxSide` preserving
+    * aspect ratio with NEAREST-NEIGHBOR sampling, re-encode as JPEG at
+    * `quality`. Nearest (not bilinear) is deliberate: an exact integer
+    * downscale of constant cells keeps every cell mean bit-identical
+    * (sample x' = floor(x*W/w) never crosses a cell boundary), which is
+    * what lets the `mm_pixel_resized` oracle gate the WHOLE
+    * decode→resize→encode→decode chain as an identity on the synth
+    * payloads; on real photos nearest is the standard cheap thumbnail.
+    * Payloads already inside the box are still re-encoded (the
+    * normalize-to-JPEG contract a thumbnail stage has). Null when the
+    * input can't decode. */
+  def resizeJpeg(bytes: Array[Byte], maxSide: Int, quality: Int): Array[Byte] = {
+    val img = readImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val m = math.max(w, h)
+    val side = math.max(1, maxSide)
+    if (m <= side) return writeJpeg(opaque(img), quality)
+    val nw = math.max(1, w * side / m)
+    val nh = math.max(1, h * side / m)
+    val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+    val dst = new java.awt.image.BufferedImage(nw, nh,
+      if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY
+      else java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < nh) {
+      val sy = (y.toLong * h / nh).toInt
+      var x = 0
+      while (x < nw) {
+        val sx = (x.toLong * w / nw).toInt
+        if (gray) dst.getRaster.setSample(x, y, 0, img.getRaster.getSample(sx, sy, 0))
+        else dst.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    writeJpeg(dst, quality)
+  }
+
+  /** JPEG writer needs an opaque raster; repaint onto RGB if needed. */
+  private def opaque(img: java.awt.image.BufferedImage): java.awt.image.BufferedImage =
+    if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR ||
+        img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+    else {
+      val t = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      val g2 = t.createGraphics()
+      g2.drawImage(img, 0, 0, null)
+      g2.dispose()
+      t
+    }
+
   /** Re-encode any decodable payload as a JPEG at `quality` — the
     * perturbation a CDN / re-hosting pass applies; pixels survive
     * approximately, bytes don't. Null when the input can't decode. */
   def reencodeJpeg(bytes: Array[Byte], quality: Int): Array[Byte] = {
     val img = readImage(bytes)
     if (img == null) return null
-    // JPEG writer needs an opaque raster; repaint onto RGB if needed
-    val rgb =
-      if (img.getType == java.awt.image.BufferedImage.TYPE_3BYTE_BGR ||
-          img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
-      else {
-        val t = new java.awt.image.BufferedImage(
-          img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
-        val g2 = t.createGraphics()
-        g2.drawImage(img, 0, 0, null)
-        g2.dispose()
-        t
-      }
-    writeJpeg(rgb, quality)
+    writeJpeg(opaque(img), quality)
   }
 }
 
@@ -269,6 +355,62 @@ case class JpegDHash(child: Expression) extends UnaryExpression {
   override def prettyName: String = "jpeg_dhash"
 }
 
+/** `jpeg_grid(binary) -> array<int>`: the 66-dim quantized coarse-luma
+  * feature vector via a REAL ImageIO decode ([[ImageUtil.gridBuckets]]);
+  * null for undecodable payloads. Codegen'd static call. */
+case class JpegGrid(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_grid needs binary input, got ${child.dataType}")
+  override def nullSafeEval(v: Any): Any =
+    ImageUtil.gridBuckets(v.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    // the static helper returns null for undecodable payloads, so the
+    // generated code re-derives isNull from the call result
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""
+         |${ev.value} = graft.functions.ImageUtil.gridBuckets($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildInternal(c: Expression): JpegGrid = copy(child = c)
+  override def prettyName: String = "jpeg_grid"
+}
+
+/** `jpeg_resize(binary, maxSide int, quality int) -> binary`: REAL
+  * pixel resize — decode, nearest-neighbor bounding-box downscale,
+  * re-encode ([[ImageUtil.resizeJpeg]]); null for undecodable
+  * payloads. Codegen'd static call. */
+case class JpegResize(first: Expression, second: Expression, third: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = true
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (first.dataType == BinaryType && second.dataType == IntegerType &&
+      third.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"jpeg_resize needs (binary, int, int), got " +
+        s"(${first.dataType}, ${second.dataType}, ${third.dataType})")
+  override def nullSafeEval(b: Any, s: Any, q: Any): Any =
+    ImageUtil.resizeJpeg(b.asInstanceOf[Array[Byte]],
+      s.asInstanceOf[Int], q.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (b, s, q) =>
+      s"""
+         |${ev.value} = graft.functions.ImageUtil.resizeJpeg($b, $s, $q);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin)
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): JpegResize =
+    copy(first = f, second = s, third = t)
+  override def prettyName: String = "jpeg_resize"
+}
+
 object ImageOps {
   import org.apache.spark.sql.GraftColumnBridge
   def jpegSynth(word: Column, quality: Column): Column =
@@ -276,4 +418,9 @@ object ImageOps {
       GraftColumnBridge.expression(word), GraftColumnBridge.expression(quality)))
   def jpegDHash(c: Column): Column =
     GraftColumnBridge.column(JpegDHash(GraftColumnBridge.expression(c)))
+  def jpegGrid(c: Column): Column =
+    GraftColumnBridge.column(JpegGrid(GraftColumnBridge.expression(c)))
+  def jpegResize(c: Column, maxSide: Column, quality: Column): Column =
+    GraftColumnBridge.column(JpegResize(GraftColumnBridge.expression(c),
+      GraftColumnBridge.expression(maxSide), GraftColumnBridge.expression(quality)))
 }

@@ -106,36 +106,61 @@ object Multimodal {
     df.withColumn("frame_idx",
       explode(sequence(lit(0), col("decoded.n_frames") - 1, lit(everyK))))
 
-  /** Resize stub: clamps the stubbed dimensions to a bounding box
-    * preserving aspect ratio (integer arithmetic; the real pixel work
-    * would live in the decode library). */
-  def resizeStub(df: DataFrame, maxSide: Int = 256): DataFrame =
-    df.withColumn("resized", expr(
-      s"""CASE WHEN greatest(decoded.width, decoded.height) <= $maxSide THEN
-            named_struct('width', decoded.width, 'height', decoded.height)
-          ELSE named_struct(
-            'width',  greatest(1, cast(decoded.width  * $maxSide / greatest(decoded.width, decoded.height) as int)),
-            'height', greatest(1, cast(decoded.height * $maxSide / greatest(decoded.width, decoded.height) as int)))
-          END"""))
+  /** Resize stage: REAL for decodable payloads (r11 verdict #4 — no
+    * stub on the decodable branch): [[graft.functions.JpegResize]] runs
+    * the actual decode → nearest-neighbor bounding-box downscale →
+    * re-encode chain, and the output dims are re-PARSED from the
+    * resized payload's SOF header, not computed. The arithmetic
+    * bounding-box fallback survives ONLY for payloads no codec accepts
+    * (the text stand-ins) — it clamps the synthetic dims, preserving
+    * aspect, so the pipeline shape is uniform either way. */
+  def resize(df: DataFrame, maxSide: Int = 256, quality: Int = 90): DataFrame = {
+    import graft.functions.ImageOps._
+    import graft.functions.JpegDims.jpegDims
+    df.withColumn("resized_payload",
+        jpegResize(col("payload"), lit(maxSide), lit(quality)))
+      .withColumn("rp", jpegDims(col("resized_payload")))
+      .withColumn("resized", expr(
+        s"""CASE WHEN rp IS NOT NULL AND rp >= 0 THEN named_struct(
+              'width',  cast(shiftright(rp, 32) as int),
+              'height', cast(rp & 4294967295 as int))
+            WHEN greatest(decoded.width, decoded.height) <= $maxSide THEN
+              named_struct('width', decoded.width, 'height', decoded.height)
+            ELSE named_struct(
+              'width',  greatest(1, cast(decoded.width  * $maxSide / greatest(decoded.width, decoded.height) as int)),
+              'height', greatest(1, cast(decoded.height * $maxSide / greatest(decoded.width, decoded.height) as int)))
+            END"""))
+      .drop("rp")
+  }
 
-  /** Feature-extraction stub: fixed-width feature vector per payload,
-    * derived from content hash — stands in for an image embedding. */
-  def featureStub(df: DataFrame, dims: Int = 8): DataFrame =
-    df.withColumn("features", expr(
-      s"""transform(sequence(1, $dims), i ->
-            cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) / 65535.0 as float))"""))
+  /** Feature stage: REAL for decodable payloads (r11 verdict #4) — the
+    * 66-dim quantized coarse-luma grid ([[graft.functions.JpegGrid]])
+    * pooled from the ACTUAL pixels, as floats; the md5-derived
+    * `fallbackDims`-wide vector survives only for payloads no codec
+    * accepts. */
+  def features(df: DataFrame, fallbackDims: Int = 8): DataFrame = {
+    import graft.functions.ImageOps._
+    df.withColumn("gb", jpegGrid(col("payload")))
+      .withColumn("features", coalesce(
+        expr("transform(gb, b -> cast(b as float))"),
+        expr(
+          s"""transform(sequence(1, $fallbackDims), i ->
+             cast(cast(conv(substring(md5(payload), i * 2, 4), 16, 10) as int) / 65535.0 as float))""")))
+      .drop("gb")
+  }
 
   /** The composed media pipeline decode → resize → frame-sample as ONE
     * oracle-gated query: per sampled frame, the decoded dims, the
     * bounding-boxed dims, and the frame index. Over the text stand-in
     * payloads every row takes [[decode]]'s deterministic synthetic
-    * branch, which a DuckDB oracle can replay from md5(payload) — the
-    * REAL JPEG branch is gated separately by MultimodalSpec against
-    * ImageIO (an oracle can't parse SOF headers). Still a single
-    * codegen'd projection + one explode per row: no UDF, no shuffle,
-    * linear in payload count. */
+    * branch and [[resize]]'s arithmetic fallback, which a DuckDB oracle
+    * can replay from md5(payload) — the REAL pixel branches are
+    * oracle-gated by `mm_pixel_resized`/`mm_pixel_features` (synth→parse)
+    * and spec-gated against ImageIO over the reference photos. Still a
+    * single codegen'd projection + one explode per row: no UDF, no
+    * shuffle, linear in payload count. */
   def decodeResizeFrames(spark: SparkSession, dir: String): DataFrame =
-    frameSample(resizeStub(decode(binaryized(spark, dir))), everyK = 4)
+    frameSample(resize(decode(binaryized(spark, dir))), everyK = 4)
       .select(
         col("doc_id"),
         col("decoded.width").as("width"),
@@ -426,6 +451,60 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** REAL pixel resize, oracle-gated end-to-end (r11 verdict #4 — the
+    * resize stage leaves stub-land): synthesize the word-carrying JPEG,
+    * then run the REAL thumbnail chain — ImageIO decode →
+    * nearest-neighbor downscale to the 44 px bounding box → re-encode —
+    * and prove the pixels survived by (a) re-PARSING the resized
+    * payload's SOF dims (not computing them) and (b) recovering the
+    * word from the RESIZED pixels via the difference hash. The synth is
+    * 88×48 so the box forces an exact 2× downscale: nearest sampling
+    * never crosses a cell boundary, and the only lossy steps are the
+    * two JPEG DC quantizations — the re-encode re-quantizes values
+    * already on the same q95 lattice, so the total error stays inside
+    * the ±12 gradient margin (mm_pixel_neardup's q80 re-encode measured
+    * hamming 0 across 15k docs — stronger perturbation, same identity).
+    * Oracle: dims are the construction constants, the hash is the md5
+    * word — any drift in decode, sampling arithmetic, or encode
+    * hash-fails. Shuffles = the [[spreadDocs]] guard + presentation
+    * sort. */
+  def pixelResize(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    import graft.functions.JpegDims.jpegDims
+    spreadDocs(spark, dir)
+      .withColumn("h", expr("md5(cast(doc_id as string))"))
+      .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
+      .withColumn("resized",
+        jpegResize(jpegSynth(col("word"), lit(95)), lit(44), lit(95)))
+      .withColumn("rp", jpegDims(col("resized")))
+      .select(col("doc_id"),
+        expr("cast(shiftright(rp, 32) as int)").as("r_width"),
+        expr("cast(rp & 4294967295 as int)").as("r_height"),
+        jpegDHash(col("resized")).as("dhash_hex"))
+      .orderBy("doc_id")
+  }
+
+  /** REAL pixel feature extraction, oracle-gated (r11 verdict #4 — the
+    * feature stage leaves stub-land): the 66-dim quantized coarse-luma
+    * grid ([[graft.functions.ImageUtil.gridBuckets]]) computed by
+    * actually DECODING the word-carrying JPEG and pooling its pixels.
+    * Long format (doc_id, cell_idx, bucket) so the oracle replays the
+    * construction with one window sum: cell (r,c)'s bucket is exactly
+    * the signed prefix sum of row r's gradient steps (each bit is one
+    * full ±Step of luma; DC-quantization error < Step/2 can't cross a
+    * bucket boundary). Over real photos the same expression is the
+    * coarse embedding a curation pipeline clusters on — gated against
+    * an independent ImageIO reference in ImageHashSpec. */
+  def pixelFeatures(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    spreadDocs(spark, dir)
+      .withColumn("h", expr("md5(cast(doc_id as string))"))
+      .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
+      .withColumn("buckets", jpegGrid(jpegSynth(col("word"), lit(95))))
+      .select(col("doc_id"), posexplode(col("buckets")).as(Seq("cell_idx", "bucket")))
+      .orderBy("doc_id", "cell_idx")
+  }
+
   /** Pixel-space NEAR-DUP pairs over real JPEG payloads — the dHash
     * upgrade of [[byteNearDupPairs]] from byte-space to what CLIP-era
     * pipelines actually bucket on. Three variants per document, all
@@ -564,6 +643,8 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_pixel_dhash"    -> pixelDHash _,
+    "mm_pixel_resized"  -> pixelResize _,
+    "mm_pixel_features" -> pixelFeatures _,
     "mm_pixel_neardup"  -> pixelNearDupPairs _,
     "mm_pixel_persisted" -> pixelNearDupPersisted _,
     "mm_media_router"   -> mediaRouter _,
@@ -585,6 +666,40 @@ object Multimodal {
     "mm_pixel_dhash" ->
       """SELECT doc_id, substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS dhash_hex
          FROM documents ORDER BY doc_id""",
+    // the oracle knows only the CONSTRUCTION: an 88x48 synth boxed to
+    // 44 px must come back 44x24, and the word must survive the full
+    // decode -> nearest-downscale -> re-encode -> decode -> pool chain
+    // (dims are re-PARSED from the resized payload on the Spark side,
+    // the hash re-POOLED from its pixels — nothing is computed from
+    // the input dims)
+    "mm_pixel_resized" ->
+      """SELECT doc_id, CAST(44 AS INTEGER) AS r_width,
+                CAST(24 AS INTEGER) AS r_height,
+                substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS dhash_hex
+         FROM documents ORDER BY doc_id""",
+    // cell (r,c)'s quantized luma bucket == the signed prefix sum of
+    // row r's gradient steps (bit j of the md5 word, MSB-first,
+    // 10 comparison bits per row): the Spark side must DECODE the
+    // pixels and pool them; the oracle replays the construction with a
+    // per-row window sum over the word's bits
+    "mm_pixel_features" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS word
+           FROM documents),
+         cells AS (
+           SELECT doc_id, word, r.range AS r, c.range AS c
+           FROM w, range(0, 6) r, range(0, 11) c),
+         summed AS (
+           SELECT doc_id, r, c,
+                  COALESCE(SUM(CASE WHEN j.range IS NULL THEN NULL
+                                    WHEN (word >> CAST(59 - (r * 10 + j.range) AS INTEGER)) & 1 = 1
+                                    THEN -1 ELSE 1 END), 0) AS s
+           FROM cells LEFT JOIN range(0, 10) j ON j.range < c
+           GROUP BY doc_id, r, c)
+         SELECT doc_id, CAST(r * 11 + c AS INTEGER) AS cell_idx,
+                CAST(s AS INTEGER) AS bucket
+         FROM summed ORDER BY doc_id, cell_idx""",
     // expected pair set per document from the construction: re-encode
     // (different bytes, same pixels) at hamming 0, the 2-bit pixel
     // tweak at hamming exactly 2 from both — cross-document pairs would

@@ -813,7 +813,11 @@ object Streams {
     * set) plus the bounded scoring joins — batch arrivals amortize it;
     * the corpus never re-pairs with itself and the per-node candidate
     * bound is corpus-independent, so fold cost tracks arrivals, not
-    * corpus. */
+    * corpus. Partition growth (one dir per micro-batch) is bounded by
+    * [[compactMaintenanceState]]/[[FoldState]]: periodic compaction
+    * collapses everything below a watermark into one generation, so
+    * serve-side file listing stays O(batches since compaction), not
+    * O(total batches). */
   def nndMaintainStream(spark: SparkSession, arrivals: DataFrame,
                         dir: String, stateDir: String, checkpointDir: String,
                         k: Int = 10, rounds: Int = 3, adjCap: Int = 16,
@@ -841,10 +845,11 @@ object Streams {
                                   stateDir: String, batchId: Long,
                                   k: Int, adjCap: Int, beam: Int,
                                   hops: Int, nEntries: Int): Unit = {
+    // compaction-aware ([[FoldState]]): generation rows keep their
+    // original batch_id, so the replay filter sees the true history
     def stateBefore(sub: String): Option[DataFrame] =
-      try Some(spark.read.parquet(s"$stateDir/$sub")
-        .filter(col("batch_id") < batchId).drop("batch_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      FoldState.read(spark, s"$stateDir/$sub")
+        .map(_.filter(col("batch_id") < batchId).drop("batch_id"))
     val g = stateBefore("edges").map(base.unionByName(_)).getOrElse(base)
     val nodesEmb = stateBefore("emb").map(corpusEmb.unionByName(_)).getOrElse(corpusEmb)
     // pin the micro-batch: the insert's scoring joins consume it twice
@@ -912,8 +917,7 @@ object Streams {
     import graft.functions.TextAnalysis
     val (postName, statName) = TextAnalysis.buildBm25BaseIndex(spark, dir)
     def state(sub: String): Option[DataFrame] =
-      try Some(spark.read.parquet(s"$stateDir/$sub").drop("batch_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => None }
+      FoldState.read(spark, s"$stateDir/$sub").map(_.drop("batch_id"))
     val post = state("post")
       .map(spark.table(postName).unionByName(_)).getOrElse(spark.table(postName))
     val stats = state("stats")
@@ -971,11 +975,28 @@ object Streams {
                         probeBound: Long = 20L, k: Int = 5): DataFrame = {
     import graft.operators.Similarity
     val base = Similarity.ivfBaseAssignTable(spark, dir)
-    val assigned =
-      try base.unionByName(
-        spark.read.parquet(s"$stateDir/assign").drop("batch_id"))
-      catch { case _: org.apache.spark.sql.AnalysisException => base }
+    val assigned = FoldState.read(spark, s"$stateDir/assign")
+      .map(st => base.unionByName(st.drop("batch_id"))).getOrElse(base)
     Similarity.ivfProbeJoinTopK(assigned, probeBound, k)
+  }
+
+  /** Compact every fold-state sub-table under `stateDir` (nnd keeps
+    * edges+emb, bm25 post+stats, ivf assign — any layout works: each
+    * child directory is one [[FoldState]] table) up to `watermark`.
+    * Run it from the maintenance driver between micro-batches or
+    * offline, with the watermark strictly below any in-flight batch id;
+    * serving is row-identical before and after (the StreamsSpec
+    * differential) and the per-serve file listing drops from O(total
+    * batches) to O(1 generation + batches since compaction) — the
+    * STREAMCHECK `compaction` gate. */
+  def compactMaintenanceState(spark: SparkSession, stateDir: String,
+                              watermark: Long, targetFiles: Int = 4): Unit = {
+    val root = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(root))
+      fs.listStatus(root).iterator.filter(_.isDirectory).foreach { s =>
+        FoldState.compact(spark, s.getPath.toString, watermark, targetFiles)
+      }
   }
 
   /** Durable sink: drive a streaming DataFrame to parquet via

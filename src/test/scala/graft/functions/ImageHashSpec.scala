@@ -117,6 +117,91 @@ class ImageHashSpec extends AnyFunSuite {
     assert(cross.min > 6, s"two distinct photos within re-encode distance: min ${cross.min}")
   }
 
+  test("resize round-trip: dhash(resize(synth(word))) == word for fuzzed words") {
+    // the full thumbnail chain — synth-encode, decode, nearest 2x
+    // downscale, re-encode, decode, pool — must be a word identity:
+    // nearest sampling never crosses a cell boundary at an exact
+    // integer factor and the re-encode re-quantizes values already on
+    // the same q95 lattice (the mm_pixel_resized oracle contract)
+    val rng = new scala.util.Random(7)
+    for (_ <- 1 to 300) {
+      val w = rng.nextLong() & ((1L << 60) - 1)
+      val resized = ImageUtil.resizeJpeg(ImageUtil.synthJpeg(w, 95), 44, 95)
+      assert(resized != null, f"word $w%015x: resize failed")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      assert(img.getWidth == 44 && img.getHeight == 24,
+        s"bounding box wrong: ${img.getWidth}x${img.getHeight}")
+      val got = ImageUtil.dhashHex(resized)
+      assert(got != null && got.toString == f"$w%015x",
+        f"word $w%015x -> $got after resize")
+    }
+  }
+
+  test("resize of real photos: bounding box honored, hash survives within re-encode distance") {
+    refUsers.foreach { u =>
+      val bytes = jpegBytes(u)
+      val orig = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val resized = ImageUtil.resizeJpeg(bytes, 64, 90)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+      assert(math.max(img.getWidth, img.getHeight) == 64, s"$u box")
+      // aspect preserved (integer truncation)
+      assert(math.abs(img.getWidth.toLong * orig.getHeight -
+        img.getHeight.toLong * orig.getWidth) <=
+        math.max(orig.getWidth, orig.getHeight).toLong, s"$u aspect")
+      // a 64px nearest thumbnail still hashes close to the original:
+      // dHash is a 6x11 pooled statistic, far coarser than the resize
+      val h = hamming(ImageUtil.dhashHex(resized).toString,
+        ImageUtil.dhashHex(bytes).toString)
+      assert(h <= 10, s"$u resize drifted $h bits")
+    }
+  }
+
+  test("gridBuckets: synth prefix-sum identity for fuzzed words; matches an " +
+    "independent pooled reference on real photos") {
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 300) {
+      val w = rng.nextLong() & ((1L << 60) - 1)
+      val got = ImageUtil.gridBuckets(ImageUtil.synthJpeg(w, 95))
+      assert(got != null)
+      val arr = got.toIntArray()
+      assert(arr.length == 66)
+      for (r <- 0 until 6; c <- 0 until 11) {
+        var s = 0
+        for (j <- 0 until c)
+          s += (if (((w >>> (59 - (r * 10 + j))) & 1L) == 1L) -1 else 1)
+        assert(arr(r * 11 + c) == s,
+          f"word $w%015x cell ($r,$c): ${arr(r * 11 + c)} != $s")
+      }
+    }
+    // real photos: buckets equal round((cellMean - 128) / 12) computed by
+    // an independent BigInt pooling (shares no code with ImageUtil)
+    refUsers.take(3).foreach { u =>
+      val bytes = jpegBytes(u)
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val sums = Array.ofDim[BigInt](6, 11)
+      val cnts = Array.ofDim[Long](6, 11)
+      for (r <- 0 until 6; c <- 0 until 11) sums(r)(c) = BigInt(0)
+      for (y <- 0 until im.getHeight; x <- 0 until im.getWidth) {
+        val r = math.min(5, y * 6 / im.getHeight)
+        val c = math.min(10, x * 11 / im.getWidth)
+        val rgb = im.getRGB(x, y)
+        sums(r)(c) += 299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) + 114L * (rgb & 0xFF)
+        cnts(r)(c) += 1
+      }
+      val got = ImageUtil.gridBuckets(bytes).toIntArray()
+      for (r <- 0 until 6; c <- 0 until 11) {
+        val x = sums(r)(c) - BigInt(128L) * 1000 * cnts(r)(c)
+        val d = BigInt(12L) * 1000 * cnts(r)(c)
+        // round-half-up via floor((2x + d) / (2d)) — BigInt floorDiv
+        val num = 2 * x + d
+        val den = 2 * d
+        val want = (if (num >= 0) num / den
+                    else -((-num + den - 1) / den)).toInt
+        assert(got(r * 11 + c) == want, s"$u cell ($r,$c)")
+      }
+    }
+  }
+
   test("near-dup banding over real photos: perturbed copies pair, distinct photos don't") {
     import spark.implicits._
     val users = refUsers

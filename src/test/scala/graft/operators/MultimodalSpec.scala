@@ -123,8 +123,8 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("resizeStub clamps to the bounding box preserving aspect") {
-    val rows = Multimodal.resizeStub(decoded, 256)
+  test("resize falls back to bounding-box arithmetic on undecodable payloads") {
+    val rows = Multimodal.resize(decoded, 256)
       .select("decoded.width", "decoded.height", "resized.width", "resized.height")
       .collect()
     rows.foreach { r =>
@@ -184,22 +184,33 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
-  test("the stub decode pipeline runs over real JPEG payloads") {
-    val out = Multimodal.featureStub(
-      Multimodal.resizeStub(
+  test("the decode pipeline takes the REAL pixel branches over real JPEGs") {
+    val out = Multimodal.features(
+      Multimodal.resize(
         Multimodal.decode(Multimodal.profilePictures(spark, "/root/reference"))))
-      .select("creator_key", "decoded.n_frames", "resized.width", "features")
+      .select("creator_key", "decoded.n_frames", "resized.width",
+        "resized.height", "features", "resized_payload")
     val rows = out.collect()
     assert(rows.length == 9)
     rows.foreach { r =>
+      val user = r.getString(0)
       assert(r.getAs[Int]("n_frames") >= 1)
-      assert(r.getAs[Int]("width") <= 256)
-      assert(r.getSeq[Float](r.fieldIndex("features")).length == 8)
+      val (rw, rh) = (r.getAs[Int]("width"), r.getAs[Int]("height"))
+      assert(rw <= 256 && rh <= 256 && rw >= 1 && rh >= 1, s"$user dims $rw x $rh")
+      // dims were re-PARSED from the real resized payload: the payload
+      // must exist and ImageIO must agree on its dimensions
+      val rp = r.getAs[Array[Byte]]("resized_payload")
+      assert(rp != null, s"$user: real photo fell to the fallback branch")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rp))
+      assert(img != null && img.getWidth == rw && img.getHeight == rh,
+        s"$user resized dims vs ImageIO")
+      // features are the REAL 66-dim luma grid, not the 8-dim fallback
+      assert(r.getSeq[Float](r.fieldIndex("features")).length == 66, s"$user features")
     }
   }
 
-  test("featureStub yields fixed-width unit-range vectors") {
-    val rows = Multimodal.featureStub(decoded, dims = 8).select("features").collect()
+  test("features falls back to the md5 unit-range vector on undecodable payloads") {
+    val rows = Multimodal.features(decoded, fallbackDims = 8).select("features").collect()
     rows.foreach { r =>
       val f = r.getSeq[Float](0)
       assert(f.length == 8)

@@ -702,4 +702,103 @@ class StreamsSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSeq
     assert(after == got, "replaying the last batch changed the served ranking")
   }
+
+  test("compactMaintenanceState: bm25 serving row-identical across compaction; " +
+    "live partitions collapse; replayed compacted batches stay invisible") {
+    import graft.functions.TextAnalysis
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_bm25_cpt").toString
+    val post = s"$stateDir/post"
+    val arrivals = graft.sources.Tables.documents(spark, dir)
+      .filter(col("doc_id") % 7 === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val chunks = arrivals.grouped((arrivals.length + 2) / 3).toSeq
+    def serve(): Seq[Seq[Any]] =
+      Streams.bm25ServeFromState(spark, dir, stateDir).collect().map(_.toSeq).toSeq
+    // fold 0,1; compact them into a generation; fold 2 ON TOP of the
+    // compacted state — the ranking must stay row-identical throughout
+    // and equal the batch incremental path at the end
+    Streams.foldBm25Batch(chunks(0).toSeq.toDF("doc_id", "text"), stateDir, 0)
+    Streams.foldBm25Batch(chunks(1).toSeq.toDF("doc_id", "text"), stateDir, 1)
+    assert(FoldState.livePartitionCount(spark, post) == 2)
+    val before = serve()
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 1)
+    assert(FoldState.manifest(spark, post) === Some((0L, 1L)))
+    assert(FoldState.livePartitionCount(spark, post) == 0,
+      "compaction must GC the superseded live partitions")
+    assert(serve() == before, "compaction changed the served ranking")
+    Streams.foldBm25Batch(chunks(2).toSeq.toDF("doc_id", "text"), stateDir, 2)
+    assert(FoldState.livePartitionCount(spark, post) == 1)
+    val got = serve()
+    val want = TextAnalysis.bm25Incremental(spark, dir).collect().map(_.toSeq).toSeq
+    assert(got == want, "post-compaction folding diverged from batch incremental")
+    // an at-least-once replay BELOW the watermark re-materializes its
+    // live dir; readers filter it out (its rows already live in the
+    // generation) — no duplicates, ranking unchanged
+    Streams.foldBm25Batch(chunks(0).toSeq.toDF("doc_id", "text"), stateDir, 0)
+    assert(FoldState.livePartitionCount(spark, post) == 2)
+    assert(serve() == got, "a replayed compacted batch duplicated state rows")
+    // re-running compaction at the same watermark is a GC-only no-op:
+    // it collects the replayed orphan, manifest unchanged
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 1)
+    assert(FoldState.manifest(spark, post) === Some((0L, 1L)))
+    assert(FoldState.livePartitionCount(spark, post) == 1)
+    assert(serve() == got)
+    // a second compaction folds everything: gen bumps, zero live dirs,
+    // the superseded generation is GC'd, ranking still identical
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 2)
+    assert(FoldState.manifest(spark, post) === Some((1L, 2L)))
+    assert(FoldState.livePartitionCount(spark, post) == 0)
+    assert(serve() == got)
+    val fs = new org.apache.hadoop.fs.Path(post)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$post/_compaction/gen=0")),
+      "superseded generation must be garbage-collected")
+  }
+
+  test("foldNndBatch reads compacted generations: fold → compact → fold " +
+    "equals sequential batch folding") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.001"
+    val stateDir = java.nio.file.Files.createTempDirectory("graft_nnd_cpt").toString
+    val arrivals = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 === 0)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      .take(16)
+    val chunks = arrivals.grouped(8).toSeq
+    val base = Similarity.corpusNndGraph(spark, dir).select("u", "v", "cos")
+    val corpusEmb = graft.sources.Tables.embeddings(spark, dir)
+      .filter(col("vec_id") % 7 =!= 0).select("vec_id", "embedding")
+    Streams.foldNndBatch(spark, chunks(0).toSeq.toDF("vec_id", "embedding"),
+      base, corpusEmb, stateDir, batchId = 0,
+      k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 0)
+    assert(FoldState.livePartitionCount(spark, s"$stateDir/edges") == 0)
+    // batch 1's insert must see batch 0's arrivals through the
+    // GENERATION (the live partition is gone): the fold's state read is
+    // compaction-aware and the generation kept batch_id as a data column
+    Streams.foldNndBatch(spark, chunks(1).toSeq.toDF("vec_id", "embedding"),
+      base, corpusEmb, stateDir, batchId = 1,
+      k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
+    val got = FoldState.read(spark, s"$stateDir/edges").get
+      .select("u", "v", "cos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sorted.toSeq
+    // sequential in-memory folding, no state dir, no compaction
+    var g = base
+    var emb = corpusEmb
+    val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    chunks.foreach { c =>
+      val batch = c.toSeq.toDF("vec_id", "embedding")
+      val newE = Similarity
+        .nndInsertKnn(g, emb, batch, k = 10, adjCap = 16, beam = 8, hops = 4, nEntries = 8)
+        .select(col("q_id").as("u"), col("key").as("v"), col("score").as("cos"))
+        .localCheckpoint()
+      want ++= newE.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      g = g.unionByName(newE)
+      emb = emb.unionByName(batch)
+    }
+    assert(got == want.sorted.toSeq,
+      "folding across a compaction boundary diverged from batch folding")
+  }
 }
