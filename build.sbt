@@ -41,4 +41,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // alphabet (the r10 fleet-wide drift; family slowdown was monotone
   // in run order). -Xmx reserves address space, not RAM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  // Commit and zero the whole heap at JVM START, not during the first
+  // queries: with no -Xms the heap starts ~2g and G1 expands toward the
+  // ceiling DURING early execution — page commit + zeroing + region
+  // resizing that landed on whichever bench family ran first (the r11
+  // agg_* drift, r11 verdict #2: AggProbe measured the family 24.0 s at
+  // bench position vs 18.5 s re-run in the same warm JVM, a uniform
+  // 1.2-1.8x inflation with zero plan difference). AlwaysPreTouch moves
+  // that cost to untimed JVM startup.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:+AlwaysPreTouch",
 )

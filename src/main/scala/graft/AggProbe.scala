@@ -32,6 +32,9 @@ object AggProbe {
       "lineitem" -> graft.sources.Tables.lineitem, "events" -> graft.sources.Tables.events,
       "documents" -> graft.sources.Tables.documents, "embeddings" -> graft.sources.Tables.embeddings)
       .foreach { case (_, t) => force(t(spark, sfDir)) }
+    Bench.jitWarmQueries.foreach { q =>
+      SparkEntry.queries.get(q).foreach(fn => force(fn(spark, sfDir)))
+    }
     val family = SparkEntry.queries.keys.toSeq.filter(_.startsWith("agg_")).sorted
       .filter(SparkEntry.oracleSql.contains)
     def pass(label: String): Map[String, Double] = {

@@ -21,6 +21,19 @@ package graft
   * the tail in every round 1-7 and the driver never parsed a total.
   */
 object Bench {
+  /** Untimed JIT/codegen warm set: one representative query per major
+    * plan shape (scan+hash-agg, window, star join, explode+agg) so
+    * whole-stage codegen, janino, AQE and the noop sink are COMPILED
+    * before the first measured family. The r11 agg_* family drift
+    * (r11 verdict #2) was JVM warm-up landing on whichever family ran
+    * first alphabetically: AggProbe measured the family 24.0 s at bench
+    * position vs 18.5 s re-run in the same warm JVM with zero plan
+    * difference — -Xms/-XX:+AlwaysPreTouch (build.sbt) covers the
+    * heap-expansion half, this warm set the JIT half. */
+  val jitWarmQueries: Seq[String] = Seq(
+    "agg_pricing_summary", "win_topk_per_customer",
+    "rel_star_join_revenue", "txt_token_topk")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -48,6 +61,10 @@ object Bench {
       "lineitem" -> graft.sources.Tables.lineitem, "events" -> graft.sources.Tables.events,
       "documents" -> graft.sources.Tables.documents, "embeddings" -> graft.sources.Tables.embeddings)
       .foreach { case (name, t) => warm(name)(force(t(spark, sfDir))) }
+    // untimed JIT/codegen warm pass (see [[jitWarmQueries]])
+    jitWarmQueries.foreach { q =>
+      warm(q)(SparkEntry.queries.get(q).foreach(fn => force(fn(spark, sfDir))))
+    }
     // bench the oracle-comparable set (apples-to-apples vs BASELINE)
     val benchSet = SparkEntry.queries.filter { case (k, _) =>
       SparkEntry.oracleSql.contains(k)
