@@ -41,14 +41,19 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // alphabet (the r10 fleet-wide drift; family slowdown was monotone
   // in run order). -Xmx reserves address space, not RAM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
-  // Commit and zero the whole heap at JVM START, not during the first
-  // queries: with no -Xms the heap starts ~2g and G1 expands toward the
-  // ceiling DURING early execution — page commit + zeroing + region
-  // resizing that landed on whichever bench family ran first (the r11
-  // agg_* drift, r11 verdict #2: AggProbe measured the family 24.0 s at
-  // bench position vs 18.5 s re-run in the same warm JVM, a uniform
-  // 1.2-1.8x inflation with zero plan difference). AlwaysPreTouch moves
-  // that cost to untimed JVM startup.
+)
+// Commit and zero the whole heap at JVM START, not during the first
+// queries: with no -Xms the heap starts ~2g and G1 expands toward the
+// ceiling DURING early execution — page commit + zeroing + region
+// resizing that landed on whichever bench family ran first (the r11
+// agg_* drift, r11 verdict #2: AggProbe measured the family 24.0 s at
+// bench position vs 18.5 s re-run in the same warm JVM, a uniform
+// 1.2-1.8x inflation with zero plan difference). AlwaysPreTouch moves
+// that cost to untimed JVM startup. Scoped to the RUN path only (bench
+// + probes): unlike -Xmx (address-space reserve) this pair COMMITS and
+// zeroes the full heap at every fork — a test fork doesn't need 32 GiB
+// of pre-touched RAM per tiny spec (ADVICE r12).
+run / javaOptions ++= Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
   "-XX:+AlwaysPreTouch",
 )

@@ -34,6 +34,26 @@ object Bench {
     "agg_pricing_summary", "win_topk_per_customer",
     "rel_star_join_revenue", "txt_token_topk")
 
+  /** HOST CANARY (r12 verdict #2): two consecutive rounds the bench
+    * artifact was environment-dominated (r11 = JVM warm-up, r12 = shared
+    * host noon slowdown) and each took a round of re-litigation. These
+    * three pinned queries — scan+hash-agg, window top-k, broadcast star
+    * join, all CPU-shaped and all in [[jitWarmQueries]] so they run
+    * fully warm — are measured (min-of-3 each, summed) at bench START
+    * and END, inside the same JVM and window as the timed queries. The
+    * artifact then carries the host's speed alongside the measurements:
+    * cross-round drift can be read as raw AND canary-normalized ratios
+    * off the JSONs alone, no probe archaeology. */
+  val canaryQueries: Seq[String] = Seq(
+    "agg_pricing_summary", "win_topk_per_customer", "rel_star_join_revenue")
+
+  /** The r13 reference host measurement of [[canaryQueries]] at sf0.1 /
+    * local[32] (sum of per-query min-of-3, seconds) — the fixed
+    * denominator for `canary_norm`: values > 1 mean "this host/window
+    * is N× slower than the r13 reference run". Re-pin only if the
+    * canary set changes. */
+  val canaryRefS: Double = 1.75
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -65,6 +85,23 @@ object Bench {
     jitWarmQueries.foreach { q =>
       warm(q)(SparkEntry.queries.get(q).foreach(fn => force(fn(spark, sfDir))))
     }
+    // host canary (see [[canaryQueries]]): min-of-3 per pinned query,
+    // summed; measured at start AND end of the timed window. Fault-
+    // isolated like the warm-ups — a broken canary costs the canary
+    // fields, never the bench.
+    def canaryPass(): Double =
+      try canaryQueries.map { q =>
+        val fn = SparkEntry.queries(q)
+        (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          force(fn(spark, sfDir))
+          (System.nanoTime() - t0) / 1e9
+        }.min
+      }.sum
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] canary failed: ${e.getMessage}"); -1.0
+      }
+    val canaryStart = canaryPass()
     // bench the oracle-comparable set (apples-to-apples vs BASELINE)
     val benchSet = SparkEntry.queries.filter { case (k, _) =>
       SparkEntry.oracleSql.contains(k)
@@ -139,10 +176,18 @@ object Bench {
     def md(ts: Seq[Double]): Double = // true median (even n: mean of middles)
       if (ts.length % 2 == 1) ts(ts.length / 2)
       else (ts(ts.length / 2 - 1) + ts(ts.length / 2)) / 2.0
+    val canaryEnd = canaryPass()
     val healthy = results.filter(_._2.nonEmpty)
     val totalErrs = results.map(_._3).sum
     val minTotal = healthy.map(r => mn(r._2)).sum
     val medTotal = healthy.map(r => md(r._2)).sum
+    // canary-normalized total: minTotal scaled to the r13 reference
+    // host's speed (canary mean over canaryRefS). -1 when the canary
+    // itself failed.
+    val canaryMean =
+      if (canaryStart > 0 && canaryEnd > 0) (canaryStart + canaryEnd) / 2 else -1.0
+    val normTotal =
+      if (canaryMean > 0) minTotal * canaryRefS / canaryMean else -1.0
     // full detail: file + an early stdout line (the tail may cut it; the
     // file and the chunked lines below are the durable copies)
     val detail = results.map { case (k, ts, e) =>
@@ -151,7 +196,7 @@ object Bench {
       else s""""$k":{"min":${f3(mn(ts))},"med":${f3(md(ts))}$errPart}"""
     }.mkString("{", ",", "}")
     val detailJson =
-      s"""{"metric":"detail","n":$n,"min_total":${f3(minTotal)},"med_total":${f3(medTotal)},"errors":$totalErrs,"queries":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"detail","n":$n,"min_total":${f3(minTotal)},"med_total":${f3(medTotal)},"errors":$totalErrs,"canary_start_s":${f3(canaryStart)},"canary_end_s":${f3(canaryEnd)},"canary_ref_s":${f3(canaryRefS)},"norm_total":${f3(normTotal)},"queries":$detail,"sf":"$sfDir"}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_DETAIL.json"), detailJson + "\n")
     catch { case _: Throwable => () }
@@ -169,9 +214,11 @@ object Bench {
     chunks.zipWithIndex.foreach { case (c, i) =>
       println(s"""{"metric":"queries","part":${i + 1},"of":${chunks.length},"queries":${c.mkString("{", ",", "}")}}""")
     }
-    // totals-only compact line LAST (~90 chars — survives any tail); no
-    // "sf" field (the driver's artifact wrapper records sf itself)
-    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"n":${results.length},"errors":$totalErrs}""")
+    // totals-only compact line LAST (~150 chars — survives any tail); no
+    // "sf" field (the driver's artifact wrapper records sf itself).
+    // canary/norm fields (r12 verdict #2): host speed lives IN the
+    // artifact, so cross-round drift reads off the JSONs alone.
+    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"n":${results.length},"errors":$totalErrs,"canary_s":${f2(canaryMean)},"canary_ref_s":${f2(canaryRefS)},"norm":${f2(normTotal)}}""")
     System.out.flush()
     spark.stop()
   }

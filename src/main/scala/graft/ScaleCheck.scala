@@ -34,6 +34,29 @@ object ScaleCheck {
     * note). The artifact row carries "big_dir":"dense". */
   val constantDensityQueries: Set[String] = Set("dd_setsim_join")
 
+  /** Queries PINNED-EXPECTED at the linear line (r12 verdict #1 "what's
+    * wrong #2" adjudication): their true work is exactly proportional to
+    * the stress generator's data — the measured ratio sits AT the
+    * informational at-most-linear `bound` with ±20% host noise around
+    * it, which is the honest answer, not a regression. They carry an
+    * in-row "note" naming the derivation (SCALE.md) and the production
+    * serve path, and are excluded from the informational `over_bound`
+    * count; the HARD `perQueryBound` (the fail gate) still applies to
+    * them unchanged.
+    *
+    * dd_span_dedup: the raw span-candidate build normalizes and hashes
+    * every sentence span of every document — work ∝ corpus bytes by
+    * construction, and make_sf1's 100 shifted replicas carry 100× the
+    * span mass (SCALE.md "span dedup at 100×" derivation). r12 measured
+    * median-of-3 = 100.15× against bound 100. Production serves
+    * dd_span_dedup_persisted (22.3× at 100×: the span index is built
+    * once at ingest); the raw op is that index's build step. */
+  val expectedLinearQueries: Map[String, String] = Map(
+    "dd_span_dedup" -> ("linear-by-construction: span normalize+hash is " +
+      "one pass over corpus bytes and the generator replicates span mass " +
+      "100x (SCALE.md derivation); production serves " +
+      "dd_span_dedup_persisted — the raw op is the index build step"))
+
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
     val bigDir = args(1)
@@ -144,7 +167,12 @@ object ScaleCheck {
       if (ratios.isEmpty) 0.0
       else if (ratios.length % 2 == 1) ratios(ratios.length / 2)
       else (ratios(ratios.length / 2 - 1) + ratios(ratios.length / 2)) / 2.0
-    val over = rows.filter(_._4 > bound).sortBy(-_._4)
+    // pinned-expected linears are excluded from the informational
+    // over-bound count (their honest answer IS the line, ±noise); the
+    // hard per-query gate below still includes them
+    val over = rows
+      .filter(r => r._4 > bound && !expectedLinearQueries.contains(r._1))
+      .sortBy(-_._4)
     val overPerQuery = rows.filter(_._4 > perQueryBound).sortBy(-_._4)
     val qs = rows.map { case (k, b, g, r, retries, allRatios, dense) =>
       // retries + every measured ratio recorded, not just the kept best
@@ -152,12 +180,16 @@ object ScaleCheck {
         if (retries == 0) ""
         else s""","retries":$retries,"ratios":[${allRatios.map(x => f"$x%.2f").mkString(",")}]"""
       val denseExtra = if (dense) s""","big_dir":"dense"""" else ""
-      f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f$extra$denseExtra}"""
+      val noteExtra = expectedLinearQueries.get(k)
+        .map(n => s""","note":"$n"""").getOrElse("")
+      f""""$k":{"base":$b%.3f,"big":$g%.3f,"ratio":$r%.2f$extra$denseExtra$noteExtra}"""
     }.mkString("{", ",", "}")
     val totalRetries = rows.map(_._5).sum
     val policy = f"median-of-3 for any query whose single-shot ratio exceeds ${perQueryBound / 2.0}%.1fx (= per_query_bound/2, symmetric: re-measurement applies on both sides of the bound)"
+    val pinned = rows.map(_._1).filter(expectedLinearQueries.contains)
+      .map(n => s""""$n"""").mkString("[", ",", "]")
     println(
-      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"total_retries":$totalRetries,"retry_policy":"$policy","queries":$qs}""")
+      f"""SCALECHECKJSON> {"base":"$baseDir","big":"$bigDir","n":${rows.length},"median_ratio":$median%.2f,"bound":$bound%.1f,"over_bound":${over.length},"pinned_expected_linear":$pinned,"per_query_bound":$perQueryBound%.1f,"over_per_query":${overPerQuery.length},"total_retries":$totalRetries,"retry_policy":"$policy","queries":$qs}""")
     over.foreach { case (k, _, _, r, _, _, _) => println(f"CHECK-OVER> $k%-32s $r%6.1fx > $bound%.1fx") }
     spark.stop()
     if (median > bound) {

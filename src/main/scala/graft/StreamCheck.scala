@@ -420,6 +420,78 @@ object StreamCheck {
         beforeRows == afterRows)
     }
 
+    // ---- stream-DRIVEN compaction cadence (r12 verdict #8) ----
+    // The production shape: bm25MaintainStream with compactEvery=2 runs
+    // the compaction INSIDE foreachBatch (watermark = the just-folded
+    // batch id — nothing ≤ it is in flight in the serial driver), so the
+    // gate exercises the cadence a deployment actually runs, not a
+    // hand-invoked one. Gates: live dirs stay < compactEvery at BOTH
+    // scales (8 and 80 batches both end at 0 — the last batch triggers),
+    // the generation count respects maxGens (tier merges fired), and the
+    // served ranking is row-identical to the manually compacted state
+    // over the same arrivals.
+    val autoCompactRuns = Seq((base, "x1"), (big, "x10")).map { case (dir, tag) =>
+      val s = docArrivalsSplitDir(dir, tag)
+      val stateDir = new java.io.File(s"target/streamcheck/bm25_auto_$tag")
+      val ckpt = new java.io.File(s"target/streamcheck/ckpt_bm25_auto_$tag")
+      Seq(stateDir, ckpt).foreach(f => if (f.exists()) rm(f))
+      val t0 = System.nanoTime()
+      val q = Streams.bm25MaintainStream(
+        streamOf(s).select("doc_id", "text"),
+        stateDir.getAbsolutePath, ckpt.getAbsolutePath,
+        compactEvery = 2, maxGens = 3)
+      val run = drainAndMeasure(q, "bm25_autocompact", tag, keys = 0L, t0)
+      val post = s"${stateDir.getAbsolutePath}/post"
+      val liveDirs = graft.streaming.FoldState.livePartitionCount(spark, post)
+      val gens = graft.streaming.FoldState.generationCount(spark, post)
+      val autoRows = Streams
+        .bm25ServeFromState(spark, dir, stateDir.getAbsolutePath)
+        .collect().map(_.toSeq).toSeq
+      val manualRows = Streams
+        .bm25ServeFromState(spark, dir, s"target/streamcheck/bm25_state_$tag")
+        .collect().map(_.toSeq).toSeq
+      (run, liveDirs, gens, autoRows == manualRows)
+    }
+
+    // ---- incremental compaction COST (r12 verdict #4) ----
+    // Fold 10 equal document batches, minor-compacting after every 2
+    // (maxGens high enough that no tier merge pollutes the measurement):
+    // each minor's generation must contain ~the delta's bytes even
+    // though total state grows 5× across the run. Gate: the LAST minor
+    // generation's bytes ≤ 3× the FIRST's (both cover 1/5 of the data;
+    // the old rewrite-everything design scored ~5×+ and grew without
+    // bound). Walls are recorded for the trend; bytes are the gate
+    // (deterministic where walls are host-noisy).
+    val incCompact = {
+      val stateDir = new java.io.File("target/streamcheck/bm25_inc")
+      if (stateDir.exists()) rm(stateDir)
+      val sd = stateDir.getAbsolutePath
+      val post = s"$sd/post"
+      val docs = spark.read.parquet(s"$base/documents.parquet")
+        .select(col("doc_id"), col("text")).filter(col("doc_id") % 7 === 0)
+        .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      val chunks = docs.grouped((docs.length + 9) / 10).toSeq.take(10)
+      val steps = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, Long)]
+      chunks.zipWithIndex.foreach { case (c, i) =>
+        Streams.foldBm25Batch(c.toSeq.toDF("doc_id", "text"), sd, i.toLong)
+        if (i % 2 == 1) {
+          val gensBefore = graft.streaming.FoldState.manifest(spark, post)
+            .map(_._1.toSet).getOrElse(Set.empty)
+          val t0 = System.nanoTime()
+          Streams.compactMaintenanceState(spark, sd, watermark = i.toLong,
+            maxGens = 100)
+          val wall = (System.nanoTime() - t0) / 1e9
+          val newGens = graft.streaming.FoldState.manifest(spark, post)
+            .map(_._1.toSet).getOrElse(Set.empty) -- gensBefore
+          val bytes = newGens.iterator
+            .map(g => graft.streaming.FoldState.generationBytes(spark, post, g))
+            .sum
+          steps += ((i.toLong, wall, bytes))
+        }
+      }
+      steps.toSeq
+    }
+
     def fx(d: Double): String = "%.2f".formatLocal(java.util.Locale.ROOT, d)
     // explicit tag lookup (ADVICE r9: sortBy(_.tag.length) silently
     // breaks if a third scale tag ever appears)
@@ -490,12 +562,32 @@ object StreamCheck {
       val okCpt = Seq(c1, c10).forall { case (_, dB, dA, _, _, _, same) =>
         same && dA == 0 && dB > 0 }
       if (!okCpt) breaches += 1
+      // stream-driven cadence: live dirs < compactEvery(2), generation
+      // count <= maxGens(3) via tier merges, serve == manual compaction
+      def oneAuto(t: (Run, Int, Int, Boolean)): String = {
+        val (r, liveDirs, gens, same) = t
+        s"""{"input_rows":${r.inputRows},"wall_s":${fx(r.wallS)},"batch_s":${fx(r.batchS)},"live_dirs_after":$liveDirs,"generations":$gens,"serve_rows_identical":$same}"""
+      }
+      val Seq(a1, a10) = autoCompactRuns
+      val okAuto = Seq(a1, a10).forall { case (_, liveDirs, gens, same) =>
+        same && liveDirs < 2 && gens >= 1 && gens <= 3 }
+      if (!okAuto) breaches += 1
+      // incremental cost: each minor generation holds ~one delta's bytes
+      // even as total state grows 5x across the run
+      val incSteps = incCompact.map { case (wmk, w, b) =>
+        s"""{"watermark":$wmk,"compact_s":${fx(w)},"minor_gen_bytes":$b}"""
+      }
+      val okInc = incCompact.nonEmpty && incCompact.head._3 > 0 &&
+        incCompact.last._3 <= 3L * incCompact.head._3
+      if (!okInc) breaches += 1
       s""""nnd_maintain":{"x1":${one(m1)},"x10":${one(m10)},"ok":$ok},""" +
         s""""bm25_maintain":{"x1":${oneBm(b1)},"x10":${oneBm(b10)},"ok":$okBm},""" +
         s""""ivf_maintain":{"x1":${oneIvf(v1)},"x10":${oneIvf(v10)},"ok":$okIvf},""" +
-        s""""bm25_compaction":{"x1":${oneCpt(c1)},"x10":${oneCpt(c10)},"ok":$okCpt}"""
+        s""""bm25_compaction":{"x1":${oneCpt(c1)},"x10":${oneCpt(c10)},"ok":$okCpt},""" +
+        s""""bm25_autocompact":{"x1":${oneAuto(a1)},"x10":${oneAuto(a10)},"ok":$okAuto},""" +
+        s""""compaction_incremental":{"steps":[${incSteps.mkString(",")}],"gate":"last minor gen bytes <= 3x first (state grew 5x)","ok":$okInc}"""
     }
-    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs; ivf: assignments == arrivals); compaction collapses live fold partitions to zero at both scales with the served ranking row-identical","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
+    val json = s"""{"base":"$base","big":"$big","gate":"state_per_key ratio <= 1.5 at 10x input","join_gate":"peak state rows ratio <= 2.0 at 10x time-extended input","maintenance_gate":"zero streaming state AND folded product matches arrivals exactly at both scales (nnd: edges == k per arrival; bm25: postings == arrival token pairs; ivf: assignments == arrivals); compaction collapses live fold partitions to zero at both scales with the served ranking row-identical; stream-driven compactEvery cadence keeps live dirs bounded and generations tiered with serve identical to manual compaction; minor-compaction bytes track the delta (last <= 3x first while state grows 5x)","breaches":$breaches,"mirrors":{${rows.mkString(",")}},"joins":{${joinRows.mkString(",")}},"maintenance":{$maintRows}}"""
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("STREAMCHECK.json"), json + "\n")
     catch { case _: Throwable => () }

@@ -111,9 +111,14 @@ object ImageUtil {
         }
       } else {
         // ImageIO.read(InputStream) would route through the global
-        // file-cache flag; hand it a memory-cached stream instead
+        // file-cache flag; hand it a memory-cached stream instead.
+        // ImageIO.read(ImageInputStream) CLOSES the stream itself on a
+        // successful read (its documented contract) — an unguarded
+        // finally close() then double-closes, throws, and the outer
+        // catch turned every successful PNG decode into null.
         val iis = ImageStreams.input(bytes)
-        try javax.imageio.ImageIO.read(iis) finally iis.close()
+        try javax.imageio.ImageIO.read(iis)
+        finally { try iis.close() catch { case _: Exception => () } }
       }
     } catch { case _: Exception => null }
 
@@ -266,8 +271,10 @@ object ImageUtil {
     val m = math.max(w, h)
     val side = math.max(1, maxSide)
     if (m <= side) return writeJpeg(opaque(img), quality)
-    val nw = math.max(1, w * side / m)
-    val nh = math.max(1, h * side / m)
+    // Long arithmetic: w * side overflows Int for large images with a
+    // large box (w=h=50000, maxSide=49999 -> negative -> max(1,·) = 1x1).
+    val nw = math.max(1, (w.toLong * side / m).toInt)
+    val nh = math.max(1, (h.toLong * side / m).toInt)
     val gray = img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY
     val dst = new java.awt.image.BufferedImage(nw, nh,
       if (gray) java.awt.image.BufferedImage.TYPE_BYTE_GRAY

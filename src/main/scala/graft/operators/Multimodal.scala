@@ -171,6 +171,77 @@ object Multimodal {
         col("frame_idx"))
       .orderBy("doc_id", "frame_idx")
 
+  /** The composed decode → resize → frame-sample pipeline over REAL
+    * mixed containers (r12 verdict #6 — [[decodeResizeFrames]] gates the
+    * pipeline SHAPE over text stand-ins; this gates it end-to-end on
+    * real bytes): the [[mediaRouter]] corpus (REAL ImageIO JPEG / PCM
+    * WAV / ImageIO PNG per doc_id % 3), each payload routed by PARSING:
+    *
+    *  - images (JPEG + PNG): dims from the codegen'd container walkers,
+    *    then the REAL [[graft.functions.JpegResize]] decode →
+    *    nearest-downscale-to-44 → JPEG re-encode, with the resized dims
+    *    re-PARSED from the resized payload's SOF — never computed from
+    *    the input dims;
+    *  - audio (WAV): rate/duration parsed from the RIFF header; frames
+    *    are 10 ms windows (`n_frames = 1 + duration_ms div 10`), the
+    *    frame-sample explode running every 4th window.
+    *
+    * There is NO fallback branch anywhere in this query: `real_branch`
+    * is true only when every leg parsed (container identified AND, for
+    * images, the resized payload's SOF re-parsed), and the oracle pins
+    * it `true` on every row — a single payload falling back hash-fails
+    * the gate (fallback rows = 0, pinned). One codegen'd projection +
+    * one explode per row; shuffles = [[spreadDocs]]'s parallelism guard
+    * + the presentation sort. */
+  def decodeResizeFramesReal(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.ImageOps._
+    import graft.functions.PngOps._
+    import graft.functions.WavMeta.wavMeta
+    import graft.functions.JpegDims.jpegDims
+    mixedMediaPayloads(spark, dir)
+      .withColumn("jp", jpegDims(col("payload")))
+      .withColumn("wv", wavMeta(col("payload")))
+      .withColumn("pg", pngMeta(col("payload")))
+      .withColumn("media_type", expr(
+        """CASE WHEN jp >= 0 THEN 'image/jpeg'
+                WHEN wv >= 0 THEN 'audio/wav'
+                WHEN pg >= 0 THEN 'image/png'
+                ELSE 'unknown' END"""))
+      // the real resize chain runs only on the image rows (CASE keeps
+      // the codec expression lazy per row); dims re-parsed from the
+      // resized payload
+      .withColumn("rzp", expr(
+        "CASE WHEN jp >= 0 OR pg >= 0 THEN 1 END"))
+      .withColumn("rp",
+        when(col("rzp") === 1,
+          jpegDims(jpegResize(col("payload"), lit(44), lit(90)))))
+      .withColumn("width", expr(
+        """CASE WHEN jp >= 0 THEN shiftright(jp, 32)
+                WHEN pg >= 0 THEN shiftright(pg, 40) END""").cast("long"))
+      .withColumn("height", expr(
+        """CASE WHEN jp >= 0 THEN jp & 4294967295
+                WHEN pg >= 0 THEN shiftright(pg, 16) & 16777215 END""").cast("long"))
+      .withColumn("n_frames", expr(
+        """CASE WHEN wv >= 0 THEN cast(1 + (wv & 4294967295) div 10 as int)
+                ELSE 1 END"""))
+      .withColumn("r_width",
+        when(col("rp").isNotNull && col("rp") >= 0,
+          expr("shiftright(rp, 32)")).cast("long"))
+      .withColumn("r_height",
+        when(col("rp").isNotNull && col("rp") >= 0,
+          expr("rp & 4294967295")).cast("long"))
+      .withColumn("real_branch", expr(
+        """CASE WHEN wv >= 0 THEN true
+                WHEN (jp >= 0 OR pg >= 0) THEN rp IS NOT NULL AND rp >= 0
+                ELSE false END"""))
+      .withColumn("frame_idx",
+        explode(sequence(lit(0), col("n_frames") - 1, lit(4))))
+      .select(col("doc_id"), col("media_type"), col("width"), col("height"),
+        col("n_frames"), col("r_width"), col("r_height"), col("real_branch"),
+        col("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
   /** Byte-level SimHash signature per payload: distinct byte 4-grams
     * (as hex strings, so both engines hash the identical token text) →
     * `bits`-wide SimHash. No codec needed — the signature reads the raw
@@ -602,12 +673,16 @@ object Multimodal {
     * one synthesis. One codegen'd projection per row, no UDF; shuffles =
     * [[spreadDocs]]'s parallelism-guard repartition plus the
     * presentation sort. */
-  def mediaRouter(spark: SparkSession, dir: String): DataFrame = {
+  /** The mixed-container corpus shared by [[mediaRouter]] and
+    * [[decodeResizeFramesReal]]: doc_id % 3 picks a REAL ImageIO JPEG
+    * (88×48 word synth), a REAL PCM WAV (rate/channels from doc_id,
+    * body = the document's UTF-8 bytes), or a REAL ImageIO PNG
+    * (16..115 px dims from doc_id) — every oracle field derivable from
+    * these synthesis parameters. */
+  private def mixedMediaPayloads(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
     import graft.functions.PngOps._
-    import graft.functions.WavMeta.wavMeta
-    import graft.functions.JpegDims.jpegDims
-    val payloads = spreadDocs(spark, dir)
+    spreadDocs(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
       .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
       .withColumn("sr", expr("8000 + (doc_id % 5) * 4000"))
@@ -623,7 +698,13 @@ object Multimodal {
           .when(col("doc_id") % 3 === 1, expr(wavPayloadSql))
           .otherwise(pngSynth(col("pw"), col("ph"))))
       .select("doc_id", "payload")
-    payloads
+  }
+
+  def mediaRouter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.PngOps._
+    import graft.functions.WavMeta.wavMeta
+    import graft.functions.JpegDims.jpegDims
+    mixedMediaPayloads(spark, dir)
       .withColumn("jp", jpegDims(col("payload")))
       .withColumn("wv", wavMeta(col("payload")))
       .withColumn("pg", pngMeta(col("payload")))
@@ -655,6 +736,7 @@ object Multimodal {
     "mm_neardup_pairs"  -> byteNearDupPairs _,
     "mm_dedup_groups"   -> byteDedupGroups _,
     "mm_decode_frames"  -> decodeResizeFrames _,
+    "mm_decode_frames_real" -> decodeResizeFramesReal _,
   )
 
   val oracles: Map[String, String] = Map(
@@ -853,6 +935,52 @@ object Multimodal {
              END AS r_height
            FROM dm)
          SELECT doc_id, width, height, n_frames, r_width, r_height,
+                CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
+         FROM r ORDER BY doc_id, frame_idx""",
+    // every field derives from the SYNTHESIS parameters (the
+    // mm_media_router move), including the resized dims (JPEG synth is
+    // always 88x48 -> boxed to 44 -> 44x24; PNG dims from the doc_id
+    // formulas through the same floor-division box) and the WAV window
+    // count (duration from the PCM byte math, 10 ms windows). The Spark
+    // side must IDENTIFY each container by parsing, RUN the real
+    // decode->resize->re-encode on the image rows, and re-PARSE the
+    // resized SOF. real_branch is pinned literal true on every row: one
+    // payload falling back to any synthetic branch hash-fails the gate.
+    "mm_decode_frames_real" ->
+      """WITH b AS (SELECT doc_id,
+             octet_length(encode(text)) AS data_sz,
+             8000 + (doc_id % 5) * 4000 AS sr,
+             1 + (doc_id % 2) AS ch,
+             16 + doc_id % 100 AS pw,
+             16 + (doc_id // 7) % 100 AS ph
+           FROM documents),
+         m AS (SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image/jpeg'
+                             WHEN 1 THEN 'audio/wav'
+                             ELSE 'image/png' END AS media_type,
+             CASE doc_id % 3 WHEN 0 THEN 88 WHEN 2 THEN pw END AS width,
+             CASE doc_id % 3 WHEN 0 THEN 48 WHEN 2 THEN ph END AS height,
+             CASE doc_id % 3 WHEN 1 THEN
+               CAST(1 + (data_sz * 1000 // (sr * ch * 2)) // 10 AS INTEGER)
+               ELSE 1 END AS n_frames
+           FROM b),
+         r AS (SELECT doc_id, media_type, width, height, n_frames,
+             CASE WHEN media_type = 'audio/wav' THEN NULL
+                  WHEN greatest(width, height) <= 44 THEN width
+                  ELSE greatest(1, width * 44 // greatest(width, height))
+                  END AS r_width,
+             CASE WHEN media_type = 'audio/wav' THEN NULL
+                  WHEN greatest(width, height) <= 44 THEN height
+                  ELSE greatest(1, height * 44 // greatest(width, height))
+                  END AS r_height
+           FROM m)
+         SELECT doc_id, media_type,
+                CAST(width AS BIGINT) AS width,
+                CAST(height AS BIGINT) AS height,
+                n_frames,
+                CAST(r_width AS BIGINT) AS r_width,
+                CAST(r_height AS BIGINT) AS r_height,
+                true AS real_branch,
                 CAST(unnest(range(0, n_frames, 4)) AS INTEGER) AS frame_idx
          FROM r ORDER BY doc_id, frame_idx""",
     // byte 4-grams (strided, bounded prefix — same geometry as

@@ -362,18 +362,26 @@ object Similarity {
     * equi-join, typed TopKByScore partial aggregation. `assigned` is any
     * (vec_id, cell, embedding, na) frame. */
   private[graft] def ivfProbeJoinTopK(assigned: DataFrame,
-                               probeBound: Long, k: Int): DataFrame = {
+                               probeBound: Long, k: Int): DataFrame =
+    graft.functions.TopKByScore
+      .serveTopK(ivfProbeScored(assigned, probeBound), "q_id", col("cos"),
+        col("vec_id"), k)
+      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
+
+  /** The scored candidate frame BEFORE the top-k exchange — factored out
+    * so [[graft.IvfProbe]] can time the scan+broadcast-join+score leg
+    * separately from the top-k tail (the r12 bench-drift adjudication). */
+  private[graft] def ivfProbeScored(assigned: DataFrame,
+                                    probeBound: Long): DataFrame = {
     val queries = assigned.filter(col("vec_id") < probeBound)
       .select(col("vec_id").as("q_id"), col("cell").as("qcell"),
         col("embedding").as("qe"), col("na").as("qna"))
-    val scored = assigned
+    assigned
       .join(broadcast(queries),
         col("cell") === col("qcell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos",
         quantDot(col("embedding"), col("qe")).cast("double")
           / (sqrt(col("na").cast("double")) * sqrt(col("qna").cast("double"))))
-    graft.functions.TopKByScore.serveTopK(scored, "q_id", col("cos"), col("vec_id"), k)
-      .select(col("q_id"), col("rnk"), col("key").as("vec_id"), col("score").as("cos"))
   }
 
   /** PERSISTED IVF index: the build-once/store/query-many lifecycle a

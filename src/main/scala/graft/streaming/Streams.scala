@@ -821,8 +821,9 @@ object Streams {
   def nndMaintainStream(spark: SparkSession, arrivals: DataFrame,
                         dir: String, stateDir: String, checkpointDir: String,
                         k: Int = 10, rounds: Int = 3, adjCap: Int = 16,
-                        beam: Int = 8, hops: Int = 4,
-                        nEntries: Int = 8): StreamingQuery = {
+                        beam: Int = 8, hops: Int = 4, nEntries: Int = 8,
+                        compactEvery: Int = 0,
+                        maxGens: Int = 4): StreamingQuery = {
     val base = graft.operators.Similarity.corpusNndGraph(spark, dir, k, rounds)
       .select("u", "v", "cos")
     val corpusEmb = graft.sources.Tables.embeddings(spark, dir)
@@ -832,6 +833,7 @@ object Streams {
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldNndBatch(spark, batch.toDF(), base, corpusEmb, stateDir, batchId,
           k, adjCap, beam, hops, nEntries)
+        maybeCompact(spark, stateDir, batchId, compactEvery, maxGens)
       }
       .start()
   }
@@ -882,11 +884,14 @@ object Streams {
     * tokenizes arrival bytes only — never re-reads the corpus — and the
     * index grows by exactly the arrivals' postings. */
   def bm25MaintainStream(arrivals: DataFrame, stateDir: String,
-                         checkpointDir: String): StreamingQuery =
+                         checkpointDir: String, compactEvery: Int = 0,
+                         maxGens: Int = 4): StreamingQuery =
     arrivals.select("doc_id", "text").writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldBm25Batch(batch.toDF(), stateDir, batchId)
+        maybeCompact(batch.sparkSession, stateDir, batchId, compactEvery,
+          maxGens)
       }
       .start()
 
@@ -947,12 +952,14 @@ object Streams {
     * centroid refit (the expensive, rare operation) stays offline. */
   def ivfMaintainStream(spark: SparkSession, arrivals: DataFrame,
                         dir: String, stateDir: String,
-                        checkpointDir: String): StreamingQuery = {
+                        checkpointDir: String, compactEvery: Int = 0,
+                        maxGens: Int = 4): StreamingQuery = {
     val centName = graft.operators.Similarity.buildIvfCentroidTable(spark, dir)
     arrivals.select("vec_id", "embedding").writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         foldIvfBatch(spark, batch.toDF(), centName, stateDir, batchId)
+        maybeCompact(spark, stateDir, batchId, compactEvery, maxGens)
       }
       .start()
   }
@@ -983,21 +990,42 @@ object Streams {
   /** Compact every fold-state sub-table under `stateDir` (nnd keeps
     * edges+emb, bm25 post+stats, ivf assign — any layout works: each
     * child directory is one [[FoldState]] table) up to `watermark`.
-    * Run it from the maintenance driver between micro-batches or
-    * offline, with the watermark strictly below any in-flight batch id;
-    * serving is row-identical before and after (the StreamsSpec
-    * differential) and the per-serve file listing drops from O(total
-    * batches) to O(1 generation + batches since compaction) — the
-    * STREAMCHECK `compaction` gate. */
+    * Run it from the maintenance driver between micro-batches (the
+    * `compactEvery` cadence on the maintain streams does exactly that)
+    * or offline, with the watermark strictly below any in-flight batch
+    * id; serving is row-identical before and after (the StreamsSpec
+    * differential). Each call MINOR-compacts only the live delta since
+    * the previous watermark into a new generation and tier-merges when
+    * more than `maxGens` generations accumulate ([[FoldState.compact]]),
+    * so per-call IO tracks arrivals, not total state, and the per-serve
+    * file listing stays O(maxGens + batches since compaction) — the
+    * STREAMCHECK `compaction` gates. */
   def compactMaintenanceState(spark: SparkSession, stateDir: String,
-                              watermark: Long, targetFiles: Int = 4): Unit = {
+                              watermark: Long, targetFiles: Int = 4,
+                              maxGens: Int = 4): Unit = {
     val root = new org.apache.hadoop.fs.Path(stateDir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (fs.exists(root))
       fs.listStatus(root).iterator.filter(_.isDirectory).foreach { s =>
-        FoldState.compact(spark, s.getPath.toString, watermark, targetFiles)
+        FoldState.compact(spark, s.getPath.toString, watermark, targetFiles,
+          maxGens)
       }
   }
+
+  /** Stream-driven compaction cadence (r12 verdict #8): inside a
+    * maintenance foreachBatch, after batch `batchId`'s fold has fully
+    * committed, compact every `compactEvery` batches at
+    * `watermark = batchId`. Safe by construction: micro-batches run
+    * serially in the driver, so when this fires nothing ≤ batchId is in
+    * flight, and an at-least-once REPLAY of batchId after the compaction
+    * only re-materializes a live dir readers already filter out
+    * ([[FoldState]] replay note). */
+  private def maybeCompact(spark: SparkSession, stateDir: String,
+                           batchId: Long, compactEvery: Int,
+                           maxGens: Int): Unit =
+    if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1))
+      compactMaintenanceState(spark, stateDir, watermark = batchId,
+        maxGens = maxGens)
 
   /** Durable sink: drive a streaming DataFrame to parquet via
     * foreachBatch with a checkpoint — restart-safe micro-batch delivery

@@ -137,6 +137,24 @@ class ImageHashSpec extends AnyFunSuite {
     }
   }
 
+  test("resize decodes NON-JPEG containers: PNG in, JPEG out (regression: " +
+    "ImageIO.read(ImageInputStream) closes the stream itself — an unguarded " +
+    "double-close nulled every successful PNG decode)") {
+    for ((pw, ph) <- Seq((30, 18), (16, 16), (115, 20), (44, 44))) {
+      val png = PngUtil.synthPng(pw, ph)
+      val resized = ImageUtil.resizeJpeg(png, 44, 90)
+      assert(resized != null, s"${pw}x$ph PNG failed to decode")
+      val packed = JpegUtil.dimsPacked(resized)
+      assert(packed >= 0, s"${pw}x$ph resize output is not a parseable JPEG")
+      val m = math.max(pw, ph)
+      val (ew, eh) =
+        if (m <= 44) (pw, ph)
+        else (math.max(1, pw * 44 / m), math.max(1, ph * 44 / m))
+      assert(((packed >> 32).toInt, (packed & 0xffffffffL).toInt) == ((ew, eh)),
+        s"${pw}x$ph boxed wrong")
+    }
+  }
+
   test("resize of real photos: bounding box honored, hash survives within re-encode distance") {
     refUsers.foreach { u =>
       val bytes = jpegBytes(u)

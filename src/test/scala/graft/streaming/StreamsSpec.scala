@@ -723,7 +723,7 @@ class StreamsSpec extends AnyFunSuite {
     assert(FoldState.livePartitionCount(spark, post) == 2)
     val before = serve()
     Streams.compactMaintenanceState(spark, stateDir, watermark = 1)
-    assert(FoldState.manifest(spark, post) === Some((0L, 1L)))
+    assert(FoldState.manifest(spark, post) === Some((Seq(0L), 1L)))
     assert(FoldState.livePartitionCount(spark, post) == 0,
       "compaction must GC the superseded live partitions")
     assert(serve() == before, "compaction changed the served ranking")
@@ -741,19 +741,29 @@ class StreamsSpec extends AnyFunSuite {
     // re-running compaction at the same watermark is a GC-only no-op:
     // it collects the replayed orphan, manifest unchanged
     Streams.compactMaintenanceState(spark, stateDir, watermark = 1)
-    assert(FoldState.manifest(spark, post) === Some((0L, 1L)))
+    assert(FoldState.manifest(spark, post) === Some((Seq(0L), 1L)))
     assert(FoldState.livePartitionCount(spark, post) == 1)
-    assert(serve() == got)
-    // a second compaction folds everything: gen bumps, zero live dirs,
-    // the superseded generation is GC'd, ranking still identical
-    Streams.compactMaintenanceState(spark, stateDir, watermark = 2)
-    assert(FoldState.manifest(spark, post) === Some((1L, 2L)))
-    assert(FoldState.livePartitionCount(spark, post) == 0)
     assert(serve() == got)
     val fs = new org.apache.hadoop.fs.Path(post)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$post/_compaction/gen=0")),
-      "superseded generation must be garbage-collected")
+    // a second compaction is INCREMENTAL (r12 verdict #4): only the live
+    // delta (batch 2) merges into a NEW generation — gen=0 is NOT
+    // rewritten (size-tiered, bytes written ∝ arrivals since the last
+    // compaction); zero live dirs, ranking still identical
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 2)
+    assert(FoldState.manifest(spark, post) === Some((Seq(0L, 1L), 2L)))
+    assert(FoldState.livePartitionCount(spark, post) == 0)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$post/_compaction/gen=0")),
+      "minor compaction must NOT rewrite the prior generation")
+    assert(serve() == got)
+    // tier merge: forcing maxGens=1 folds the two generations into one
+    // NEW generation and GCs both inputs — ranking still identical
+    Streams.compactMaintenanceState(spark, stateDir, watermark = 2, maxGens = 1)
+    assert(FoldState.manifest(spark, post) === Some((Seq(2L), 2L)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$post/_compaction/gen=0")) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(s"$post/_compaction/gen=1")),
+      "tier merge must garbage-collect the merged generations")
+    assert(serve() == got)
   }
 
   test("foldNndBatch reads compacted generations: fold → compact → fold " +

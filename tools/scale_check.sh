@@ -93,6 +93,11 @@ if [ "${1:-}" = "--sf10" ]; then
   # round-12 addition (VERDICT r11 ask #7): the persisted pixel-signature
   # serve path — "3n codec cost runs once at ingest" gets its 100x number
   HEADLINE="$HEADLINE,mm_pixel_persisted"
+  # round-13 additions (VERDICT r12 ask #5): the two pixel-real oracle
+  # queries — mm_pixel_features is the worst new 10x row (8.11x: the
+  # 66-cell explode's long-format presentation sort) and ships nowhere
+  # without a 100x number; mm_pixel_resized rides along
+  HEADLINE="$HEADLINE,mm_pixel_resized,mm_pixel_features"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
