@@ -48,11 +48,14 @@ object Bench {
     "agg_pricing_summary", "win_topk_per_customer", "rel_star_join_revenue")
 
   /** The r13 reference host measurement of [[canaryQueries]] at sf0.1 /
-    * local[32] (sum of per-query min-of-3, seconds) — the fixed
-    * denominator for `canary_norm`: values > 1 mean "this host/window
-    * is N× slower than the r13 reference run". Re-pin only if the
-    * canary set changes. */
-  val canaryRefS: Double = 1.75
+    * local[32] (sum of per-query min-of-3, seconds; min of the start/end
+    * passes — the r13 preview measured start 9.43 s vs end 1.96 s in ONE
+    * run, so the min is the only robust in-window statistic, matching
+    * the bench's min-of-n philosophy) — the fixed denominator for
+    * `norm_total`: canary_min/canaryRefS > 1 means "this host/window is
+    * N× slower than the r13 reference". Re-pin only if the canary set
+    * changes. */
+  val canaryRefS: Double = 1.9
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -182,12 +185,16 @@ object Bench {
     val minTotal = healthy.map(r => mn(r._2)).sum
     val medTotal = healthy.map(r => md(r._2)).sum
     // canary-normalized total: minTotal scaled to the r13 reference
-    // host's speed (canary mean over canaryRefS). -1 when the canary
-    // itself failed.
-    val canaryMean =
-      if (canaryStart > 0 && canaryEnd > 0) (canaryStart + canaryEnd) / 2 else -1.0
+    // host's speed. The MIN of the start/end passes is the denominator —
+    // a single contended window at either end (the r13 preview's 9.43 s
+    // start vs 1.96 s end) must not poison the normalization; min-of
+    // matches the bench's per-query min-of-n statistic. -1 when the
+    // canary itself failed.
+    val canaryMin =
+      if (canaryStart > 0 && canaryEnd > 0) math.min(canaryStart, canaryEnd)
+      else -1.0
     val normTotal =
-      if (canaryMean > 0) minTotal * canaryRefS / canaryMean else -1.0
+      if (canaryMin > 0) minTotal * canaryRefS / canaryMin else -1.0
     // full detail: file + an early stdout line (the tail may cut it; the
     // file and the chunked lines below are the durable copies)
     val detail = results.map { case (k, ts, e) =>
@@ -218,7 +225,7 @@ object Bench {
     // "sf" field (the driver's artifact wrapper records sf itself).
     // canary/norm fields (r12 verdict #2): host speed lives IN the
     // artifact, so cross-round drift reads off the JSONs alone.
-    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"n":${results.length},"errors":$totalErrs,"canary_s":${f2(canaryMean)},"canary_ref_s":${f2(canaryRefS)},"norm":${f2(normTotal)}}""")
+    println(s"""{"metric":"total","value":${f2(minTotal)},"unit":"sec","med":${f2(medTotal)},"n":${results.length},"errors":$totalErrs,"canary_s":${f2(canaryMin)},"canary_ref_s":${f2(canaryRefS)},"norm":${f2(normTotal)}}""")
     System.out.flush()
     spark.stop()
   }

@@ -84,7 +84,9 @@ object Plans {
       "mm_pixel_dhash", "mm_pixel_neardup", "mm_pixel_persisted",
       "mm_media_router", "rel_pagerank_served",
       // round-12 families (the pixel-real resize/feature stages)
-      "mm_pixel_resized", "mm_pixel_features")
+      "mm_pixel_resized", "mm_pixel_features",
+      // round-13 family (the real-container composed media pipeline)
+      "mm_decode_frames_real")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (generated by graft.Plans)\n\n")
     sb.append(s"Scale dir: `$dir`. One representative query per operator family;\n")
