@@ -52,10 +52,12 @@ object ScaleCheck {
     * dd_span_dedup_persisted (22.3× at 100×: the span index is built
     * once at ingest); the raw op is that index's build step. */
   val expectedLinearQueries: Map[String, String] = Map(
+    // ASCII only: the note lands verbatim in a JSON artifact via forked
+    // stdout, whose default encoding mangles non-ASCII to '?'
     "dd_span_dedup" -> ("linear-by-construction: span normalize+hash is " +
       "one pass over corpus bytes and the generator replicates span mass " +
       "100x (SCALE.md derivation); production serves " +
-      "dd_span_dedup_persisted — the raw op is the index build step"))
+      "dd_span_dedup_persisted - the raw op is the index build step"))
 
   def main(args: Array[String]): Unit = {
     val baseDir = args(0)
