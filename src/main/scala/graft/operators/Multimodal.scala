@@ -566,15 +566,52 @@ object Multimodal {
     * bucket boundary). Over real photos the same expression is the
     * coarse embedding a curation pipeline clusters on — gated against
     * an independent ImageIO reference in ImageHashSpec. */
-  def pixelFeatures(spark: SparkSession, dir: String): DataFrame = {
+  def pixelFeatures(spark: SparkSession, dir: String): DataFrame =
+    pixelFeaturesFrom(pixelFeatureVectors(spark, dir))
+
+  /** The per-document 66-dim grid-feature table both feature paths read:
+    * `(doc_id, buckets array<int>)`, one REAL ImageIO encode + decode +
+    * pool per document. This is where ALL the codec cost lives, and it
+    * is pure per-payload state — the same artifact class as
+    * [[pixelVariantSigs]]' dHash signatures. */
+  private[graft] def pixelFeatureVectors(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.ImageOps._
     spreadDocs(spark, dir)
       .withColumn("h", expr("md5(cast(doc_id as string))"))
       .withColumn("word", expr("cast(conv(substring(h, 1, 15), 16, 10) as bigint)"))
-      .withColumn("buckets", jpegGrid(jpegSynth(col("word"), lit(95))))
+      .select(col("doc_id"), jpegGrid(jpegSynth(col("word"), lit(95))).as("buckets"))
+  }
+
+  /** Shared long-format tail over any feature-vector frame — one
+    * definition so the scan-time, persisted, and stream-maintained
+    * paths cannot drift. */
+  private[graft] def pixelFeaturesFrom(vectors: DataFrame): DataFrame =
+    vectors
       .select(col("doc_id"), posexplode(col("buckets")).as(Seq("cell_idx", "bucket")))
       .orderBy("doc_id", "cell_idx")
+
+  /** The build-once persisted per-document feature table (bucketed by
+    * doc_id) — the base index [[pixelFeaturesPersisted]] serves and
+    * [[graft.streaming.Streams.pixelFeatServeFromState]] unions the
+    * stream-folded arrivals onto. */
+  private[graft] def pixelFeatureBaseTable(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.IndexStore
+    IndexStore.orBuild(spark,
+      s"mm_pixfeat_${IndexStore.keyOf(dir)}", 32, Seq("doc_id"))(
+      pixelFeatureVectors(spark, dir))
   }
+
+  /** [[pixelFeatures]] with the per-document grid VECTORS persisted per
+    * corpus ([[graft.sources.IndexStore]]) — the serving path for the
+    * coarse-embedding store a curation pipeline reads over and over:
+    * the n_docs JPEG encodes + decodes + pools run ONCE at ingest;
+    * every subsequent read is a bucketed parquet scan + explode, no
+    * codec anywhere in the plan. Same contract as `mm_pixel_persisted`'s
+    * signature table and `dd_span_dedup_persisted`'s span index;
+    * row-identical to the scan-time query by construction (shared
+    * [[pixelFeaturesFrom]] tail), so it shares its oracle. */
+  def pixelFeaturesPersisted(spark: SparkSession, dir: String): DataFrame =
+    pixelFeaturesFrom(pixelFeatureBaseTable(spark, dir))
 
   /** Pixel-space NEAR-DUP pairs over real JPEG payloads — the dHash
     * upgrade of [[byteNearDupPairs]] from byte-space to what CLIP-era
@@ -726,6 +763,7 @@ object Multimodal {
     "mm_pixel_dhash"    -> pixelDHash _,
     "mm_pixel_resized"  -> pixelResize _,
     "mm_pixel_features" -> pixelFeatures _,
+    "mm_pixel_feat_persisted" -> pixelFeaturesPersisted _,
     "mm_pixel_neardup"  -> pixelNearDupPairs _,
     "mm_pixel_persisted" -> pixelNearDupPersisted _,
     "mm_media_router"   -> mediaRouter _,
@@ -765,6 +803,28 @@ object Multimodal {
     // pixels and pool them; the oracle replays the construction with a
     // per-row window sum over the word's bits
     "mm_pixel_features" ->
+      """WITH w AS (
+           SELECT doc_id,
+                  CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS word
+           FROM documents),
+         cells AS (
+           SELECT doc_id, word, r.range AS r, c.range AS c
+           FROM w, range(0, 6) r, range(0, 11) c),
+         summed AS (
+           SELECT doc_id, r, c,
+                  COALESCE(SUM(CASE WHEN j.range IS NULL THEN NULL
+                                    WHEN (word >> CAST(59 - (r * 10 + j.range) AS INTEGER)) & 1 = 1
+                                    THEN -1 ELSE 1 END), 0) AS s
+           FROM cells LEFT JOIN range(0, 10) j ON j.range < c
+           GROUP BY doc_id, r, c)
+         SELECT doc_id, CAST(r * 11 + c AS INTEGER) AS cell_idx,
+                CAST(s AS INTEGER) AS bucket
+         FROM summed ORDER BY doc_id, cell_idx""",
+    // row-identical to mm_pixel_features by construction (same vector
+    // synthesis, same shared long-format tail — just served off the
+    // persisted per-document feature table), so it shares the oracle
+    // verbatim
+    "mm_pixel_feat_persisted" ->
       """WITH w AS (
            SELECT doc_id,
                   CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS word

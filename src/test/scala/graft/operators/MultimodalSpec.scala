@@ -217,4 +217,17 @@ class MultimodalSpec extends AnyFunSuite {
       assert(f.forall(v => v >= 0.0f && v <= 1.0f))
     }
   }
+
+  test("mm_pixel_feat_persisted serves row-identical to the scan-time features") {
+    val served = Multimodal.pixelFeaturesPersisted(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    val inline = Multimodal.pixelFeatures(spark, dir)
+      .collect().map(_.toSeq).toSeq
+    assert(served == inline)
+    // the serve plan must be codec-free: no Jpeg* expression anywhere
+    // (all codec cost was paid once at index build)
+    val plan = Multimodal.pixelFeaturesPersisted(spark, dir)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("jpeg"), s"codec leaked into the serve plan:\n$plan")
+  }
 }

@@ -98,6 +98,11 @@ if [ "${1:-}" = "--sf10" ]; then
   # 66-cell explode's long-format presentation sort) and ships nowhere
   # without a 100x number; mm_pixel_resized rides along
   HEADLINE="$HEADLINE,mm_pixel_resized,mm_pixel_features"
+  # round-13 addition: the persisted feature-store serve path for the
+  # grid vectors — the production answer to mm_pixel_features' heavy
+  # codec+explode row (codec cost runs once at ingest; serve is a
+  # bucketed scan + explode)
+  HEADLINE="$HEADLINE,mm_pixel_feat_persisted"
   # 100x data gets 100x-deployment sizing (see ScaleCheck notes): more
   # reducers AND real executor memory — the default 8g JVM models a
   # single small executor, not the cluster a 100x corpus runs on (the
